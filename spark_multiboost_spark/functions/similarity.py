@@ -1,0 +1,200 @@
+"""D3 — similarity search over the ``embeddings`` fixture (SURVEY.md §2 D3).
+
+Flagship: brute-force top-k cosine neighbors for a bounded query set. The
+scale story (100 TB posture):
+
+- The query set is the SMALL side -> ``F.broadcast`` it and stream the
+  corpus past it; no shuffle of the corpus for the pair generation.
+- The ``rank <= k`` filter over a ``row_number`` window is rewritten by
+  Spark's InferWindowGroupLimit into a per-partition partial group-limit
+  (map-side top-k) before the shuffle, i.e. the classic distributed
+  takeOrdered plan — verified via .explain (WindowGroupLimit node).
+- All vector math is Catalyst higher-order functions (JVM, codegen), no
+  Python UDFs on the hot path.
+
+The bucketed (LSH-style) variant cuts the candidate set by sign-bit
+bucketing — the scale path when the corpus no longer fits a broadcast of
+queries x corpus pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine
+from ..registry import query
+from ..session import load_tables
+
+K = 5
+N_QUERIES = 100  # query set: vec_id < 100
+
+
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("q_label"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("c_label"),
+    )
+    # broadcast the small query side; corpus streams through map-side
+    return c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+
+
+def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _pairs(spark, sf_dir).withColumn(
+        "cos_raw", cosine(F.col("q_emb"), F.col("c_emb"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= K)
+        .select(
+            "qid",
+            "cid",
+            "rank",
+            F.round("cos_raw", 6).alias("cos_sim"),
+            (F.col("q_label") == F.col("c_label")).alias("label_match"),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+_TOPK_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings
+), pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         list_cosine_similarity(q.embedding, c.embedding) AS cos_raw,
+         q.label AS q_label, c.label AS c_label
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT qid, cid, cos_raw, q_label, c_label,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rank
+  FROM pairs
+)
+SELECT qid, cid, rank, ROUND(cos_raw, 6) AS cos_sim,
+       (q_label = c_label) AS label_match
+FROM ranked WHERE rank <= {K}
+ORDER BY qid, rank
+"""
+
+query("q_d3_topk_cosine", oracle=_TOPK_ORACLE, group="D")(topk_cosine)
+
+
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per query label: how often do the k nearest neighbors share it?
+
+    Composes D3 top-k with a B11 hash aggregation — the flagship's analytic
+    companion (kNN classifier quality in one scan).
+    """
+    pairs = _pairs(spark, sf_dir).withColumn(
+        "cos_raw", cosine(F.col("q_emb"), F.col("c_emb"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
+    top = pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= K)
+    return (
+        top.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+            F.round(
+                F.avg(F.when(F.col("q_label") == F.col("c_label"), 1.0).otherwise(0.0)),
+                6,
+            ).alias("agreement_rate"),
+        )
+        .orderBy("label")
+    )
+
+
+_AGREE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings
+), pairs AS (
+  SELECT q.vec_id AS qid, q.label AS q_label, c.label AS c_label,
+         list_cosine_similarity(q.embedding, c.embedding) AS cos_raw, c.vec_id AS cid
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rank
+  FROM pairs
+)
+SELECT q_label AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       ROUND(AVG(CASE WHEN q_label = c_label THEN 1.0 ELSE 0.0 END), 6) AS agreement_rate
+FROM ranked WHERE rank <= {K}
+GROUP BY q_label
+ORDER BY label
+"""
+
+query("q_d3_knn_label_agreement", oracle=_AGREE_ORACLE, group="D")(knn_label_agreement)
+
+
+def bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-style approximate NN: 4 sign-bit bucket on dims 0..3, search only
+    within-bucket. Deterministic (no random projections), SQL-expressible, and
+    the scale path: bucketing turns the all-pairs join into an equi-join on
+    ``bucket`` that shuffles each side once and never materializes cross-bucket
+    pairs.
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    bucket = (
+        (F.element_at("embedding", 1) > 0).cast("int") * 8
+        + (F.element_at("embedding", 2) > 0).cast("int") * 4
+        + (F.element_at("embedding", 3) > 0).cast("int") * 2
+        + (F.element_at("embedding", 4) > 0).cast("int")
+    )
+    e = emb.withColumn("bucket", bucket)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb"), "bucket"
+    )
+    c = e.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb"), "bucket"
+    )
+    pairs = c.join(F.broadcast(q), on="bucket").filter(F.col("qid") != F.col("cid"))
+    w = Window.partitionBy("qid").orderBy(
+        cosine(F.col("q_emb"), F.col("c_emb")).desc(), F.col("cid")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= K)
+        .select(
+            "qid",
+            "cid",
+            "rank",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+_ANN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label,
+         CAST(embedding[1] > 0 AS INT) * 8 + CAST(embedding[2] > 0 AS INT) * 4
+         + CAST(embedding[3] > 0 AS INT) * 2 + CAST(embedding[4] > 0 AS INT) AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         list_cosine_similarity(q.embedding, c.embedding) AS cos_raw
+  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT qid, cid, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rank
+  FROM pairs
+)
+SELECT qid, cid, rank, ROUND(cos_raw, 6) AS cos_sim
+FROM ranked WHERE rank <= {K}
+ORDER BY qid, rank
+"""
+
+query("q_d3_bucketed_ann", oracle=_ANN_ORACLE, group="D")(bucketed_ann)

@@ -1,0 +1,88 @@
+"""Query registry — the single source of truth for the driver contract.
+
+Every implemented operator from SURVEY.md §2 registers itself here via the
+``@query`` decorator with a PySpark callable ``fn(spark, sf_dir) -> DataFrame``
+and (when SQL-expressible) a DuckDB oracle string. ``__spark_entry__.py``
+re-exports :func:`queries` / :func:`oracle_sql` from this module.
+
+Oracle-match discipline (SURVEY.md §2): identical column aliases both sides,
+``round(x, n)`` on every double aggregate in BOTH engines, BIGINT counts,
+deterministic results (explicit tiebreakers), no engine-specific defaults.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    group: str
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+#: modules whose import populates the registry
+_QUERY_MODULES = [
+    "spark_multiboost_spark.operators.relational",
+    "spark_multiboost_spark.operators.joins",
+    "spark_multiboost_spark.operators.windows",
+    "spark_multiboost_spark.operators.setops",
+    "spark_multiboost_spark.operators.scalar_funcs",
+    "spark_multiboost_spark.operators.sql_surface",
+    "spark_multiboost_spark.operators.udfs",
+    "spark_multiboost_spark.sources.readers",
+    "spark_multiboost_spark.sources.writers",
+    "spark_multiboost_spark.streaming.batch_equiv",
+    "spark_multiboost_spark.functions.similarity",
+    "spark_multiboost_spark.functions.dedup",
+    "spark_multiboost_spark.functions.text",
+    "spark_multiboost_spark.functions.multimodal",
+    "spark_multiboost_spark.ml.queries",
+]
+
+
+def query(name: str, oracle: str | None = None, group: str = "B", doc: str = ""):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = Query(name, fn, oracle, group, doc or (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def _load() -> dict[str, Query]:
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError:
+            # module not built yet (incremental bring-up); skip
+            pass
+    return _REGISTRY
+
+
+def all_queries() -> dict[str, Query]:
+    return dict(_load())
+
+
+def queries() -> dict[str, QueryFn]:
+    """Driver contract: name -> callable(spark, sf_dir) -> DataFrame."""
+    return {name: q.fn for name, q in _load().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    """Driver contract: name -> DuckDB SQL (omitted for rows-only checks)."""
+    return {name: q.oracle for name, q in _load().items() if q.oracle is not None}

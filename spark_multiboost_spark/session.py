@@ -1,0 +1,93 @@
+"""SparkSession builder and fixture-table registry.
+
+Design notes (100 TB posture):
+- session TZ pinned to UTC so date_trunc/extract agree with the DuckDB
+  oracle and with any cluster-side ingestion.
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  join-strategy switching are the scale-out levers we rely on instead of
+  hand-tuned partition counts.
+- `spark.sql.shuffle.partitions` seeds at 2x cores for local runs; AQE
+  coalesces down. On a real cluster this would be set to ~2-3x total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: the ten driver fixture tables (TESTDATA.md / FIXTURES.md §1)
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(app_name: str = "spark_multiboost_spark") -> SparkSession:
+    """Build (or reuse) the local SparkSession with scale-sane defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs required for oracle parity, applied defensively because
+    the driver's verify may hand us a session we didn't build:
+    - UTC session TZ so date_trunc/extract agree with DuckDB's naive
+      timestamps;
+    - nanosAsLong so Spark 4 can scan the events table's TIMESTAMP(NANOS)
+      parquet column (converted to µs in :func:`load_tables`).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read all fixture parquet tables, apply the FIXTURES.md §3 type-parity
+    casts, and register each as a temp view.
+
+    Parity casts (must be mirrored by explicit casts in oracle SQL):
+    - embeddings.embedding: list<float> -> ARRAY<DOUBLE> (so vector math
+      matches DuckDB's DOUBLE[] arithmetic bit-for-bit).
+    - events.ts: TIMESTAMP(NANOS) parquet -> LongType (nanosAsLong) ->
+      truncate to µs TIMESTAMP via integer division (DuckDB's
+      CAST(ts AS TIMESTAMP) truncates ns the same way). Integer `div`, not
+      `/`: epoch-nanos ~1.7e18 exceeds double's 2^53 exact-integer range.
+    """
+    _ensure_session_confs(spark)
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "embeddings":
+            df = df.withColumn("embedding", F.col("embedding").cast("array<double>"))
+        elif name == "events":
+            if dict(df.dtypes)["ts"] == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+            else:
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df.createOrReplaceTempView(name)
+        dfs[name] = df
+    return dfs
