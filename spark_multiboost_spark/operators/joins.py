@@ -1,0 +1,247 @@
+"""Group B join operators (SURVEY.md §2 B5-B10): shuffle/broadcast equi-joins,
+outer joins, semi/anti, cross/theta, and the as-of join.
+
+Scale notes: dimension sides get explicit ``F.broadcast`` hints (they stay
+small at any SF — region/nation/part/customer are classic broadcast dims);
+fact-fact joins shuffle on their keys and rely on AQE for skew splitting.
+The as-of join is expressed as join+max_by (aggregate form) rather than a
+per-row sort-merge, so it stays a single shuffle on the equi-key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.parity import bcount, dsum, dsum_sql
+from ..registry import query
+from ..session import load_tables
+
+
+@query(
+    "q_b05_join_revenue_by_priority",
+    oracle=f"""
+SELECT o_orderpriority,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    group="B",
+)
+def join_revenue_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5: fact-fact inner equi-join (lineitem x orders) + hash agg.
+    Spark picks shuffle-hash/sort-merge; AQE may switch to broadcast at
+    small SFs."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            dsum("l_extendedprice * (1 - l_discount)").alias("revenue"),
+            bcount().alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_b06_broadcast_join_brand_volume",
+    oracle=f"""
+SELECT p_brand, {dsum_sql('l_quantity')} AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+""",
+    group="B",
+)
+def broadcast_join_brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: explicit broadcast of the part dimension — no shuffle of the
+    lineitem fact for the join itself (verify: BroadcastHashJoin in plan)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(dsum("l_quantity").alias("sum_qty"), bcount().alias("n_items"))
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "q_b07_left_join_order_counts",
+    oracle="""
+SELECT c_custkey, c_name, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name ORDER BY c_custkey
+""",
+    group="B",
+)
+def left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: LEFT OUTER join keeping customers with zero orders (COUNT(col)
+    skips the NULLs from the unmatched side)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").cast("bigint").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q_b07_full_outer_nation_supplier",
+    oracle="""
+SELECT n.n_nationkey, n.n_name, s.s_suppkey, s.s_name
+FROM nation n FULL OUTER JOIN supplier s ON n.n_nationkey = s.s_nationkey
+""",
+    group="B",
+)
+def full_outer_nation_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: FULL OUTER join — nations without suppliers surface NULL rows."""
+    t = load_tables(spark, sf_dir)
+    n = t["nation"]
+    s = t["supplier"]
+    return n.join(s, n["n_nationkey"] == s["s_nationkey"], "full").select(
+        "n_nationkey", "n_name", "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "q_b08_semi_join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+""",
+    group="B",
+)
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: LEFT SEMI join — customers having a big order (no duplication)."""
+    t = load_tables(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 100000)
+    return (
+        t["customer"]
+        .join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "q_b08_anti_join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    group="B",
+)
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8: LEFT ANTI join — customers with no orders at all."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "q_b09_cross_join",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS in_region
+FROM region r CROSS JOIN nation n
+""",
+    group="B",
+)
+def cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: explicit cross join (tiny dims only — guarded use at scale)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["region"]
+        .crossJoin(t["nation"])
+        .select(
+            "r_name",
+            "n_name",
+            F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1)
+            .otherwise(0)
+            .alias("in_region"),
+        )
+    )
+
+
+@query(
+    "q_b09_theta_join",
+    oracle=f"""
+SELECT s.s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_richer_customers,
+       {dsum_sql('c.c_acctbal - s.s_acctbal')} AS total_gap
+FROM supplier s JOIN customer c
+  ON s.s_nationkey = c.c_nationkey AND c.c_acctbal > s.s_acctbal
+GROUP BY s.s_suppkey ORDER BY s.s_suppkey
+""",
+    group="B",
+)
+def theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: theta join — equi-key plus a range predicate; Spark evaluates the
+    inequality as a post-join filter on the hash-join output, keeping the
+    shuffle keyed on the equi-part only (scale-safe)."""
+    t = load_tables(spark, sf_dir)
+    s = t["supplier"].alias("s")
+    c = t["customer"].alias("c")
+    return (
+        s.join(
+            c,
+            (F.col("s.s_nationkey") == F.col("c.c_nationkey"))
+            & (F.col("c.c_acctbal") > F.col("s.s_acctbal")),
+        )
+        .groupBy("s.s_suppkey")
+        .agg(
+            bcount().alias("n_richer_customers"),
+            dsum(F.col("c.c_acctbal") - F.col("s.s_acctbal")).alias("total_gap"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_b10_asof_join",
+    oracle="""
+SELECT o.o_orderkey,
+       MAX(e.ts) AS last_event_ts,
+       MAX_BY(e.value, e.ts) AS last_event_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events_before
+FROM orders o
+JOIN events e
+  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+GROUP BY o.o_orderkey
+ORDER BY o.o_orderkey
+""",
+    group="B",
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10: as-of join — for each order, the latest event of that user at or
+    before the order date. Aggregate formulation (join on equi-key + range,
+    then max/max_by) = one shuffle on user key; equivalent to DuckDB's ASOF
+    JOIN but expressed with portable semantics (SURVEY §2 B10).
+
+    Determinism: event ts values are unique per user at µs resolution in the
+    fixtures, so MAX_BY has a unique argmax."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    e = t["events"]
+    return (
+        o.join(
+            e,
+            (F.col("user_id") == F.col("o_custkey"))
+            & (F.col("ts") <= F.col("o_orderdate")),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.max("ts").alias("last_event_ts"),
+            F.expr("max_by(value, ts)").alias("last_event_value"),
+            bcount().alias("n_events_before"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -1,0 +1,286 @@
+"""Group B core relational operators (SURVEY.md §2 B1, B4, B11-B15, B19,
+B32-B34) — scans, filters, aggregations, rollups, pivot/unpivot, sampling.
+
+Every query here is expressed declaratively so Catalyst gets predicate
+pushdown, column pruning, and partial aggregation for free; the decimal-sum
+parity discipline (functions/parity.py) makes double aggregates
+order-independent, i.e. safe at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.parity import bcount, davg, davg_sql, dsum, dsum_sql
+from ..registry import query
+from ..session import load_tables
+
+
+@query(
+    "q_b01_scan_projection",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity > 45
+""",
+    group="B",
+)
+def scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: parquet scan with column pruning + pushed filter (verify via
+    .explain: PushedFilters=[GreaterThan(l_quantity,45)], 4-col ReadSchema)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.filter(F.col("l_quantity") > 45).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "q_b04_filter_predicates",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE o_orderstatus IN ('O', 'F')
+  AND o_totalprice BETWEEN 1000 AND 150000
+  AND o_orderpriority LIKE '1%'
+  AND o_orderdate IS NOT NULL
+  AND NOT (o_totalprice < 2000 AND o_orderstatus = 'F')
+""",
+    group="B",
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4: compound predicates — IN, BETWEEN, LIKE, IS NULL, NOT/AND/OR."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(1000, 150000)
+        & F.col("o_orderpriority").like("1%")
+        & F.col("o_orderdate").isNotNull()
+        & ~((F.col("o_totalprice") < 2000) & (F.col("o_orderstatus") == "F"))
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+@query(
+    "q_b11_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql('l_quantity')} AS sum_qty,
+       {dsum_sql('l_extendedprice')} AS sum_base_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {davg_sql('l_quantity')} AS avg_qty,
+       {davg_sql('l_discount')} AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-06-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    group="B",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B11: TPC-H Q1-style pricing summary — the headline hash-agg query.
+    Partial aggregation (map-side combine) + AQE coalesced shuffle."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-06-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum("l_extendedprice * (1 - l_discount)").alias("sum_disc_price"),
+            dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_discount").alias("avg_disc"),
+            bcount().alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_b12_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    group="B",
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: DISTINCT via hash aggregation."""
+    c = load_tables(spark, sf_dir)["customer"]
+    return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "q_b12_count_distinct",
+    oracle="""
+SELECT c_nationkey,
+       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+    group="B",
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B12: COUNT(DISTINCT) — Spark expands to a two-phase aggregate."""
+    c = load_tables(spark, sf_dir)["customer"]
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("c_mktsegment").cast("bigint").alias("n_segments"),
+            bcount().alias("n_customers"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query("q_b13_approx_count_distinct", oracle=None, group="B")
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B13: HyperLogLog++ approx distinct — rows-only (sketch algorithms
+    are engine-specific; DuckDB's approx_count_distinct differs)."""
+    e = load_tables(spark, sf_dir)["events"]
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        bcount().alias("n_events"),
+    )
+
+
+@query(
+    "q_b14_rollup",
+    oracle=f"""
+SELECT c_mktsegment, c_nationkey,
+       CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+       CAST(GROUPING(c_nationkey) AS INT) AS g_nat,
+       {dsum_sql('c_acctbal')} AS sum_acctbal,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM customer
+GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+""",
+    group="B",
+)
+def rollup_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14: ROLLUP with GROUPING() markers."""
+    c = load_tables(spark, sf_dir)["customer"]
+    return c.rollup("c_mktsegment", "c_nationkey").agg(
+        F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+        F.grouping("c_nationkey").cast("int").alias("g_nat"),
+        dsum("c_acctbal").alias("sum_acctbal"),
+        bcount().alias("n"),
+    )
+
+
+@query(
+    "q_b14_cube",
+    oracle=f"""
+SELECT o_orderstatus, o_orderpriority,
+       {dsum_sql('o_totalprice')} AS sum_price,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    group="B",
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14: CUBE over two dimensions."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        dsum("o_totalprice").alias("sum_price"),
+        bcount().alias("n"),
+    )
+
+
+@query(
+    "q_b15_having",
+    oracle=f"""
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {dsum_sql('c_acctbal')} AS sum_acctbal
+FROM customer
+GROUP BY c_nationkey
+HAVING COUNT(*) > 5 AND {dsum_sql('c_acctbal')} > 0
+ORDER BY c_nationkey
+""",
+    group="B",
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15: post-aggregation filter (HAVING)."""
+    c = load_tables(spark, sf_dir)["customer"]
+    return (
+        c.groupBy("c_nationkey")
+        .agg(bcount().alias("n_customers"), dsum("c_acctbal").alias("sum_acctbal"))
+        .filter((F.col("n_customers") > 5) & (F.col("sum_acctbal") > 0))
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "q_b19_topk_orders",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+    group="B",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19: global ORDER BY + LIMIT — Spark plans TakeOrderedAndProject
+    (per-partition top-k then merge; no full sort at scale)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@query(
+    "q_b32_pivot",
+    oracle=f"""
+SELECT user_id,
+       {', '.join(dsum_sql(f"CASE WHEN event_type = '{t}' THEN value ELSE 0.0 END") + f' AS {t}' for t in _EVENT_TYPES)}
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+    group="B",
+)
+def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B32: pivot event_type -> columns (CASE-sum form in the oracle; Spark
+    uses the native pivot with an explicit value list to avoid the extra
+    distinct-values job)."""
+    e = load_tables(spark, sf_dir)["events"]
+    piv = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(dsum(F.coalesce(F.col("value"), F.lit(0.0))))
+        .orderBy("user_id")
+    )
+    # pivot leaves NULL for absent (user, type) combos; the CASE-sum oracle
+    # yields 0.0 — align with coalesce
+    return piv.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0.0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+@query(
+    "q_b33_unpivot",
+    oracle="""
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+""",
+    group="B",
+)
+def unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33: unpivot/melt wide columns into (metric, value) rows."""
+    p = load_tables(spark, sf_dir)["part"]
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+
+
+@query("q_b34_sample", oracle=None, group="B")
+def sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34: Bernoulli sampling — rows-only (seeded RNG streams are
+    engine-specific, SURVEY §2)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.sample(fraction=0.1, seed=42).groupBy("l_returnflag").agg(
+        bcount().alias("n_sampled")
+    )

@@ -1,0 +1,181 @@
+"""Python UDF surface (SURVEY.md §2 B35-B37): scalar UDF, Arrow-vectorized
+pandas UDFs, grouped-agg pandas UDF, applyInPandas grouped map, Python UDTF.
+
+Policy (100 TB posture): UDFs are the slow path — every query here exists to
+prove the plumbing, and each one that CAN be cross-checked against pure SQL
+is (the UDF must reproduce the declarative semantics exactly). Row-at-a-time
+UDFs only on tiny dimensions; everything else Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.parity import bcount
+from ..registry import query
+from ..session import load_tables
+
+
+@pandas_udf(LongType())
+def _token_count(text: pd.Series) -> pd.Series:
+    # whitespace token count, vectorized over the Arrow batch
+    return text.str.count(" ").add(1).astype("int64")
+
+
+@query(
+    "q_b35_pandas_udf_token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+FROM documents
+""",
+    group="B",
+)
+def pandas_udf_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35: Arrow-vectorized pandas UDF (token count) — cross-checked
+    against the pure-SQL space-counting formula, proving the UDF reproduces
+    declarative semantics exactly."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select("doc_id", _token_count("text").alias("n_tokens"))
+
+
+@query(
+    "q_b35_scalar_udf",
+    oracle="SELECT r_regionkey, UPPER(r_name) AS name_upper FROM region",
+    group="B",
+)
+def scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35: row-at-a-time Python UDF — deliberately confined to the 5-row
+    region dim (the anti-pattern demo; pandas UDFs are ~10-100x faster on
+    real columns)."""
+    r = load_tables(spark, sf_dir)["region"]
+    up = F.udf(lambda s: s.upper() if s is not None else None, StringType())
+    return r.select("r_regionkey", up("r_name").alias("name_upper"))
+
+
+@pandas_udf(DoubleType())
+def _weighted_mean(v: pd.Series, w: pd.Series) -> float:
+    den = w.sum()
+    return float((v * w).sum() / den) if den != 0 else float("nan")
+
+
+# Spark disallows mixing GROUPED_AGG pandas UDFs with JVM aggregates in one
+# agg() — so the row count is a pandas UDF too
+@pandas_udf(LongType())
+def _group_count(v: pd.Series) -> int:
+    return len(v)
+
+
+@query(
+    "q_b36_grouped_agg_udf",
+    oracle="""
+SELECT event_type,
+       ROUND(SUM(value * CAST(user_id AS DOUBLE)) / SUM(CAST(user_id AS DOUBLE)), 4) AS wmean,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    group="B",
+)
+def grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36: GROUPED_AGG pandas UDF (weighted mean) vs its SQL twin.
+    round(4): pandas uses pairwise summation vs sequential in SQL engines,
+    so low bits differ legitimately."""
+    e = load_tables(spark, sf_dir)["events"]
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(
+                _weighted_mean(F.col("value"), F.col("user_id").cast("double")), 4
+            ).alias("wmean"),
+            _group_count(F.col("value")).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_MINMAX_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("value_minmax", DoubleType()),
+    ]
+)
+
+
+def _minmax_norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    lo, hi = pdf["value"].min(), pdf["value"].max()
+    span = hi - lo
+    # span == 0 (single-event user / constant values) -> sentinel -1.0 so the
+    # UDF and the SQL twin agree without NULL-vs-NaN ambiguity
+    out = pd.DataFrame(
+        {
+            "event_id": pdf["event_id"],
+            "user_id": pdf["user_id"],
+            "value_minmax": ((pdf["value"] - lo) / span if span != 0 else -1.0),
+        }
+    )
+    out["value_minmax"] = out["value_minmax"].round(6)
+    return out
+
+
+@query(
+    "q_b36_apply_in_pandas",
+    oracle="""
+SELECT event_id, user_id,
+       COALESCE(ROUND((value - MIN(value) OVER (PARTITION BY user_id))
+             / NULLIF(MAX(value) OVER (PARTITION BY user_id)
+                      - MIN(value) OVER (PARTITION BY user_id), 0), 6), -1.0) AS value_minmax
+FROM events
+""",
+    group="B",
+)
+def apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36: applyInPandas grouped-map (per-user min-max normalization) vs
+    the window-function SQL twin. Min-max (not z-score) so the math is
+    exact — no variance-algorithm drift between engines."""
+    e = load_tables(spark, sf_dir)["events"]
+    return e.select("event_id", "user_id", "value").groupBy("user_id").applyInPandas(
+        _minmax_norm, schema=_MINMAX_SCHEMA
+    )
+
+
+@query(
+    "q_b37_udtf_tokens",
+    oracle="""
+SELECT doc_id, token
+FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM documents WHERE doc_id < 50)
+WHERE LENGTH(token) > 0
+""",
+    group="B",
+)
+def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B37: Python UDTF — tokenizes text into one row per token; twin of
+    the declarative explode(split(...)) / UNNEST form."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, token string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            if text:
+                for tok in text.split(" "):
+                    if tok:
+                        yield doc_id, tok
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 50)
+    spark.udtf.register("smb_tokenize", Tokenize)
+    d.createOrReplaceTempView("docs_head")
+    return spark.sql(
+        "SELECT t.doc_id, t.token FROM docs_head d, "
+        "LATERAL smb_tokenize(d.doc_id, d.text) t"
+    )

@@ -13,6 +13,8 @@ Design notes (100 TB posture):
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,6 +53,40 @@ def get_spark(app_name: str = "spark_multiboost_spark") -> SparkSession:
     )
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Module-level functions used in applyInPandas / UDFs are pickled BY
+    REFERENCE (module + qualname), so workers must be able to import
+    ``spark_multiboost_spark`` regardless of the driver's cwd — exactly as
+    on a real cluster, where the package is shipped with the job.
+    """
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    try:
+        sc = spark.sparkContext
+    except Exception:
+        return  # Spark Connect — rely on artifact upload instead
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"smb_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED_SESSIONS.add(key)
+
+
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Runtime confs required for oracle parity, applied defensively because
     the driver's verify may hand us a session we didn't build:
@@ -61,6 +97,7 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ship_package(spark)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,108 @@
+"""Sources (SURVEY.md §2 B1-B2): parquet is the primary scan path (see
+operators/relational.q_b01); CSV/JSON readers here round-trip through a temp
+dir with explicit DDL schemas — the pattern a production pipeline uses for
+schema-pinned ingestion (never inferSchema on 100 TB).
+
+Rows-only checks: dialect/quoting differences make byte-level CSV/JSON parity
+with DuckDB not meaningful (SURVEY §2 B2).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.parity import bcount, dsum
+from ..registry import query
+from ..session import load_tables
+
+_CSV_SCHEMA = (
+    "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+    "o_totalprice DOUBLE, o_orderpriority STRING"
+)
+
+_JSON_SCHEMA = (
+    "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, k BIGINT"
+)
+
+
+@query("q_b02_csv_roundtrip", oracle=None, group="B")
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: write orders subset as CSV (header), read back with an explicit
+    DDL schema, aggregate. Asserts the parse path, not byte equality."""
+    t = load_tables(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="smb_csv_"), "orders_csv")
+    (
+        t["orders"]
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+    back = spark.read.schema(_CSV_SCHEMA).option("header", True).csv(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(bcount().alias("n"), dsum("o_totalprice").alias("sum_price"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query("q_b02_json_roundtrip", oracle=None, group="B")
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: write events subset as JSON lines, read back with explicit
+    schema (including a field projected out of the props payload)."""
+    t = load_tables(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="smb_json_"), "events_json")
+    (
+        t["events"]
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .write.mode("overwrite")
+        .json(path)
+    )
+    back = spark.read.schema(_JSON_SCHEMA).json(path)
+    return (
+        back.groupBy("event_type")
+        .agg(bcount().alias("n"), dsum("value").alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+@query("q_b01_text_source", oracle=None, group="B")
+def text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-adjacent: text-line source -> parse into typed columns, the modern
+    analogue of the reference's labeled-point text parser
+    ([R] MultiLabeledPointParser, SURVEY §2 A1 — reconstructed citation,
+    reference mount empty). Writes `label idx:val ...`-free simple CSV lines
+    and parses with split/cast, exercising spark.read.text."""
+    t = load_tables(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="smb_text_"), "points_text")
+    (
+        t["embeddings"]
+        .select(
+            F.concat_ws(
+                " ",
+                F.col("label").cast("string"),
+                F.concat_ws(" ", F.transform("embedding", lambda x: x.cast("string"))),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+    lines = spark.read.text(path)
+    parsed = lines.select(F.split("value", " ").alias("parts")).select(
+        F.element_at("parts", 1).cast("int").alias("label"),
+        F.slice("parts", 2, 10_000).alias("raw_feats"),
+    ).select("label", F.transform("raw_feats", lambda s: s.cast("double")).alias("features"))
+    return parsed.groupBy("label").agg(
+        bcount().alias("n"),
+        F.round(dsum(F.element_at("features", 1)), 6).alias("sum_f0"),
+    ).orderBy("label")
