@@ -1,0 +1,84 @@
+"""Benchmark harness (BASELINE.md protocol): one warm SparkSession,
+each headline query timed median-of-3 after one warm-up run, at
+$SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# representative spread: scan+agg, shuffle join, broadcast join, window
+# top-k, CTE/subquery, streaming batch-equivalents, vector similarity,
+# boosting stump search (the reference's hot loop), UDF path
+HEADLINE = [
+    "q_b11_pricing_summary",
+    "q_b05_join_revenue_by_priority",
+    "q_b06_broadcast_join_brand_volume",
+    "q_b20_topk_per_group",
+    "q_b16_ranking",
+    "q_b31_cte_nation_revenue",
+    "q_b30_correlated_exists",
+    "q_c1_tumbling_window",
+    "q_c3_session_window",
+    "q_d3_topk_cosine",
+    "q_a5_stump_z",
+    "q_b35_pandas_udf_token_count",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from spark_multiboost_spark.registry import queries
+    from spark_multiboost_spark.session import get_spark
+
+    spark = get_spark("smb-bench")
+    qs = queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        runs = []
+        for i in range(4):  # first run = warm-up, discarded
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            if i > 0:
+                runs.append(dt)
+            assert n >= 0
+        timings[name] = round(statistics.median(runs), 4)
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total_sec (median-of-3, warm session)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,291 @@
+"""AdaBoost.MH with decision stumps — the reference's core capability
+(SURVEY.md §2 group A), re-expressed as relational dataflow on DataFrames.
+
+Reference parity (all [R] citations reconstructed — the /root/reference
+mount was empty at survey time, SURVEY.md §0):
+- MultiLabeledPoint / WeightedMultiLabeledPoint
+  [R] .../multilabel/MultiLabeledPoint.scala -> long-form frame
+  (id, class, y, weight) + a separate exploded feature frame (id, feature,
+  value); SURVEY §1.2 chose the long form so every boosting step is a plain
+  relational op.
+- DecisionStumpAlgorithm.run [R] .../baselearners/DecisionStump.scala ->
+  :func:`stump_candidates` (A3) + prefix-sum threshold search (A4) +
+  Z-criterion scoring (A5) + argmin (A6).
+- AdaBoostMHAlgorithm.run [R] .../stronglearners/AdaBoostMH.scala ->
+  :func:`train` (A10): driver loop, weight update + normalization (A8),
+  localCheckpoint per round (plan truncation — our analogue of the
+  reference's per-round re-cache).
+- AdaBoostMHModel.predict [R] -> :func:`score_model` (A9): broadcast stump
+  table join + hash agg.
+
+Math (Schapire & Singer 1999, BoosTexter 2000):
+  phi_{j,theta}(x) = +1 if x[j] > theta else -1
+  W_+^l = sum_i w_il [y_il = phi(x_i)],  W_-^l = sum_i w_il [y_il != phi(x_i)]
+  votes v_l = 0.5 ln((W_+^l + eps) / (W_-^l + eps)),  eps = 1/(2mK)
+  Z(j,theta) = 2 sum_l sqrt(W_+^l W_-^l)   (minimized over candidates)
+  weight update: w' = w exp(-y v_l phi(x)) / Z_norm
+
+Scale posture (SURVEY §4.2): the candidate search pre-aggregates weights by
+(feature, value, class) BEFORE the window prefix-sum, so the window input is
+|distinct values| x K per feature, not m x K; the per-feature window is the
+d-way shuffle documented for salting at extreme scale. Feature indices are
+1-based everywhere (matches SQL element_at/list indexing in both engines).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Stump:
+    """One base hypothesis h_t (reference: DecisionStumpModel [R])."""
+
+    t: int
+    feature: int  # 1-based
+    threshold: float
+    z: float
+    votes: list[float]  # length K; h(x)[l] = votes[l] * phi(x)
+
+
+def mlp_long(emb: DataFrame, num_classes: int = 10) -> DataFrame:
+    """Lift single-label rows to the multi-label long form
+    (id, class, y in {+1,-1}) — FIXTURES.md §2.1."""
+    return emb.select(
+        F.col("vec_id").alias("id"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_classes - 1))).alias("class"),
+        "label",
+    ).select(
+        "id",
+        "class",
+        F.when(F.col("class") == F.col("label"), 1).otherwise(-1).alias("y"),
+    )
+
+
+def init_weights(mlp: DataFrame, m: int, num_classes: int) -> DataFrame:
+    """A2: uniform initial distribution D_1(i,l) = 1/(mK)."""
+    return mlp.withColumn("weight", F.lit(1.0 / (m * num_classes)))
+
+
+def explode_features(emb: DataFrame) -> DataFrame:
+    """A3 input: (id, feature[1-based], value) from the array column."""
+    return emb.select(
+        F.col("vec_id").alias("id"), F.posexplode("embedding").alias("feature", "value")
+    ).withColumn("feature", F.col("feature") + 1)
+
+
+def stump_class_weights(weighted: DataFrame, feats: DataFrame) -> DataFrame:
+    """A3+A4: for every candidate cut (feature, threshold=observed value) and
+    class, the Schapire-Singer weight masses W_+ / W_-.
+
+    Pipeline: join exploded features with the weighted long frame on id
+    (m*d x K rows), pre-aggregate to (feature, value, class) — the map-side
+    combine that keeps the window small — then one cumulative-sum window per
+    (feature, class) ordered by value.
+    """
+    joined = feats.join(weighted, "id")
+    grouped = joined.groupBy("feature", "value", "class").agg(
+        F.sum(F.when(F.col("y") == 1, F.col("weight")).otherwise(0.0)).alias("swp"),
+        F.sum(F.when(F.col("y") == -1, F.col("weight")).otherwise(0.0)).alias("swm"),
+    )
+    w_cum = (
+        Window.partitionBy("feature", "class")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("feature", "class")
+    cum = grouped.select(
+        "feature",
+        F.col("value").alias("threshold"),
+        "class",
+        F.sum("swp").over(w_cum).alias("p_plus"),
+        F.sum("swm").over(w_cum).alias("p_minus"),
+        F.sum("swp").over(w_tot).alias("t_plus"),
+        F.sum("swm").over(w_tot).alias("t_minus"),
+    )
+    # phi = +1 above the threshold: correct side mass combines the positives
+    # above the cut with the negatives at/below it
+    return cum.select(
+        "feature",
+        "threshold",
+        "class",
+        (F.col("t_plus") - F.col("p_plus") + F.col("p_minus")).alias("w_plus"),
+        (F.col("t_minus") - F.col("p_minus") + F.col("p_plus")).alias("w_minus"),
+    )
+
+
+def stump_z(class_weights: DataFrame) -> DataFrame:
+    """A5: Z(feature, threshold) = 2 sum_l sqrt(W_+ W_-)."""
+    return class_weights.groupBy("feature", "threshold").agg(
+        (2.0 * F.sum(F.sqrt(F.col("w_plus") * F.col("w_minus")))).alias("z")
+    )
+
+
+def best_stump_row(zs: DataFrame) -> DataFrame:
+    """A6: global argmin of Z, deterministic tiebreak (z, feature, threshold)."""
+    return zs.orderBy("z", "feature", "threshold").limit(1)
+
+
+def fit_stump(
+    weighted: DataFrame, feats: DataFrame, m: int, num_classes: int, t: int = 0
+) -> Stump:
+    """A3-A6 (reference: DecisionStumpAlgorithm.run [R]): find the best cut
+    and its confidence-rated votes."""
+    cw = stump_class_weights(weighted, feats)
+    best = best_stump_row(stump_z(cw)).collect()[0]
+    eps = 1.0 / (2.0 * m * num_classes)
+    votes_rows = (
+        cw.filter(
+            (F.col("feature") == best["feature"])
+            & (F.col("threshold") == best["threshold"])
+        )
+        .select(
+            "class",
+            (
+                0.5
+                * F.log(
+                    (F.col("w_plus") + F.lit(eps)) / (F.col("w_minus") + F.lit(eps))
+                )
+            ).alias("v"),
+        )
+        .collect()
+    )
+    votes = [0.0] * num_classes
+    for r in votes_rows:
+        votes[r["class"]] = r["v"]
+    return Stump(
+        t=t,
+        feature=int(best["feature"]),
+        threshold=float(best["threshold"]),
+        z=float(best["z"]),
+        votes=votes,
+    )
+
+
+def stumps_to_df(spark: SparkSession, stumps: list[Stump]) -> DataFrame:
+    """Model-as-table (SURVEY §1.2): (t, feature, threshold, z, votes)."""
+    return spark.createDataFrame(
+        [(s.t, s.feature, s.threshold, s.z, s.votes) for s in stumps],
+        "t INT, feature INT, threshold DOUBLE, z DOUBLE, votes ARRAY<DOUBLE>",
+    )
+
+
+def update_weights(
+    weighted: DataFrame, feats: DataFrame, stump: Stump, spark: SparkSession
+) -> DataFrame:
+    """A8: w' = w exp(-y v_l phi(x)) / Z_norm, Z_norm a global scalar agg
+    (the reference's per-round action boundary [R] AdaBoostMHAlgorithm.run)."""
+    phi = feats.filter(F.col("feature") == stump.feature).select(
+        "id",
+        F.when(F.col("value") > stump.threshold, 1.0).otherwise(-1.0).alias("phi"),
+    )
+    votes_arr = F.array(*[F.lit(v) for v in stump.votes])
+    unnorm = (
+        weighted.join(phi, "id")
+        .withColumn(
+            "w_raw",
+            F.col("weight")
+            * F.exp(
+                -F.col("y")
+                * F.element_at(votes_arr, F.col("class") + 1)
+                * F.col("phi")
+            ),
+        )
+    )
+    z_norm = unnorm.agg(F.sum("w_raw")).collect()[0][0]
+    return unnorm.select(
+        "id", "class", "y", (F.col("w_raw") / F.lit(z_norm)).alias("weight")
+    )
+
+
+def train(
+    spark: SparkSession,
+    emb: DataFrame,
+    num_rounds: int = 10,
+    num_classes: int = 10,
+    sample_fraction: float | None = None,
+    feature_fraction: float | None = None,
+    seed: int = 42,
+) -> list[Stump]:
+    """A10 (reference: AdaBoostMHAlgorithm.run [R]): the boosting loop.
+
+    Driver-orchestrated like the reference, but all state lives in
+    DataFrames; localCheckpoint per round truncates both RDD lineage and the
+    Catalyst plan (SURVEY §4.2 item 1 — the one genuinely non-free part of
+    DataFrame-native boosting). A12: optional instance/feature subsampling
+    before each stump search.
+    """
+    emb = emb.select("vec_id", "embedding", "label").persist()
+    m = emb.count()
+    feats = explode_features(emb).persist()
+    weighted = init_weights(mlp_long(emb, num_classes), m, num_classes)
+    weighted = weighted.localCheckpoint(eager=True)
+
+    stumps: list[Stump] = []
+    for t in range(num_rounds):
+        search_w, search_f = weighted, feats
+        if sample_fraction is not None:
+            ids = emb.select("vec_id").sample(sample_fraction, seed + t).select(
+                F.col("vec_id").alias("id")
+            )
+            search_w = weighted.join(F.broadcast(ids), "id")
+        if feature_fraction is not None:
+            n_feats = feats.agg(F.max("feature")).collect()[0][0]
+            keep = max(1, int(n_feats * feature_fraction))
+            # deterministic per-round rotation of the feature subset
+            search_f = feats.filter(
+                ((F.col("feature") + t) % n_feats) < keep
+            )
+        stump = fit_stump(search_w, search_f, m, num_classes, t)
+        stumps.append(stump)
+        weighted = update_weights(weighted, feats, stump, spark)
+        weighted = weighted.localCheckpoint(eager=True)
+    feats.unpersist()
+    emb.unpersist()
+    return stumps
+
+
+def score_model(emb: DataFrame, stumps_df: DataFrame) -> DataFrame:
+    """A9 (reference: AdaBoostMHModel.predict [R]): H(x)[l] = sum_t h_t(x)[l]
+    via broadcast stump join + hash agg. Returns (id, class, score, pred)."""
+    stump_long = stumps_df.select(
+        "t", "feature", "threshold", F.posexplode("votes").alias("class", "v")
+    )
+    phi = emb.select(F.col("vec_id").alias("id"), "embedding").crossJoin(
+        F.broadcast(stumps_df.select("t", "feature", "threshold"))
+    ).select(
+        "id",
+        "t",
+        F.when(
+            F.element_at("embedding", F.col("feature")) > F.col("threshold"), 1.0
+        )
+        .otherwise(-1.0)
+        .alias("phi"),
+    )
+    return (
+        phi.join(F.broadcast(stump_long.select("t", "class", "v")), "t")
+        .groupBy("id", "class")
+        .agg(F.sum(F.col("v") * F.col("phi")).alias("score"))
+        .select(
+            "id",
+            "class",
+            "score",
+            F.when(F.col("score") > 0, 1).otherwise(-1).alias("pred"),
+        )
+    )
+
+
+def hamming_loss(scored: DataFrame, mlp: DataFrame) -> DataFrame:
+    """A11: fraction of (i,l) pairs where sign(H) != y."""
+    return (
+        scored.join(mlp, ["id", "class"])
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("pred") != F.col("y"), 1.0).otherwise(0.0)), 6
+            ).alias("hamming_loss"),
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        )
+    )

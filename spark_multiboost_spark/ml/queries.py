@@ -1,0 +1,425 @@
+"""Group A oracle queries (SURVEY.md §2 A1-A13): each boosting building
+block individually hash-checked against a DuckDB twin at the driver's SF.
+
+Fixed-stump queries (A7-A9, A11) use literal stump constants so scoring and
+loss have exact SQL oracles independent of training (FIXTURES.md §2.3
+``stumps_fixed``); the iterative loop itself (A10/A12/A13) is rows-only per
+SURVEY §2.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import load_tables
+from . import boosting
+
+K = 10
+D = 64
+
+# shared DuckDB prelude: doubles-cast embeddings, long-form labels, uniform
+# weights, exploded features (1-based feature index both engines)
+_PRELUDE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings
+), mlp AS (
+  SELECT vec_id AS id, g.class,
+         CASE WHEN g.class = label THEN 1 ELSE -1 END AS y
+  FROM e CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {K - 1})) AS class) g
+), mm AS (SELECT COUNT(*) AS m FROM e
+), w AS (
+  SELECT mlp.id, mlp.class, mlp.y, CAST(1.0 AS DOUBLE) / (mm.m * {K}) AS weight
+  FROM mlp, mm
+), feats AS (
+  SELECT vec_id AS id, j.feature, embedding[j.feature] AS value
+  FROM e CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {D})) AS feature) j
+)
+"""
+
+# Vote constants chosen so stump 0 strictly dominates (|v0| > |v1|+|v2|+0.1
+# per class): scores can never approach 0, so sign(score) is unambiguous
+# under any floating-point summation order (cross-engine safe).
+_VOTES0 = [0.31, -0.33, 0.35, -0.37, 0.32, -0.34, 0.36, -0.38, 0.39, -0.41]
+_VOTES1 = [-0.11, 0.12, -0.13, 0.14, -0.105, 0.115, -0.125, 0.135, -0.145, 0.155]
+_VOTES2 = [0.07, 0.08, -0.09, 0.06, 0.085, -0.075, 0.095, -0.065, -0.055, 0.1]
+_STUMPS_FIXED = [
+    boosting.Stump(t=0, feature=3, threshold=0.0, z=0.0, votes=_VOTES0),
+    boosting.Stump(t=1, feature=10, threshold=0.1, z=0.0, votes=_VOTES1),
+    boosting.Stump(t=2, feature=32, threshold=-0.05, z=0.0, votes=_VOTES2),
+]
+
+
+def _sql_list(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in vals) + "]"
+
+
+# literal stump table usable in DuckDB SQL
+_STUMPS_SQL = (
+    "(VALUES "
+    + ", ".join(
+        f"({s.t}, {s.feature}, {repr(s.threshold)}, {_sql_list(s.votes)})"
+        for s in _STUMPS_FIXED
+    )
+    + ") AS st(t, feature, threshold, votes)"
+)
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir)["embeddings"]
+
+
+def _weighted_uniform(emb: DataFrame) -> tuple[DataFrame, int]:
+    m = emb.count()
+    return (
+        boosting.init_weights(boosting.mlp_long(emb, K), m, K),
+        m,
+    )
+
+
+@query(
+    "q_a1_scan_embeddings",
+    oracle="""
+SELECT vec_id, label,
+       CAST(LEN(CAST(embedding AS DOUBLE[])) AS BIGINT) AS n_dims,
+       ROUND(CAST(embedding AS DOUBLE[])[1], 6) AS f1
+FROM embeddings
+""",
+    group="A",
+)
+def scan_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: labeled-point source scan (reference: MultiLabeledPointParser [R]
+    — reconstructed, mount empty; here the typed parquet read IS the parser)."""
+    return _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("bigint").alias("n_dims"),
+        F.round(F.element_at("embedding", 1), 6).alias("f1"),
+    )
+
+
+@query(
+    "q_a2_weight_init",
+    oracle=_PRELUDE
+    + """
+SELECT id, class, y, ROUND(weight, 9) AS weight FROM w
+""",
+    group="A",
+)
+def weight_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: long-form lift + uniform D_1(i,l) = 1/(mK)."""
+    weighted, _m = _weighted_uniform(_emb(spark, sf_dir))
+    return weighted.select("id", "class", "y", F.round("weight", 9).alias("weight"))
+
+
+@query(
+    "q_a3_stump_candidates",
+    oracle=_PRELUDE
+    + """
+SELECT feature, CAST(COUNT(DISTINCT value) AS BIGINT) AS n_candidates,
+       ROUND(MIN(value), 6) AS min_value, ROUND(MAX(value), 6) AS max_value
+FROM feats GROUP BY feature ORDER BY feature
+""",
+    group="A",
+)
+def stump_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: candidate thresholds = distinct observed values per feature."""
+    feats = boosting.explode_features(_emb(spark, sf_dir))
+    return (
+        feats.groupBy("feature")
+        .agg(
+            F.countDistinct("value").cast("bigint").alias("n_candidates"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .orderBy("feature")
+    )
+
+
+@query(
+    "q_a4_prefix_weights",
+    oracle=_PRELUDE
+    + """
+, grouped AS (
+  SELECT f.value, w.class,
+         SUM(CASE WHEN w.y = 1 THEN w.weight ELSE 0 END) AS swp,
+         SUM(CASE WHEN w.y = -1 THEN w.weight ELSE 0 END) AS swm
+  FROM feats f JOIN w ON f.id = w.id
+  WHERE f.feature = 1
+  GROUP BY f.value, w.class
+)
+SELECT value AS threshold, class,
+       ROUND(SUM(swp) OVER (PARTITION BY class ORDER BY value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9) AS p_plus,
+       ROUND(SUM(swm) OVER (PARTITION BY class ORDER BY value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 9) AS p_minus
+FROM grouped
+""",
+    group="A",
+)
+def prefix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-feature sorted cumulative class-weight sums (shown for
+    feature 1) — the one-pass threshold-search core."""
+    emb = _emb(spark, sf_dir)
+    weighted, _m = _weighted_uniform(emb)
+    feats = boosting.explode_features(emb).filter(F.col("feature") == 1)
+    from pyspark.sql import Window
+
+    grouped = (
+        feats.join(weighted, "id")
+        .groupBy("value", "class")
+        .agg(
+            F.sum(F.when(F.col("y") == 1, F.col("weight")).otherwise(0.0)).alias("swp"),
+            F.sum(F.when(F.col("y") == -1, F.col("weight")).otherwise(0.0)).alias("swm"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("class")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grouped.select(
+        F.col("value").alias("threshold"),
+        "class",
+        F.round(F.sum("swp").over(w_cum), 9).alias("p_plus"),
+        F.round(F.sum("swm").over(w_cum), 9).alias("p_minus"),
+    )
+
+
+_Z_SQL = (
+    _PRELUDE
+    + """
+, grouped AS (
+  SELECT f.feature, f.value, w.class,
+         SUM(CASE WHEN w.y = 1 THEN w.weight ELSE 0 END) AS swp,
+         SUM(CASE WHEN w.y = -1 THEN w.weight ELSE 0 END) AS swm
+  FROM feats f JOIN w ON f.id = w.id
+  WHERE f.feature <= 4
+  GROUP BY f.feature, f.value, w.class
+), cum AS (
+  SELECT feature, value AS threshold, class,
+         SUM(swp) OVER (PARTITION BY feature, class ORDER BY value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_plus,
+         SUM(swm) OVER (PARTITION BY feature, class ORDER BY value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_minus,
+         SUM(swp) OVER (PARTITION BY feature, class) AS t_plus,
+         SUM(swm) OVER (PARTITION BY feature, class) AS t_minus
+  FROM grouped
+), cw AS (
+  SELECT feature, threshold, class,
+         t_plus - p_plus + p_minus AS w_plus,
+         t_minus - p_minus + p_plus AS w_minus
+  FROM cum
+)
+"""
+)
+
+
+@query(
+    "q_a5_stump_z",
+    oracle=_Z_SQL
+    + """
+SELECT feature, threshold,
+       ROUND(2.0 * SUM(SQRT(w_plus * w_minus)), 9) AS z
+FROM cw GROUP BY feature, threshold
+""",
+    group="A",
+)
+def stump_z_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: Z = 2 sum_l sqrt(W+ W-) per candidate (features 1-4 shown)."""
+    emb = _emb(spark, sf_dir)
+    weighted, _m = _weighted_uniform(emb)
+    feats = boosting.explode_features(emb).filter(F.col("feature") <= 4)
+    cw = boosting.stump_class_weights(weighted, feats)
+    return boosting.stump_z(cw).select(
+        "feature", "threshold", F.round("z", 9).alias("z")
+    )
+
+
+@query(
+    "q_a6_best_stump",
+    oracle=_Z_SQL
+    + """
+, zs AS (
+  SELECT feature, threshold, 2.0 * SUM(SQRT(w_plus * w_minus)) AS z
+  FROM cw GROUP BY feature, threshold
+)
+SELECT feature, ROUND(threshold, 6) AS threshold, ROUND(z, 6) AS z
+FROM zs ORDER BY z, feature, threshold LIMIT 1
+""",
+    group="A",
+)
+def best_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: global argmin of Z over candidates (features 1-4 slice),
+    deterministic tiebreak."""
+    emb = _emb(spark, sf_dir)
+    weighted, _m = _weighted_uniform(emb)
+    feats = boosting.explode_features(emb).filter(F.col("feature") <= 4)
+    zs = boosting.stump_z(boosting.stump_class_weights(weighted, feats))
+    return boosting.best_stump_row(zs).select(
+        "feature",
+        F.round("threshold", 6).alias("threshold"),
+        F.round("z", 6).alias("z"),
+    )
+
+
+@query(
+    "q_a7_stump_predict",
+    oracle=_PRELUDE
+    + f"""
+SELECT e.vec_id AS id, g.class,
+       ROUND({_sql_list(_VOTES0)}[g.class + 1]
+             * (CASE WHEN e.embedding[3] > 0.0 THEN 1.0 ELSE -1.0 END), 6) AS h
+FROM e CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {K - 1})) AS class) g
+""",
+    group="A",
+)
+def stump_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: h(x)[l] = v_l * phi(x) for the fixed stump (feature 3, theta 0)."""
+    emb = _emb(spark, sf_dir)
+    s = _STUMPS_FIXED[0]
+    votes = F.array(*[F.lit(v) for v in s.votes])
+    return (
+        emb.select(F.col("vec_id").alias("id"), "embedding")
+        .select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("class"),
+            F.when(F.element_at("embedding", s.feature) > s.threshold, 1.0)
+            .otherwise(-1.0)
+            .alias("phi"),
+        )
+        .select(
+            "id",
+            "class",
+            F.round(F.element_at(votes, F.col("class") + 1) * F.col("phi"), 6).alias(
+                "h"
+            ),
+        )
+    )
+
+
+@query(
+    "q_a8_weight_update",
+    oracle=_PRELUDE
+    + f"""
+, upd AS (
+  SELECT w.id, w.class, w.y,
+         w.weight * EXP(-w.y * {_sql_list(_VOTES0)}[w.class + 1]
+                        * (CASE WHEN e.embedding[3] > 0.0 THEN 1.0 ELSE -1.0 END)) AS w_raw
+  FROM w JOIN e ON w.id = e.vec_id
+), z AS (SELECT SUM(w_raw) AS z FROM upd)
+SELECT id, class, ROUND(w_raw / z.z, 9) AS weight,
+       ROUND(w_raw * (SELECT m FROM mm) * {K} / z.z, 6) AS weight_rel
+FROM upd, z
+""",
+    group="A",
+)
+def weight_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: one reweighting round against the fixed stump, with global Z
+    normalization (weight_rel = weight * mK for hash discrimination)."""
+    emb = _emb(spark, sf_dir)
+    weighted, m = _weighted_uniform(emb)
+    feats = boosting.explode_features(emb)
+    out = boosting.update_weights(weighted, feats, _STUMPS_FIXED[0], emb.sparkSession)
+    return out.select(
+        "id",
+        "class",
+        F.round("weight", 9).alias("weight"),
+        F.round(F.col("weight") * m * K, 6).alias("weight_rel"),
+    )
+
+
+@query(
+    "q_a9_score_model",
+    oracle=_PRELUDE
+    + f"""
+, stumps AS (SELECT * FROM {_STUMPS_SQL})
+, phi AS (
+  SELECT e.vec_id AS id, st.t, st.votes,
+         CASE WHEN e.embedding[st.feature] > st.threshold THEN 1.0 ELSE -1.0 END AS phi
+  FROM e CROSS JOIN stumps st
+)
+SELECT id, g.class,
+       ROUND(SUM(votes[g.class + 1] * phi), 6) AS score,
+       CASE WHEN SUM(votes[g.class + 1] * phi) > 0 THEN 1 ELSE -1 END AS pred
+FROM phi CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {K - 1})) AS class) g
+GROUP BY id, g.class
+""",
+    group="A",
+)
+def score_fixed_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: strong-model scoring H(x)[l] = sum_t v_tl phi_t(x) with the fixed
+    3-stump table (broadcast join + hash agg)."""
+    emb = _emb(spark, sf_dir)
+    sdf = boosting.stumps_to_df(emb.sparkSession, _STUMPS_FIXED)
+    return boosting.score_model(emb, sdf).select(
+        "id", "class", F.round("score", 6).alias("score"), "pred"
+    )
+
+
+@query(
+    "q_a11_hamming_loss",
+    oracle=_PRELUDE
+    + f"""
+, stumps AS (SELECT * FROM {_STUMPS_SQL})
+, phi AS (
+  SELECT e.vec_id AS id, st.t, st.votes,
+         CASE WHEN e.embedding[st.feature] > st.threshold THEN 1.0 ELSE -1.0 END AS phi
+  FROM e CROSS JOIN stumps st
+), scored AS (
+  SELECT id, g.class,
+         CASE WHEN SUM(votes[g.class + 1] * phi) > 0 THEN 1 ELSE -1 END AS pred
+  FROM phi CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {K - 1})) AS class) g
+  GROUP BY id, g.class
+)
+SELECT ROUND(AVG(CASE WHEN s.pred <> mlp.y THEN 1.0 ELSE 0.0 END), 6) AS hamming_loss,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM scored s JOIN mlp ON s.id = mlp.id AND s.class = mlp.class
+""",
+    group="A",
+)
+def fixed_model_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: Hamming loss of the fixed model vs the lifted labels."""
+    emb = _emb(spark, sf_dir)
+    sdf = boosting.stumps_to_df(emb.sparkSession, _STUMPS_FIXED)
+    scored = boosting.score_model(emb, sdf)
+    mlp = boosting.mlp_long(emb, K)
+    return boosting.hamming_loss(scored, mlp)
+
+
+@query("q_a10_train_loop", oracle=None, group="A")
+def train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: the full boosting loop (T=3) — iterative, rows-only check;
+    exactness of each constituent step is covered by A2-A8."""
+    emb = _emb(spark, sf_dir)
+    stumps = boosting.train(spark, emb, num_rounds=3, num_classes=K)
+    return boosting.stumps_to_df(spark, stumps).select(
+        "t", "feature", F.round("threshold", 6).alias("threshold"), F.round("z", 6).alias("z")
+    )
+
+
+@query("q_a12_train_sampled", oracle=None, group="A")
+def train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: stochastic boosting — per-round instance subsampling
+    (reference: DecisionStumpAlgorithm sampleRate param [R], confidence M)."""
+    emb = _emb(spark, sf_dir)
+    stumps = boosting.train(
+        spark, emb, num_rounds=2, num_classes=K, sample_fraction=0.5, seed=7
+    )
+    return boosting.stumps_to_df(spark, stumps).select("t", "feature", "threshold")
+
+
+@query("q_a13_model_roundtrip", oracle=None, group="A")
+def model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: model persistence — stump table parquet round-trip."""
+    sdf = boosting.stumps_to_df(spark, _STUMPS_FIXED)
+    path = os.path.join(tempfile.mkdtemp(prefix="smb_model_"), "stumps")
+    sdf.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.select(
+        "t", "feature", "threshold", F.element_at("votes", 1).alias("v0")
+    ).orderBy("t")

@@ -113,6 +113,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
       `/`: epoch-nanos ~1.7e18 exceeds double's 2^53 exact-integer range.
     """
     _ensure_session_confs(spark)
+    cached = _TABLE_CACHE.get(id(spark))
+    if cached is not None and cached[0] == sf_dir:
+        return cached[1]
     dfs: dict[str, DataFrame] = {}
     for name in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -127,4 +130,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df.createOrReplaceTempView(name)
         dfs[name] = df
+    _TABLE_CACHE[id(spark)] = (sf_dir, dfs)
     return dfs
+
+
+#: (session id) -> (sf_dir, tables); avoids re-reading 10 parquet footers per
+#: query call — temp views stay registered for the matching sf_dir
+_TABLE_CACHE: dict[int, tuple[str, dict[str, DataFrame]]] = {}
