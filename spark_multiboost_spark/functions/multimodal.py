@@ -1,0 +1,133 @@
+"""Multimodal columns (SURVEY.md §2 D6): image/audio/video as opaque BINARY
+columns with typed metadata structs, decoded/feature-extracted via Arrow-
+batched mapInPandas.
+
+The container has no image/audio codecs, so the decode step is a clearly
+marked deterministic STUB (`_fake_decode`) — but everything Spark-side is
+real and load-bearing: the binary column, the metadata StructType, the
+mapInPandas batch iteration, the output schema, and the partitioning all
+match what a production decode pipeline needs (swap `_fake_decode` for a
+PIL/ffmpeg call and nothing else changes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import load_tables
+
+DECODE_SCHEMA = (
+    "doc_id BIGINT, n_bytes BIGINT, first_byte INT, "
+    "width INT, height INT, mean_intensity DOUBLE"
+)
+
+
+def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decoder: deterministic features from raw bytes. A real pipeline
+    would decode image bytes here (PIL/torchvision); not available in this
+    container — NotImplementedError intentionally NOT raised because the
+    fake keeps the pipeline testable end-to-end."""
+    for pdf in batches:
+        blobs = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": blobs.map(len).astype("int64"),
+                "first_byte": blobs.map(lambda b: b[0] if len(b) else -1).astype(
+                    "int32"
+                ),
+                "width": pdf["width"],
+                "height": pdf["height"],
+                # stand-in for decoded pixel stats: mean byte value
+                "mean_intensity": blobs.map(
+                    lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                ).round(6),
+            }
+        )
+
+
+def _with_payload(d: DataFrame) -> DataFrame:
+    """documents.text re-cast as an opaque binary payload + metadata struct
+    (the fixture's stand-in for image bytes)."""
+    return d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            (F.col("n_chars") % 640).cast("int").alias("width"),
+            (F.col("n_chars") % 480).cast("int").alias("height"),
+            F.lit("fake/raw").alias("format"),
+        ).alias("meta"),
+    )
+
+
+@query("q_d6_decode_features", oracle=None, group="D")
+def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: binary payload -> mapInPandas decode stub -> typed features.
+    Rows-only (the decode is a stub; the plumbing is the deliverable)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    frames = _with_payload(d).select(
+        "doc_id", "payload", F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return frames.mapInPandas(_fake_decode, schema=DECODE_SCHEMA)
+
+
+@query(
+    "q_d6_binary_length",
+    oracle="""
+SELECT doc_id,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+       CAST(n_chars % 640 AS INT) AS width,
+       CAST(n_chars % 480 AS INT) AS height
+FROM documents ORDER BY doc_id
+""",
+    group="D",
+)
+def binary_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: binary payload byte length + metadata projection — the
+    SQL-checkable slice of the multimodal path (no stub involved)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    p = _with_payload(d)
+    return p.select(
+        "doc_id",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    ).orderBy("doc_id")
+
+
+@query("q_d6_frame_sample", oracle=None, group="D")
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: 'frame sampling' over the binary payload — chunk the blob into
+    fixed-size frames and emit every k-th (the video-pipeline access
+    pattern: byte-range extraction without full decode)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    p = _with_payload(d)
+    frame_size, stride = 32, 4
+    frames = p.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        (F.octet_length("payload") / frame_size).cast("int") - 1,
+                        F.lit(0),
+                    ),
+                ),
+                lambda i: F.substring(
+                    F.col("payload").cast("string"), i * frame_size + 1, frame_size
+                ),
+            )
+        ).alias("frame_no", "frame_text"),
+    )
+    return frames.filter(F.col("frame_no") % stride == 0).select(
+        "doc_id",
+        F.col("frame_no").cast("bigint").alias("frame_no"),
+        F.md5("frame_text").alias("frame_digest"),
+    )

@@ -1,0 +1,354 @@
+"""Text analysis over ``documents`` (SURVEY.md §2 D4-D5 + north-star ops):
+tokenization/TF, n-grams, stopword filtering, language-ID heuristic, quality
+scoring, document fingerprinting, regex token counting.
+
+All JVM-side expressions (no Python UDFs) — at 100 TB these run inside
+whole-stage codegen directly over the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.parity import bcount
+from ..registry import query
+from ..session import load_tables
+
+
+@query(
+    "q_d4_token_tf",
+    oracle="""
+WITH toks AS (
+  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+), counts AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+  WHERE LENGTH(token) > 0 GROUP BY token
+)
+SELECT token, tf,
+       CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank
+FROM counts
+ORDER BY tf DESC, token LIMIT 20
+""",
+    group="D",
+)
+def token_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: corpus term frequency, top-20 (explode -> hash agg -> top-k)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(bcount().alias("tf"))
+    )
+    w = Window.orderBy(F.col("tf").desc(), "token")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "q_d4_bigrams",
+    oracle="""
+WITH docs AS (
+  SELECT lang, STRING_SPLIT(text, ' ') AS toks FROM documents
+), bg AS (
+  SELECT lang,
+         UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(toks) - 1, 0)),
+             i -> CONCAT(toks[i], ' ', toks[i + 1]))) AS bigram
+  FROM docs
+), counts AS (
+  SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY lang, bigram
+), ranked AS (
+  SELECT lang, bigram, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS BIGINT) AS rank
+  FROM counts
+)
+SELECT lang, bigram, n, rank FROM ranked WHERE rank <= 5
+ORDER BY lang, rank
+""",
+    group="D",
+)
+def bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: top-5 bigrams per language tag (n-gram generation + group top-k)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select("lang", F.split("text", " ").alias("toks"))
+    bg = toks.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda i: F.concat(
+                    F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    counts = bg.groupBy("lang", "bigram").agg(bcount().alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "bigram", "n", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+
+
+@query(
+    "q_d4_stopword_stats",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS toks FROM documents
+)
+SELECT source,
+       CAST(SUM(LEN(toks)) AS BIGINT) AS n_tokens,
+       CAST(SUM(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS({_STOP_SQL}, t)))) AS BIGINT) AS n_stopwords,
+       ROUND(CAST(SUM(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS({_STOP_SQL}, t)))) AS DOUBLE)
+             / SUM(LEN(toks)), 6) AS stopword_ratio
+FROM docs GROUP BY source ORDER BY source
+""",
+    group="D",
+)
+def stopword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: stopword filtering + per-source stopword-ratio stats."""
+    d = load_tables(spark, sf_dir)["documents"]
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    toks = d.select("source", F.split("text", " ").alias("toks"))
+    stats = toks.select(
+        "source",
+        F.size("toks").alias("nt"),
+        F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t))).alias("ns"),
+    )
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.sum("ns").cast("bigint").alias("n_stopwords"),
+            F.round(
+                F.sum("ns").cast("double") / F.sum("nt"), 6
+            ).alias("stopword_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_d5_source_stats",
+    oracle="""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang, source ORDER BY lang, source
+""",
+    group="D",
+)
+def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: per-(lang, source) document corpus statistics."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            bcount().alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# tiny per-language lexicons for the n-gram/stopword language-ID heuristic;
+# the fixture text is synthetic word soup, so this exercises the mechanics
+# (per-lexicon hit counting + argmax) rather than real language detection
+_LEXICONS = {
+    "en": ["the", "and", "of", "data", "query"],
+    "de": ["der", "die", "und", "nicht", "das"],
+    "es": ["el", "la", "de", "los", "que"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["zh1", "zh2", "zh3", "zh4", "zh5"],
+}
+
+
+def _hits_sql(lang: str) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in _LEXICONS[lang]) + "]"
+    return f"LEN(LIST_FILTER(toks, t -> LIST_CONTAINS({arr}, t)))"
+
+
+@query(
+    "q_d5_langid",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks FROM documents
+), hits AS (
+  SELECT doc_id, lang,
+         {_hits_sql('en')} AS h_en, {_hits_sql('de')} AS h_de,
+         {_hits_sql('es')} AS h_es, {_hits_sql('fr')} AS h_fr,
+         {_hits_sql('zh')} AS h_zh
+  FROM docs
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE
+         WHEN h_en >= GREATEST(h_de, h_es, h_fr, h_zh, 1) THEN 'en'
+         WHEN h_de >= GREATEST(h_es, h_fr, h_zh, 1) THEN 'de'
+         WHEN h_es >= GREATEST(h_fr, h_zh, 1) THEN 'es'
+         WHEN h_fr >= GREATEST(h_zh, 1) THEN 'fr'
+         WHEN h_zh >= 1 THEN 'zh'
+         ELSE 'und'
+       END AS predicted_lang,
+       CAST(h_en AS BIGINT) AS h_en
+FROM hits ORDER BY doc_id
+""",
+    group="D",
+)
+def langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5/ext: lexicon-hit language-ID heuristic with deterministic argmax
+    (priority order en>de>es>fr>zh on ties, 'und' when no lexicon hits)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    def _hit_counter(words: list[str]):
+        arr = F.array(*[F.lit(w) for w in words])
+        # single-arg lambda: a default-arg capture would change the lambda's
+        # arity and make PySpark pass the element index as the second arg
+        return F.size(F.filter("toks", lambda t: F.array_contains(arr, t)))
+
+    hit_cols = {lang: _hit_counter(words) for lang, words in _LEXICONS.items()}
+    h = toks.select(
+        "doc_id",
+        "lang",
+        *[hit_cols[lg].alias(f"h_{lg}") for lg in ["en", "de", "es", "fr", "zh"]],
+    )
+    pred = (
+        F.when(
+            F.col("h_en")
+            >= F.greatest("h_de", "h_es", "h_fr", "h_zh", F.lit(1)),
+            "en",
+        )
+        .when(F.col("h_de") >= F.greatest("h_es", "h_fr", "h_zh", F.lit(1)), "de")
+        .when(F.col("h_es") >= F.greatest("h_fr", "h_zh", F.lit(1)), "es")
+        .when(F.col("h_fr") >= F.greatest("h_zh", F.lit(1)), "fr")
+        .when(F.col("h_zh") >= 1, "zh")
+        .otherwise("und")
+    )
+    return h.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        F.col("h_en").cast("bigint").alias("h_en"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_d5_quality_score",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, n_chars, STRING_SPLIT(text, ' ') AS toks FROM documents
+), feat AS (
+  SELECT doc_id, n_chars,
+         LEN(toks) AS n_tokens,
+         CAST(n_chars AS DOUBLE) / LEN(toks) AS avg_token_len,
+         CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) AS ttr,
+         CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS({_STOP_SQL}, t))) AS DOUBLE)
+           / LEN(toks) AS stop_ratio
+  FROM docs WHERE LEN(toks) > 0
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(avg_token_len, 6) AS avg_token_len,
+       ROUND(ttr, 6) AS type_token_ratio,
+       ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.4 + ttr * 0.4
+             + LEAST(stop_ratio * 5.0, 1.0) * 0.2, 6) AS quality_score
+FROM feat ORDER BY doc_id
+""",
+    group="D",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext: document quality scoring — length, type-token ratio, stopword
+    ratio blended into [0,1] (the classic pretraining-data quality gate)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    toks = d.select("doc_id", "n_chars", F.split("text", " ").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    nt = F.size("toks")
+    feat = toks.select(
+        "doc_id",
+        nt.cast("bigint").alias("n_tokens"),
+        (F.col("n_chars").cast("double") / nt).alias("avg_token_len"),
+        (F.size(F.array_distinct("toks")).cast("double") / nt).alias("ttr"),
+        (
+            F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t))).cast(
+                "double"
+            )
+            / nt
+        ).alias("stop_ratio"),
+    )
+    return feat.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("ttr", 6).alias("type_token_ratio"),
+        F.round(
+            F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4
+            + F.col("ttr") * 0.4
+            + F.least(F.col("stop_ratio") * 5.0, F.lit(1.0)) * 0.2,
+            6,
+        ).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_d4_fingerprint",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks, text FROM documents
+)
+SELECT doc_id,
+       MD5(LOWER(TRIM(text))) AS content_fingerprint,
+       LIST_MIN(LIST_TRANSFORM(toks, t -> MD5(t))) AS min_token_hash
+FROM docs ORDER BY doc_id
+""",
+    group="D",
+)
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext: document fingerprinting — normalized content digest + min token
+    hash (the 1-hash MinHash special case used for cheap dedup keys)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_fingerprint"),
+        F.array_min(F.transform(F.split("text", " "), F.md5)).alias("min_token_hash"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_d4_regex_tokens",
+    oracle="""
+SELECT doc_id,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z0-9]+')) AS BIGINT) AS n_word_tokens,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]+')) AS BIGINT) AS n_number_tokens
+FROM documents ORDER BY doc_id
+""",
+    group="D",
+)
+def regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext: BPE-ish regex token counting (character-class tokenizer — the
+    pre-tokenization pass of GPT-style BPE pipelines)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0))
+        .cast("bigint")
+        .alias("n_word_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0))
+        .cast("bigint")
+        .alias("n_number_tokens"),
+    ).orderBy("doc_id")

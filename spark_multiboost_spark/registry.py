@@ -44,6 +44,7 @@ _QUERY_MODULES = [
     "spark_multiboost_spark.sources.readers",
     "spark_multiboost_spark.sources.writers",
     "spark_multiboost_spark.streaming.batch_equiv",
+    "spark_multiboost_spark.streaming.jobs",
     "spark_multiboost_spark.functions.similarity",
     "spark_multiboost_spark.functions.dedup",
     "spark_multiboost_spark.functions.text",

@@ -1,0 +1,130 @@
+"""True Structured Streaming jobs (SURVEY.md §2 C4-C6) — rows-only checks.
+
+Each query replays the events fixture through a REAL file-source stream
+(micro-batched via maxFilesPerTrigger) and runs the streaming operator under
+test with Trigger.AvailableNow, landing in a uniquely named memory sink; the
+returned DataFrame reads that sink. tests/test_streaming.py asserts the
+semantic properties (late-drop, dedup, state evolution) against batch
+equivalents.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import load_tables
+
+_EVENTS_DDL = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Write events as n time-ordered parquet files (micro-batch replay
+    order = event-time order, so watermarks advance realistically)."""
+    t = load_tables(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="smb_stream_"), "events_files")
+    events = t["events"].orderBy("ts", "event_id")
+    n = events.count()
+    per = max(1, n // n_files)
+    pdf = events.toPandas()
+    # keep µs precision: pandas defaults to ns, which round-trips to a
+    # TIMESTAMP(NANOS) parquet column Spark's vectorized reader rejects
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    os.makedirs(path, exist_ok=True)
+    for i in range(n_files):
+        chunk = pdf.iloc[i * per : (i + 1) * per if i < n_files - 1 else n]
+        if len(chunk):
+            # zero-padded name: file listing order == replay order
+            chunk.to_parquet(os.path.join(path, f"part-{i:04d}.parquet"))
+    return path
+
+
+def _read_stream(spark: SparkSession, path: str) -> DataFrame:
+    return (
+        spark.readStream.schema(_EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
+    name = f"smb_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return stream_df.sparkSession.table(name)
+
+
+@query("q_c4_watermark_tumbling", oracle=None, group="C")
+def watermark_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: watermarked 1h tumbling aggregation over a file-replayed stream;
+    append mode emits only watermark-finalized windows."""
+    stream = _read_stream(spark, _replay_dir(spark, sf_dir))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return _run_to_memory(agg, mode="append")
+
+
+@query("q_c5_stream_dedup", oracle=None, group="C")
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: dropDuplicatesWithinWatermark on a stream with injected
+    duplicate event_ids."""
+    path = _replay_dir(spark, sf_dir)
+    # duplicate the first file to inject dupes within the watermark horizon
+    files = sorted(os.listdir(path))
+    dup = pd.read_parquet(os.path.join(path, files[0]))
+    dup.to_parquet(os.path.join(path, "part-dup.parquet"))
+    stream = _read_stream(spark, path)
+    deduped = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    counted = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return _run_to_memory(counted, mode="complete")
+
+
+@query("q_c6_stateful_sessions", oracle=None, group="C")
+def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: custom stateful per-key processing via applyInPandasWithState —
+    running per-user event count + max value carried across micro-batches
+    (the hand-rolled analogue of mapGroupsWithState)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        total, vmax = (state.get if state.exists else (0, float("-inf")))
+        for pdf in pdfs:
+            total += len(pdf)
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((total, vmax))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [total], "max_value": [vmax]}
+        )
+
+    stream = _read_stream(spark, _replay_dir(spark, sf_dir))
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id BIGINT, n_events BIGINT, max_value DOUBLE",
+        stateStructType="n BIGINT, vmax DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, mode="update")
