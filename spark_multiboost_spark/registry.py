@@ -41,6 +41,7 @@ _QUERY_MODULES = [
     "spark_multiboost_spark.operators.scalar_funcs",
     "spark_multiboost_spark.operators.sql_surface",
     "spark_multiboost_spark.operators.udfs",
+    "spark_multiboost_spark.operators.composites",
     "spark_multiboost_spark.sources.readers",
     "spark_multiboost_spark.sources.writers",
     "spark_multiboost_spark.streaming.batch_equiv",

@@ -1,0 +1,59 @@
+"""Physical-plan shape assertions (the 100 TB posture, verified): pushed
+filters, broadcast joins, map-side window group limits, partial aggregation.
+A query that silently regresses to a bad plan fails here even though its
+results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from spark_multiboost_spark.registry import all_queries
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = all_queries()[name].fn(spark, sf_dir)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_b01_scan_pushdown(spark, sf_dir):
+    plan = _plan(spark, "q_b01_scan_projection", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45" in plan
+    # column pruning: only the 4 projected columns in ReadSchema
+    assert "l_shipdate" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_b06_broadcast_join(spark, sf_dir):
+    plan = _plan(spark, "q_b06_broadcast_join_brand_volume", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_b20_window_group_limit(spark, sf_dir):
+    plan = _plan(spark, "q_b20_topk_per_group", sf_dir)
+    assert "WindowGroupLimit" in plan  # map-side partial top-k
+
+
+def test_d3_flagship_plan(spark, sf_dir):
+    plan = _plan(spark, "q_d3_topk_cosine", sf_dir)
+    assert "WindowGroupLimit" in plan
+    assert "Broadcast" in plan  # query side broadcast
+    assert "LessThan(vec_id,100)" in plan  # filter pushed to scan
+
+
+def test_b11_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, "q_b11_pricing_summary", sf_dir)
+    # two HashAggregate nodes (partial + final) around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_comp_q3_broadcasts_dim(spark, sf_dir):
+    plan = _plan(spark, "q_comp_shipping_priority", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_b19_take_ordered(spark, sf_dir):
+    plan = _plan(spark, "q_b19_topk_orders", sf_dir)
+    assert "TakeOrderedAndProject" in plan  # no global sort for ORDER BY+LIMIT
