@@ -19,6 +19,11 @@ queries x corpus pairs.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -28,6 +33,101 @@ from ..session import load_tables
 
 K = 5
 N_QUERIES = 100  # query set: vec_id < 100
+
+
+def _seq_dot_block(C: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """(b x d) x (q x d) -> (b x q) dot products with STRICT left-to-right
+    accumulation over the d axis.
+
+    Deliberately NOT ``C @ Q.T``: BLAS gemm reorders/fuses the summation,
+    which can differ from sequential summation in the last ulp and flip a
+    rank tie against the DuckDB oracle. One fused vector op per dimension
+    keeps every entry bit-identical to Catalyst's
+    ``aggregate(zip_with(a, b, *), 0.0, +)`` and to DuckDB's list_* fold,
+    while still running at numpy speed (d fused ops instead of b*q*d
+    interpreted ones).
+    """
+    b, d = C.shape
+    S = np.zeros((b, Q.shape[0]), dtype=np.float64)
+    for i in range(d):
+        S += C[:, i : i + 1] * Q[None, :, i]
+    return S
+
+
+def _seq_sq_norm(M: np.ndarray) -> np.ndarray:
+    """Row-wise sum of squares with sequential accumulation (see above)."""
+    out = np.zeros(M.shape[0], dtype=np.float64)
+    for i in range(M.shape[1]):
+        out += M[:, i] * M[:, i]
+    return out
+
+
+def _topk_candidates(spark: SparkSession, sf_dir: str, k: int = K) -> DataFrame:
+    """Per-batch partial top-k cosine candidates: (qid, cid, cos_raw,
+    q_label, c_label).
+
+    The 100-TB plan shape: the query set is small by definition -> ship it
+    to every task (here via closure capture = an executor broadcast); the
+    corpus streams through ``mapInPandas`` in Arrow batches; each batch
+    emits at most q x k candidate rows (a map-side partial top-k, the
+    distributed takeOrdered pattern), so the final global window touches
+    #batches x q x k rows instead of corpus x q pairs. Per-batch scoring is
+    one blocked matrix product in numpy instead of per-pair interpreted
+    higher-order-function evaluation — same numbers (sequential-order
+    accumulation, see _seq_dot_block), ~50x less CPU.
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qpd = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding", "label")
+        .toPandas()
+    )
+    Q = np.array([np.asarray(e, dtype=np.float64) for e in qpd["embedding"]])
+    q_ids = qpd["vec_id"].to_numpy(np.int64)
+    q_labels = qpd["label"].to_numpy(np.int64)
+    q_norm = np.sqrt(_seq_sq_norm(Q))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            cid = pdf["vec_id"].to_numpy(np.int64)
+            c_label = pdf["label"].to_numpy(np.int64)
+            c_norm = np.sqrt(_seq_sq_norm(C))
+            denom = c_norm[:, None] * q_norm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = _seq_dot_block(C, Q) / denom  # (b x q)
+            S[cid[:, None] == q_ids[None, :]] = -np.inf  # exclude self-pairs
+            S[denom == 0.0] = -np.inf  # NULL-safe zero vectors (dropped)
+            kk = min(k, S.shape[0])
+            # partial top-k per query: argpartition then exact (-cos, cid) sort
+            part = np.argpartition(-S, kk - 1, axis=0)[:kk, :]  # (kk x q)
+            out = []
+            for j in range(S.shape[1]):
+                rows = part[:, j]
+                order = np.lexsort((cid[rows], -S[rows, j]))
+                sel = rows[order]
+                keep = np.isfinite(S[sel, j])
+                sel = sel[keep]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": q_ids[j],
+                            "cid": cid[sel],
+                            "cos_raw": S[sel, j],
+                            "q_label": q_labels[j],
+                            "c_label": c_label[sel],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    corpus = emb.select("vec_id", "embedding", "label")
+    return corpus.mapInPandas(
+        score,
+        "qid bigint, cid bigint, cos_raw double, q_label bigint, c_label bigint",
+    )
 
 
 def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,7 +163,7 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _pairs(spark, sf_dir)
+    pairs = _topk_candidates(spark, sf_dir)
     w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
     return (
         pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
@@ -108,7 +208,7 @@ def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composes D3 top-k with a B11 hash aggregation — the flagship's analytic
     companion (kNN classifier quality in one scan).
     """
-    pairs = _pairs(spark, sf_dir)
+    pairs = _topk_candidates(spark, sf_dir)
     w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
     top = pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= K)
     return (

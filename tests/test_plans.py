@@ -36,9 +36,11 @@ def test_b20_window_group_limit(spark, sf_dir):
 
 def test_d3_flagship_plan(spark, sf_dir):
     plan = _plan(spark, "q_d3_topk_cosine", sf_dir)
+    # corpus streams through an Arrow-batched blocked-matmul partial top-k;
+    # the global window then touches only #batches x q x k candidate rows
+    assert "MapInPandas" in plan
+    # rank <= k over row_number still rewritten to a group-limit
     assert "WindowGroupLimit" in plan
-    assert "Broadcast" in plan  # query side broadcast
-    assert "LessThan(vec_id,100)" in plan  # filter pushed to scan
 
 
 def test_b11_partial_aggregation(spark, sf_dir):
