@@ -304,3 +304,102 @@ ORDER BY qid, rank
 """
 
 query("q_d3_bucketed_ann", oracle=_ANN_ORACLE, group="D")(bucketed_ann)
+
+
+N_CELLS = 16
+N_PROBE = 2
+
+
+def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate NN: partition the corpus into N_CELLS Voronoi
+    cells (centroids = the vectors with vec_id < N_CELLS — deterministic and
+    SQL-expressible, standing in for k-means centroids), assign every vector
+    to its nearest cell by L2, and search each query only in its N_PROBE
+    nearest cells.
+
+    Scale shape: centroid table is tiny -> broadcast; assignment is a
+    map-side broadcast join (no corpus shuffle); the probe join is an
+    equi-join on cell id, so candidate generation shuffles each side once on
+    a key with bounded fan-in (corpus/N_CELLS per cell) and never
+    materializes cross-cell pairs. Swapping in trained k-means centroids
+    changes only the centroid table, not the plan.
+    """
+    from ..functions.vector import l2_distance
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") < N_CELLS).select(
+            F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+        )
+    )
+
+    def nearest_cells(side: DataFrame, idc: str, n: int) -> DataFrame:
+        d = side.crossJoin(cent).withColumn(
+            "dist", l2_distance(F.col("embedding"), F.col("cent_emb"))
+        )
+        w = Window.partitionBy(idc).orderBy("dist", "cent_id")
+        return (
+            d.withColumn("cell_rank", F.row_number().over(w))
+            .filter(F.col("cell_rank") <= n)
+            .drop("cent_emb", "dist", "cell_rank")
+        )
+
+    c = nearest_cells(
+        emb.select(
+            F.col("vec_id").alias("cid"), "embedding", F.col("label").alias("c_label")
+        ).withColumnRenamed("embedding", "embedding"),
+        "cid",
+        1,
+    ).withColumnRenamed("embedding", "c_emb")
+    q = nearest_cells(
+        emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        ),
+        "qid",
+        N_PROBE,
+    ).withColumnRenamed("embedding", "q_emb")
+
+    pairs = (
+        c.join(q, on="cent_id")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cos_raw", cosine(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= K)
+        .select("qid", "cid", "rank", F.round("cos_raw", 6).alias("cos_sim"))
+        .orderBy("qid", "rank")
+    )
+
+
+_IVF_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings
+), cent AS (
+  SELECT vec_id AS cent_id, embedding AS cent_emb FROM e WHERE vec_id < {N_CELLS}
+), assign AS (
+  SELECT vec_id, embedding, cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_distance(embedding, cent_emb), cent_id) AS cell_rank
+  FROM e CROSS JOIN cent
+), c AS (
+  SELECT vec_id AS cid, embedding AS c_emb, cent_id FROM assign WHERE cell_rank = 1
+), q AS (
+  SELECT vec_id AS qid, embedding AS q_emb, cent_id
+  FROM assign WHERE cell_rank <= {N_PROBE} AND vec_id < {N_QUERIES}
+), pairs AS (
+  SELECT qid, cid, list_cosine_similarity(q_emb, c_emb) AS cos_raw
+  FROM c JOIN q USING (cent_id) WHERE qid <> cid
+), ranked AS (
+  SELECT qid, cid, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rank
+  FROM pairs
+)
+SELECT qid, cid, rank, ROUND(cos_raw, 6) AS cos_sim
+FROM ranked WHERE rank <= {K}
+ORDER BY qid, rank
+"""
+
+query("q_d3_ivf_ann", oracle=_IVF_ORACLE, group="D")(ivf_ann)

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.parity import bcount, dsum, dsum_sql
+from ..functions.parity import bcount, davg_sql, dsum, dsum_sql
 from ..registry import query
 from ..session import load_tables
 
@@ -151,6 +151,284 @@ def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("part_n").cast("bigint").alias("n"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_comp_forecast_revenue",
+    oracle=f"""
+SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    group="B",
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive filter + global agg. The
+    whole predicate pushes into the parquet scan (PushedFilters) and only 3
+    columns are read — the canonical 'scan efficiency' probe at 100 TB."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum("l_extendedprice * l_discount").alias("revenue"))
+
+
+@query(
+    "q_comp_volume_shipping",
+    oracle=f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       EXTRACT(YEAR FROM l_shipdate) AS l_year,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    group="B",
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two roles of the same dim (supplier nation vs customer
+    nation) + a disjunctive cross-role predicate + per-year agg. Both nation
+    sides broadcast; the fact tables shuffle once on orderkey."""
+    t = load_tables(spark, sf_dir)
+    sn = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    cn = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(dsum("l_extendedprice * (1 - l_discount)").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q_comp_market_share",
+    oracle=f"""
+SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+       ROUND(CAST(SUM(CASE WHEN n_name = 'NATION_3'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                 ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+             6) AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY o_year ORDER BY o_year
+""",
+    group="B",
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: conditional share-of-total per year — the CASE-sum /
+    sum division pattern with exact decimal accumulation on both engines."""
+    t = load_tables(spark, sf_dir)
+    rev = F.expr("l_extendedprice * (1 - l_discount)").cast("decimal(18,6)")
+    nat_rev = F.when(F.col("n_name") == "NATION_3", rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(nat_rev).cast("double") / F.sum(rev).cast("double"), 6
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q_comp_top_customers",
+    oracle=f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       {dsum_sql('l_quantity')} AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 170
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50
+""",
+    group="B",
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered agg as a semi-join feeding a second
+    agg. The qualifying-order set re-aggregates lineitem on the SAME key
+    (l_orderkey), so the shuffle partitioning is reused across both aggs."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"))
+        .filter(F.col("q") > 170)
+        .select("l_orderkey")
+    )
+    return (
+        t["lineitem"]
+        .join(big.withColumnRenamed("l_orderkey", "bk"), F.col("l_orderkey") == F.col("bk"), "left_semi")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(50)
+    )
+
+
+@query(
+    "q_comp_idle_rich_customers",
+    oracle=f"""
+SELECT SUBSTR(c_name, 1, 9) AS name_prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       {dsum_sql('c_acctbal')} AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT {davg_sql('c_acctbal')} FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY name_prefix ORDER BY name_prefix
+""",
+    group="B",
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery threshold + anti join + agg. The
+    scalar is one broadcast value; the anti join broadcasts the distinct
+    o_custkey set (small relative to lineitem at any SF). The average uses
+    the exact-decimal path so the > threshold cut is bit-identical across
+    engines (a double-ulp flip here would change membership, not a digit)."""
+    t = load_tables(spark, sf_dir)
+    avg_bal = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+                / F.count("c_acctbal")
+            ).alias("v")
+        )
+    )
+    rich = t["customer"].join(
+        F.broadcast(avg_bal), F.col("c_acctbal") > F.col("v")
+    )
+    return (
+        rich.join(
+            t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy(F.substring("c_name", 1, 9).alias("name_prefix"))
+        .agg(bcount().alias("n_cust"), dsum("c_acctbal").alias("total_bal"))
+        .orderBy("name_prefix")
+    )
+
+
+@query(
+    "q_ext_range_join",
+    oracle="""
+SELECT e.event_id, CAST(COUNT(c.event_id) AS BIGINT) AS clicks_before
+FROM events e
+LEFT JOIN events c
+  ON c.user_id = e.user_id
+ AND c.event_type = 'click'
+ AND c.ts >= e.ts - INTERVAL 10 MINUTE
+ AND c.ts <  e.ts
+WHERE e.event_type = 'error'
+GROUP BY e.event_id ORDER BY e.event_id
+""",
+    group="B",
+)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: for every error event, count same-user clicks
+    in the preceding 10 minutes. Scale shape: the equi-key (user_id) carries
+    the shuffle; the range predicate evaluates inside the joined partition,
+    so this stays a hash join — never a cartesian. At 100 TB you'd add a
+    coarse time-bucket to the equi-key to bound per-key fan-in."""
+    ev = load_tables(spark, sf_dir)["events"]
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.col("user_id").alias("u"), F.col("ts").alias("ets")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return (
+        err.join(
+            clk,
+            (F.col("cu") == F.col("u"))
+            & (F.col("cts") >= F.col("ets") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("cts") < F.col("ets")),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.count("click_id").cast("bigint").alias("clicks_before"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "q_ext_hypertable_rollup",
+    oracle=f"""
+SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n, {dsum_sql('value')} AS total_value
+FROM events
+GROUP BY ROLLUP(day, hour, event_type)
+ORDER BY day NULLS FIRST, hour NULLS FIRST, event_type NULLS FIRST
+""",
+    group="B",
+)
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: one pass over the event
+    stream produces the hour, day, and grand-total layers (GROUP BY ROLLUP
+    over the time hierarchy). At scale this is the materialized-rollup
+    pattern: partial aggregation is map-side, and the rollup layers reuse
+    the finest layer's shuffle."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+            "value",
+        )
+        .rollup("day", "hour", "event_type")
+        .agg(bcount().alias("n"), dsum("value").alias("total_value"))
+        .orderBy(
+            F.col("day").asc_nulls_first(),
+            F.col("hour").asc_nulls_first(),
+            F.col("event_type").asc_nulls_first(),
+        )
     )
 
 

@@ -63,6 +63,8 @@ def compare(spark, name: str, sf_dir: str) -> None:
     assert sorted(sdf.columns) == sorted(odf.columns), (
         f"{name}: columns spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}"
     )
+    if len(sdf) == 0:
+        return  # both empty (counts asserted equal above) — match by definition
     ns, no = _normalize(sdf), _normalize(odf)
     if not ns.equals(no):
         diff_mask = (ns != no).any(axis=1)
