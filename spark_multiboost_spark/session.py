@@ -137,3 +137,36 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 #: (session id) -> (sf_dir, tables); avoids re-reading 10 parquet footers per
 #: query call — temp views stay registered for the matching sf_dir
 _TABLE_CACHE: dict[int, tuple[str, dict[str, DataFrame]]] = {}
+
+
+def warm_cache(spark: SparkSession, sf_dir: str, min_bytes: int = 1 << 20) -> None:
+    """Benchmark/warm-warehouse mode (SURVEY.md §7 Phase 5: "cache the shared
+    scan in multi-query runs").
+
+    The driver fixtures are single-row-group parquet files, so a cold scan is
+    ONE task no matter how many cores exist — every downstream agg/join then
+    starts single-threaded. A real 100 TB warehouse table has thousands of
+    row groups and never hits this; locally we recover the parallelism by
+    repartitioning each large fact table across the cores once and persisting
+    it (Spark's in-memory columnar cache = the hot-table tier). Aggregate
+    parity is unaffected: every double aggregate goes through the exact
+    decimal path (functions/parity.py), which is accumulation-order
+    independent by construction.
+    """
+    tables = dict(load_tables(spark, sf_dir))
+    par = spark.sparkContext.defaultParallelism
+    for name in TABLES:
+        size = os.path.getsize(f"{sf_dir}/{name}.parquet")
+        if size < min_bytes:
+            continue
+        df = tables[name]
+        if size >= 4 * min_bytes:
+            # only genuinely large facts get fanned out: on a table this
+            # size the scan parallelism pays for the extra tasks; smaller
+            # tables finish faster on few partitions than 32 tasks schedule
+            df = df.repartition(par)
+        df = df.persist()
+        df.count()  # materialize now so timed runs see the warm cache
+        df.createOrReplaceTempView(name)
+        tables[name] = df
+    _TABLE_CACHE[id(spark)] = (sf_dir, tables)
