@@ -76,6 +76,22 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_b02_orc_roundtrip", oracle=None, group="B")
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2: ORC sink + scan — the other columnar warehouse format Spark
+    reads natively (predicate pushdown + column pruning apply the same as
+    parquet). Rows-only: DuckDB-side ORC support is not assumed."""
+    t = load_tables(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="smb_orc_"), "supplier_orc")
+    t["supplier"].write.mode("overwrite").orc(path)
+    back = spark.read.orc(path).filter(F.col("s_acctbal") > 0)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(bcount().alias("n"), dsum("s_acctbal").alias("sum_bal"))
+        .orderBy("s_nationkey")
+    )
+
+
 @query("q_b01_text_source", oracle=None, group="B")
 def text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1-adjacent: text-line source -> parse into typed columns, the modern

@@ -35,3 +35,50 @@ def partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("l_returnflag", "l_linestatus").agg(
         bcount().alias("n"), dsum("l_quantity").alias("sum_qty")
     ).orderBy("l_linestatus")
+
+
+def bucketed_join_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write lineitem + orders as bucketed tables sharing the join key layout
+    (8 buckets on the orderkey), registering them in the session catalog.
+    Idempotent per (session, sf_dir)."""
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    li_name, o_name = f"li_bkt_{tag}", f"o_bkt_{tag}"
+    if not spark.catalog.tableExists(li_name):
+        t = load_tables(spark, sf_dir)
+        base = tempfile.mkdtemp(prefix="smb_bkt_")
+        (
+            t["lineitem"]
+            .write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", os.path.join(base, li_name))
+            .saveAsTable(li_name)
+        )
+        (
+            t["orders"]
+            .write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", os.path.join(base, o_name))
+            .saveAsTable(o_name)
+        )
+    return li_name, o_name
+
+
+@query("q_b03_bucketed_join", oracle=None, group="B")
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3/B5 scale pattern: co-located join via bucketing. Both sides are
+    bucketed 8-ways on the join key, so the sort-merge join reads matching
+    buckets directly — NO shuffle exchange on either side (asserted in
+    tests/test_plans.py). At 100 TB this is the difference between joining
+    in place and moving both tables over the network; the same layout is
+    reusable by every downstream orderkey join. Rows-only: sink + catalog
+    behavior, not ANSI-expressible."""
+    li_name, o_name = bucketed_join_tables(spark, sf_dir)
+    li, o = spark.table(li_name), spark.table(o_name)
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(bcount().alias("n_items"), dsum("l_quantity").alias("sum_qty"))
+        .orderBy("o_orderpriority")
+    )

@@ -59,3 +59,41 @@ def test_comp_q3_broadcasts_dim(spark, sf_dir):
 def test_b19_take_ordered(spark, sf_dir):
     plan = _plan(spark, "q_b19_topk_orders", sf_dir)
     assert "TakeOrderedAndProject" in plan  # no global sort for ORDER BY+LIMIT
+
+
+def test_comp_q6_full_pushdown(spark, sf_dir):
+    plan = _plan(spark, "q_comp_forecast_revenue", sf_dir)
+    # every conjunct reaches the parquet scan
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({frag})" in plan or frag in plan.split("PushedFilters")[1].split("]")[0]
+    # only the 4 needed columns are read
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_extendedprice" in read and "l_returnflag" not in read
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """Co-located bucketed join: neither side shuffles — the 100 TB
+    join-in-place pattern."""
+    from spark_multiboost_spark.sources.writers import bucketed_join_tables
+
+    li_name, o_name = bucketed_join_tables(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    li, o = spark.table(li_name), spark.table(o_name)
+    # at fixture scale the planner rightly prefers broadcast (and disables
+    # bucketing); force the 100 TB strategy (sort-merge) to assert the
+    # bucket layout replaces both shuffle exchanges
+    joined = li.hint("merge").join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "o_orderpriority", "l_quantity"
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # bucket layout replaces both shuffles
+
+
+def test_ivf_broadcast_probe(spark, sf_dir):
+    plan = _plan(spark, "q_d3_ivf_ann", sf_dir)
+    # centroid table broadcast on both assignment sides
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
