@@ -133,16 +133,22 @@ def fit_stump(
     weighted: DataFrame, feats: DataFrame, m: int, num_classes: int, t: int = 0
 ) -> Stump:
     """A3-A6 (reference: DecisionStumpAlgorithm.run [R]): find the best cut
-    and its confidence-rated votes."""
+    and its confidence-rated votes.
+
+    ONE driver action per stump search: the argmin row is broadcast-joined
+    back onto the class-weight frame, so (feature, threshold, z) and all K
+    votes arrive in a single K-row collect. On a cluster every action is a
+    job launch — per-round latency is action-count-bound, not data-bound,
+    at the reference's data sizes."""
     cw = stump_class_weights(weighted, feats)
-    best = best_stump_row(stump_z(cw)).collect()[0]
+    best = best_stump_row(stump_z(cw))
     eps = 1.0 / (2.0 * m * num_classes)
-    votes_rows = (
-        cw.filter(
-            (F.col("feature") == best["feature"])
-            & (F.col("threshold") == best["threshold"])
-        )
+    rows = (
+        cw.join(F.broadcast(best), ["feature", "threshold"])
         .select(
+            "feature",
+            "threshold",
+            "z",
             "class",
             (
                 0.5
@@ -154,13 +160,13 @@ def fit_stump(
         .collect()
     )
     votes = [0.0] * num_classes
-    for r in votes_rows:
+    for r in rows:
         votes[r["class"]] = r["v"]
     return Stump(
         t=t,
-        feature=int(best["feature"]),
-        threshold=float(best["threshold"]),
-        z=float(best["z"]),
+        feature=int(rows[0]["feature"]),
+        threshold=float(rows[0]["threshold"]),
+        z=float(rows[0]["z"]),
         votes=votes,
     )
 
@@ -195,9 +201,12 @@ def update_weights(
             ),
         )
     )
-    z_norm = unnorm.agg(F.sum("w_raw")).collect()[0][0]
-    return unnorm.select(
-        "id", "class", "y", (F.col("w_raw") / F.lit(z_norm)).alias("weight")
+    # Z_norm stays IN the plan as a broadcast scalar (no driver action):
+    # the reference pulls it to the driver per round [R]; we let the
+    # following eager localCheckpoint materialize everything in one job
+    z_norm = unnorm.agg(F.sum("w_raw").alias("z_norm"))
+    return unnorm.crossJoin(F.broadcast(z_norm)).select(
+        "id", "class", "y", (F.col("w_raw") / F.col("z_norm")).alias("weight")
     )
 
 

@@ -391,6 +391,63 @@ def fixed_model_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boosting.hamming_loss(scored, mlp)
 
 
+@query(
+    "q_a11_micro_prf",
+    oracle=_PRELUDE
+    + f"""
+, stumps AS (SELECT * FROM {_STUMPS_SQL})
+, phi AS (
+  SELECT e.vec_id AS id, st.t, st.votes,
+         CASE WHEN e.embedding[st.feature] > st.threshold THEN 1.0 ELSE -1.0 END AS phi
+  FROM e CROSS JOIN stumps st
+), scored AS (
+  SELECT id, g.class,
+         CASE WHEN SUM(votes[g.class + 1] * phi) > 0 THEN 1 ELSE -1 END AS pred
+  FROM phi CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {K - 1})) AS class) g
+  GROUP BY id, g.class
+), conf AS (
+  SELECT CAST(SUM(CASE WHEN s.pred = 1 AND mlp.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN s.pred = 1 AND mlp.y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN s.pred = -1 AND mlp.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM scored s JOIN mlp ON s.id = mlp.id AND s.class = mlp.class
+)
+SELECT tp, fp, fn,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS micro_p,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS micro_r,
+       ROUND(CAST(2 * tp AS DOUBLE) / NULLIF(2 * tp + fp + fn, 0), 6) AS micro_f1
+FROM conf
+""",
+    group="A",
+)
+def fixed_model_micro_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 (cont.): micro-averaged precision/recall/F1 over all (i,l) pairs —
+    the multi-label metrics BoosTexter reports alongside Hamming loss."""
+    emb = _emb(spark, sf_dir)
+    sdf = boosting.stumps_to_df(emb.sparkSession, _STUMPS_FIXED)
+    scored = boosting.score_model(emb, sdf)
+    mlp = boosting.mlp_long(emb, K)
+    j = scored.join(mlp, ["id", "class"])
+    conf = j.agg(
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when((F.col("pred") == 1) & (F.col("y") == -1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when((F.col("pred") == -1) & (F.col("y") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+    )
+    return conf.select(
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)), 6).alias("micro_p"),
+        F.round(F.col("tp").cast("double") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 6).alias("micro_r"),
+        F.round((2 * F.col("tp")).cast("double") / F.nullif(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)), 6).alias("micro_f1"),
+    )
+
+
 @query("q_a10_train_loop", oracle=None, group="A")
 def train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10: the full boosting loop (T=3) — iterative, rows-only check;
