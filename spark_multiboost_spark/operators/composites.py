@@ -432,6 +432,92 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_ext_stats_agg",
+    oracle="""
+WITH mo AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND(SQRT((sxx - sx * sx / n) / n), 6) AS qty_stddev_pop,
+       ROUND((sxy - sx * sy / n) / n, 6) AS covar_pop,
+       ROUND((sxy - sx * sy / n)
+             / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n)), 6) AS corr_qp
+FROM mo ORDER BY l_returnflag
+""",
+    group="B",
+)
+def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/covar/corr) computed from exact
+    decimal moment sums. Built-in corr()/stddev() accumulate doubles in
+    partition order — nondeterministic across partitionings and engines;
+    the moment sums are exact decimals (one shuffle, same cost) and the
+    final double combination is the SAME IEEE expression both sides, so the
+    result is bit-stable at any parallelism. The per-row squares stay well
+    inside DECIMAL(38,6)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    d = "decimal(38,6)"
+    mo = li.groupBy("l_returnflag").agg(
+        bcount().alias("n"),
+        F.sum(F.col("l_quantity").cast(d)).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast(d)).cast("double").alias("sy"),
+        F.sum(F.expr("l_quantity * l_quantity").cast(d)).cast("double").alias("sxx"),
+        F.sum(F.expr("l_extendedprice * l_extendedprice").cast(d)).cast("double").alias("syy"),
+        F.sum(F.expr("l_quantity * l_extendedprice").cast(d)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return mo.select(
+        "l_returnflag",
+        "n",
+        F.round(F.sqrt((sxx - sx * sx / n) / n), 6).alias("qty_stddev_pop"),
+        F.round((sxy - sx * sy / n) / n, 6).alias("covar_pop"),
+        F.round(
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+            6,
+        ).alias("corr_qp"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q_ext_percentiles",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS q50,
+       ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    group="B",
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile() == DuckDB
+    quantile_cont, both linear-interpolation on the sorted set — a
+    rank-based computation, so no accumulation-order drift). The scale
+    path for approximate needs is approx_percentile/t-digest (see
+    q_b13_approx_count_distinct for the sketch-family pattern)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("q50"),
+            F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("price_p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @query("q_d7_estimator_end_to_end", oracle=None, group="D")
 def estimator_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D7: the reference's whole purpose end-to-end — fit AdaBoostMHClassifier

@@ -128,3 +128,72 @@ def stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(out, mode="update")
+
+
+def _twst_available() -> bool:
+    """transformWithStateInPandas drives its state protocol over protobuf;
+    this container ships a broken google.protobuf (no pip install allowed),
+    so the query registers only where the dependency actually works."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def transform_with_state_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 (Spark 4 API): the same per-user running totals via
+    transformWithStateInPandas — the successor to applyInPandasWithState,
+    with typed value state on the RocksDB state store (the state backend
+    that scales past executor memory; changelog checkpointing at cluster
+    scale). Kept alongside the GroupState version so both stateful APIs
+    stay exercised."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, total_value DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (0, 0.0)
+            if self._state.exists():
+                n, total = self._state.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = _read_stream(spark, _replay_dir(spark, sf_dir))
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+            outputMode="Update",
+            timeMode="None",
+        )
+        return _run_to_memory(out, mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+if _twst_available():
+    query("q_c6_transform_with_state", oracle=None, group="C")(
+        transform_with_state_totals
+    )
