@@ -364,3 +364,56 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("cos_raw", 6).alias("cos_sim"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query("q_d2_dup_clusters", oracle=None, group="D")
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 (cont.): transitive near-duplicate CLUSTERS — connected components
+    over the verified LSH pair graph via min-label propagation (the
+    large-graph CC recipe: labels live in a DataFrame, each round is one
+    join + one min-agg, localCheckpoint truncates the plan; converges in
+    <= graph-diameter rounds, capped). Near-dup groups are transitive in a
+    real corpus (A~B~C), so keep-one-per-cluster needs components, not
+    pairs. Rows-only: iterative. Returns one row per cluster with its
+    canonical (minimum) doc_id and size."""
+    pairs = minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(10):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy(F.col("doc_a").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
+        .orderBy("cluster_id")
+    )

@@ -352,3 +352,73 @@ def regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_number_tokens"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_comp_docpipe",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang, source, text, n_chars,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> LENGTH(t) > 0)) AS BIGINT) AS n_tokens
+  FROM documents
+), quality AS (
+  SELECT *, ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len
+  FROM scored WHERE n_tokens >= 30
+), deduped AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS BIGINT) AS rn
+  FROM quality
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups_removed,
+       CAST(SUM(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       ROUND(CAST(SUM(CAST(CASE WHEN rn = 1 THEN avg_token_len ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END), 0), 6) AS kept_avg_token_len
+FROM deduped GROUP BY lang ORDER BY lang
+""",
+    group="D",
+)
+def docpipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM training-data pipeline end-to-end in ONE declarative plan:
+    token counting -> quality gate (min length) -> exact dedup (md5,
+    keep-lowest-id) -> per-language corpus stats. Every stage is the
+    operator already proven individually (D4 tokens, D5 quality, D1 dedup,
+    B11 agg); the composition still pushes the token filter into the scan
+    and shuffles once on the hash and once on the final group key. This is
+    the 100 TB shape: no driver loops, no UDFs, one pipeline."""
+    d = load_tables(spark, sf_dir)["documents"]
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        "n_chars",
+        F.size(F.filter(F.split("text", " "), lambda t: F.length(t) > 0))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    quality = scored.filter(F.col("n_tokens") >= 30).withColumn(
+        "avg_token_len",
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 6),
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = quality.withColumn("rn", F.row_number().over(w).cast("bigint"))
+    kept = F.when(F.col("rn") == 1, 1).otherwise(0)
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            bcount().alias("n_docs"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("bigint").alias("n_dups_removed"),
+            F.sum(F.when(F.col("rn") == 1, F.col("n_tokens")).otherwise(0)).cast("bigint").alias("kept_tokens"),
+            F.round(
+                F.sum(
+                    F.when(F.col("rn") == 1, F.col("avg_token_len"))
+                    .otherwise(0.0)
+                    .cast("decimal(18,6)")
+                ).cast("double")
+                / F.nullif(F.sum(kept), F.lit(0)),
+                6,
+            ).alias("kept_avg_token_len"),
+        )
+        .orderBy("lang")
+    )

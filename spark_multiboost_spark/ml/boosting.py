@@ -117,6 +117,78 @@ def stump_class_weights(weighted: DataFrame, feats: DataFrame) -> DataFrame:
     )
 
 
+def stump_class_weights_salted(
+    weighted: DataFrame, feats: DataFrame, n_buckets: int = 8
+) -> DataFrame:
+    """A4 at extreme scale (SURVEY §4.2 item 2): the per-(feature, class)
+    prefix-sum window above puts ALL of a feature's rows in one window
+    partition — the skew wall when one feature has ~m distinct values and m
+    is 10^9. This variant salts the window by a value-range bucket (any
+    monotone value->bucket map keeps prefix order):
+
+      stage 1: per-(feature, class, bucket) partial sums        (map-side)
+      stage 2: running bucket offsets over the TINY d*K*B frame  (window)
+      stage 3: within-bucket prefix sums + offset               (window,
+               fan-in bounded by m/B instead of m)
+
+    Weights are summable, so offset + within-bucket prefix == global
+    prefix; equality with the unsalted operator is oracle-checked
+    (q_a4_prefix_weights_salted shares q_a4's DuckDB SQL).
+    """
+    joined = feats.join(weighted, "id")
+    # monotone range bucketing: embedding values are O(1); floor(v*B/4)
+    # spreads them over ~2B buckets while preserving value order
+    bucket = F.floor(F.col("value") * (n_buckets / 4.0))
+    grouped = (
+        joined.withColumn("bucket", bucket)
+        .groupBy("feature", "class", "bucket", "value")
+        .agg(
+            F.sum(F.when(F.col("y") == 1, F.col("weight")).otherwise(0.0)).alias("swp"),
+            F.sum(F.when(F.col("y") == -1, F.col("weight")).otherwise(0.0)).alias("swm"),
+        )
+    )
+    bucket_tot = grouped.groupBy("feature", "class", "bucket").agg(
+        F.sum("swp").alias("bp"), F.sum("swm").alias("bm")
+    )
+    w_off = (
+        Window.partitionBy("feature", "class")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_tot.select(
+        "feature",
+        "class",
+        "bucket",
+        F.coalesce(F.sum("bp").over(w_off), F.lit(0.0)).alias("off_p"),
+        F.coalesce(F.sum("bm").over(w_off), F.lit(0.0)).alias("off_m"),
+    )
+    w_in = (
+        Window.partitionBy("feature", "class", "bucket")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("feature", "class")
+    cum = (
+        grouped.join(offsets, ["feature", "class", "bucket"])
+        .select(
+            "feature",
+            F.col("value").alias("threshold"),
+            "class",
+            (F.col("off_p") + F.sum("swp").over(w_in)).alias("p_plus"),
+            (F.col("off_m") + F.sum("swm").over(w_in)).alias("p_minus"),
+            F.sum("swp").over(w_tot).alias("t_plus"),
+            F.sum("swm").over(w_tot).alias("t_minus"),
+        )
+    )
+    return cum.select(
+        "feature",
+        "threshold",
+        "class",
+        (F.col("t_plus") - F.col("p_plus") + F.col("p_minus")).alias("w_plus"),
+        (F.col("t_minus") - F.col("p_minus") + F.col("p_plus")).alias("w_minus"),
+    )
+
+
 def stump_z(class_weights: DataFrame) -> DataFrame:
     """A5: Z(feature, threshold) = 2 sum_l sqrt(W_+ W_-)."""
     return class_weights.groupBy("feature", "threshold").agg(

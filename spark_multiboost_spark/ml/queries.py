@@ -190,6 +190,52 @@ def prefix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_a4_prefix_weights_salted",
+    oracle=_PRELUDE
+    + """
+, grouped AS (
+  SELECT f.value, w.class,
+         SUM(CASE WHEN w.y = 1 THEN w.weight ELSE 0 END) AS swp,
+         SUM(CASE WHEN w.y = -1 THEN w.weight ELSE 0 END) AS swm
+  FROM feats f JOIN w ON f.id = w.id
+  WHERE f.feature = 1
+  GROUP BY f.value, w.class
+), cum AS (
+  SELECT value AS threshold, class,
+         SUM(swp) OVER (PARTITION BY class ORDER BY value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_plus,
+         SUM(swm) OVER (PARTITION BY class ORDER BY value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_minus,
+         SUM(swp) OVER (PARTITION BY class) AS t_plus,
+         SUM(swm) OVER (PARTITION BY class) AS t_minus
+  FROM grouped
+)
+SELECT 1 AS feature, threshold, class,
+       ROUND(t_plus - p_plus + p_minus, 9) AS w_plus,
+       ROUND(t_minus - p_minus + p_plus, 9) AS w_minus
+FROM cum
+""",
+    group="A",
+)
+def prefix_weights_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 salted (SURVEY §4.2 item 2): the bounded-fan-in two-stage window —
+    bucket offsets over a tiny frame + within-bucket prefix sums. The oracle
+    is the UNSALTED global prefix-sum SQL: the whole point is that salting
+    changes the shuffle shape, not the numbers."""
+    emb = _emb(spark, sf_dir)
+    weighted, _m = _weighted_uniform(emb)
+    feats = boosting.explode_features(emb).filter(F.col("feature") == 1)
+    cw = boosting.stump_class_weights_salted(weighted, feats, n_buckets=8)
+    return cw.select(
+        "feature",
+        "threshold",
+        "class",
+        F.round("w_plus", 9).alias("w_plus"),
+        F.round("w_minus", 9).alias("w_minus"),
+    )
+
+
 _Z_SQL = (
     _PRELUDE
     + """
