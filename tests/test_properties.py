@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) for the invariants the engine's
+correctness story leans on:
+
+1. the exact-decimal aggregate path is accumulation-order independent —
+   the same sum at ANY partitioning (this is what makes results
+   reproducible on a cluster);
+2. the salted two-stage prefix-sum equals the global prefix-sum on
+   arbitrary weighted frames (not just the fixtures);
+3. the blocked-matmul scorer's strict left-to-right accumulation is
+   bit-identical to a scalar sequential loop (the DuckDB/Catalyst fold).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from spark_multiboost_spark.functions.parity import dsum
+from spark_multiboost_spark.functions.similarity import _seq_dot_block, _seq_sq_norm
+
+_vals = st.lists(
+    st.floats(
+        min_value=-1000,
+        max_value=1000,
+        allow_nan=False,
+        allow_infinity=False,
+        width=32,
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(vals=_vals, nparts=st.integers(min_value=1, max_value=7))
+def test_dsum_order_independent(spark, vals, nparts):
+    # quantize inputs to 6dp like the fixture measures
+    vals = [round(v, 6) for v in vals]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(nparts)
+    got = df.agg(dsum("x").alias("s")).collect()[0]["s"]
+    want = float(sum(Decimal(f"{v:.6f}") for v in vals))
+    assert got == want, (got, want, nparts)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(0, 9),                      # id
+            st.integers(0, 2),                      # class
+            st.sampled_from([1, -1]),               # y
+            st.floats(0.001, 1.0, allow_nan=False), # weight
+            st.floats(-5, 5, allow_nan=False),      # feature value
+        ),
+        min_size=3,
+        max_size=25,
+    )
+)
+def test_salted_prefix_equals_global(spark, data):
+    from spark_multiboost_spark.ml import boosting
+
+    weighted = spark.createDataFrame(
+        [(i, c, y, round(w, 6)) for i, c, y, w, _ in data],
+        "id bigint, class int, y int, weight double",
+    ).dropDuplicates(["id", "class"])
+    feats = spark.createDataFrame(
+        [(i, 1, round(v, 6)) for i, _, _, _, v in data],
+        "id bigint, feature int, value double",
+    ).dropDuplicates(["id", "feature"])
+    cols = ["feature", "threshold", "class", "w_plus", "w_minus"]
+
+    def norm(df):
+        return sorted(
+            (r["feature"], round(r["threshold"], 6), r["class"],
+             round(r["w_plus"], 9), round(r["w_minus"], 9))
+            for r in df.select(*cols).collect()
+        )
+
+    plain = norm(boosting.stump_class_weights(weighted, feats))
+    salted = norm(boosting.stump_class_weights_salted(weighted, feats, n_buckets=3))
+    assert plain == salted
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    b=st.integers(1, 6),
+    q=st.integers(1, 4),
+    d=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_seq_matmul_bit_identical_to_scalar_loop(b, q, d, seed):
+    rng = np.random.RandomState(seed)
+    C = rng.randn(b, d)
+    Q = rng.randn(q, d)
+    S = _seq_dot_block(C, Q)
+    for i in range(b):
+        for j in range(q):
+            acc = 0.0
+            for k in range(d):
+                acc = acc + C[i, k] * Q[j, k]
+            assert S[i, j] == acc  # bitwise, not approx
+    n = _seq_sq_norm(C)
+    for i in range(b):
+        acc = 0.0
+        for k in range(d):
+            acc = acc + C[i, k] * C[i, k]
+        assert n[i] == acc

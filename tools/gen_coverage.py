@@ -1,0 +1,51 @@
+"""Generate COVERAGE.md: one row per registered query — the SURVEY.md §2
+crosswalk the correctness gate runs against. Regenerate after adding
+operators:  python tools/gen_coverage.py > COVERAGE.md
+"""
+
+from __future__ import annotations
+
+import inspect
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spark_multiboost_spark.registry import all_queries  # noqa: E402
+
+GROUP_TITLES = {
+    "A": "Group A — reference capabilities (AdaBoost.MH building blocks)",
+    "B": "Group B — relational surface",
+    "C": "Group C — streaming",
+    "D": "Group D — LLM-pipeline extensions",
+}
+
+
+def main() -> None:
+    qs = all_queries()
+    by_group: dict[str, list] = {}
+    for q in qs.values():
+        by_group.setdefault(q.group, []).append(q)
+
+    print("# COVERAGE — registered queries vs SURVEY.md §2 (generated)\n")
+    print(f"{len(qs)} queries; {sum(1 for q in qs.values() if q.oracle)} with "
+          "exact DuckDB oracles, the rest rows-only (iterative/streaming/"
+          "engine-specific per SURVEY §2).\n")
+    print("Regenerate: `python tools/gen_coverage.py > COVERAGE.md`\n")
+    for g in ["A", "B", "C", "D"]:
+        rows = sorted(by_group.get(g, []), key=lambda q: q.name)
+        print(f"## {GROUP_TITLES[g]} ({len(rows)})\n")
+        print("| query | oracle | source | summary |")
+        print("|---|---|---|---|")
+        for q in rows:
+            fn = inspect.unwrap(q.fn)
+            src = os.path.relpath(inspect.getsourcefile(fn), os.getcwd())
+            line = inspect.getsourcelines(fn)[1]
+            doc = (q.doc or "").split("\n")[0].strip().rstrip(".")
+            kind = "SQL" if q.oracle else "rows"
+            print(f"| `{q.name}` | {kind} | `{src}:{line}` | {doc} |")
+        print()
+
+
+if __name__ == "__main__":
+    main()
