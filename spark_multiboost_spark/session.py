@@ -97,6 +97,15 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # scale-sane runtime knobs, in case the outer session kept defaults:
+    # 200 shuffle partitions is pure scheduling overhead at fixture scale
+    # (AQE coalesces, but the floor matters for many small queries)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        n = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(8, n)))
+    except Exception:
+        pass  # Spark Connect: leave the server default
     _ship_package(spark)
 
 
