@@ -35,6 +35,12 @@ HEADLINE = [
     "q_d3_topk_cosine",
     "q_a5_stump_z",
     "q_b35_pandas_udf_token_count",
+    # round-1 additions: TPC-H-shaped composites + pipeline showcases
+    "q_comp_forecast_revenue",
+    "q_comp_top_customers",
+    "q_ext_hypertable_rollup",
+    "q_comp_docpipe",
+    "q_d3_ivf_ann",
 ]
 
 

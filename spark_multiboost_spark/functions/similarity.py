@@ -346,14 +346,19 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = nearest_cells(
         emb.select(
-            F.col("vec_id").alias("cid"), "embedding", F.col("label").alias("c_label")
-        ).withColumnRenamed("embedding", "embedding"),
+            F.col("vec_id").alias("cid"),
+            "embedding",
+            F.col("label").alias("c_label"),
+            norm(F.col("embedding")).alias("c_norm"),  # once per vector, not per pair
+        ),
         "cid",
         1,
     ).withColumnRenamed("embedding", "c_emb")
     q = nearest_cells(
         emb.filter(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("qid"), "embedding"
+            F.col("vec_id").alias("qid"),
+            "embedding",
+            norm(F.col("embedding")).alias("q_norm"),
         ),
         "qid",
         N_PROBE,
@@ -362,7 +367,13 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         c.join(q, on="cent_id")
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn("cos_raw", cosine(F.col("q_emb"), F.col("c_emb")))
+        # factored cosine: one dot per pair; sqrt(aa)*sqrt(bb) matches the
+        # inlined cosine() bit-for-bit (same expression shape both engines)
+        .withColumn(
+            "cos_raw",
+            dot(F.col("q_emb"), F.col("c_emb"))
+            / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0)),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
     return (

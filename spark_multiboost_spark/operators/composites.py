@@ -288,24 +288,26 @@ LIMIT 50
     group="B",
 )
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: HAVING-filtered agg as a semi-join feeding a second
-    agg. The qualifying-order set re-aggregates lineitem on the SAME key
-    (l_orderkey), so the shuffle partitioning is reused across both aggs."""
+    """TPC-H Q18 shape: HAVING-filtered agg feeding the customer join.
+    Lineitem is aggregated ONCE to per-order totals (each lineitem row joins
+    exactly one order, so the per-(customer, order) group total IS the
+    per-order total — one shuffle on orderkey instead of the textbook
+    semi-join's two), then only qualifying orders join the dims."""
     t = load_tables(spark, sf_dir)
-    big = (
+    per_order = (
         t["lineitem"]
         .groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("q"))
-        .filter(F.col("q") > 170)
-        .select("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qdec"))
+        .filter(F.col("qdec") > 170)
+        .select("l_orderkey", F.col("qdec").cast("double").alias("total_qty"))
     )
     return (
-        t["lineitem"]
-        .join(big.withColumnRenamed("l_orderkey", "bk"), F.col("l_orderkey") == F.col("bk"), "left_semi")
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity").alias("total_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(50)
     )

@@ -276,3 +276,27 @@ def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["events"]
     k = F.get_json_object("props", "$.k").cast("bigint")
     return e.select("event_id", k.alias("k"), (k % 10).alias("k_mod10"))
+
+
+@query(
+    "q_b29_variant",
+    oracle="""
+SELECT json_extract(props, '$.k')::BIGINT AS k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY k ORDER BY k NULLS FIRST
+""",
+    group="B",
+)
+def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29 (Spark 4): semi-structured access through the VARIANT type —
+    parse_json once, then typed variant_get paths. At scale VARIANT beats
+    repeated get_json_object string re-parsing (one binary-encoded parse,
+    shredded columnar access). Values agree with DuckDB's json_extract."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.select(F.parse_json("props").alias("v"))
+        .select(F.expr("variant_get(v, '$.k', 'bigint')").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("k").asc_nulls_first())
+    )
