@@ -543,3 +543,31 @@ def estimator_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q_ext_listagg",
+    oracle="""
+SELECT r_name,
+       STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+       CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+""",
+    group="B",
+)
+def listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string/list aggregation. collect_list is partition-order
+    nondeterministic by itself — sort_array before joining makes the result
+    layout-independent, mirroring DuckDB's STRING_AGG(... ORDER BY)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+            bcount().alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )

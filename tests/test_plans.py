@@ -97,3 +97,30 @@ def test_ivf_broadcast_probe(spark, sf_dir):
     plan = _plan(spark, "q_d3_ivf_ann", sf_dir)
     # centroid table broadcast on both assignment sides
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_warm_cache_parity(spark, sf_dir):
+    """The bench warm-cache tier (repartition + persist) must not change any
+    result: the decimal aggregate path is accumulation-order independent and
+    every window has a unique tiebreaker. Compare a representative agg,
+    window, and pipeline query before/after warming."""
+    from spark_multiboost_spark import session as S
+
+    names = ["q_b11_pricing_summary", "q_b16_ranking", "q_comp_docpipe"]
+    qs = all_queries()
+
+    def snap(name):
+        return sorted(map(str, qs[name].fn(spark, sf_dir).collect()))
+
+    before = {n: snap(n) for n in names}
+    try:
+        S.warm_cache(spark, sf_dir, min_bytes=1)  # cache EVERY table
+        after = {n: snap(n) for n in names}
+        assert before == after
+    finally:
+        _, tables = S._TABLE_CACHE.pop(id(spark))
+        for df in tables.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
