@@ -131,3 +131,70 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_no").cast("bigint").alias("frame_no"),
         F.md5("frame_text").alias("frame_digest"),
     )
+
+
+EMBED_DIM = 8
+
+_EMBED_SCHEMA = "doc_id BIGINT, embedding ARRAY<DOUBLE>"
+
+
+def _fake_embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB embedding model: deterministic EMBED_DIM-dim vector from byte
+    statistics of fixed-size chunks (a real pipeline runs the vision/audio
+    encoder here; swap this function, nothing else changes)."""
+    for pdf in batches:
+        def vec(b: bytes) -> list[float]:
+            if not len(b):
+                return [0.0] * EMBED_DIM
+            step = max(1, len(b) // EMBED_DIM)
+            return [
+                round(float(sum(b[i * step : (i + 1) * step]))
+                      / max(1, len(b[i * step : (i + 1) * step])) / 255.0, 6)
+                for i in range(EMBED_DIM)
+            ]
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "embedding": pdf["payload"].map(vec)}
+        )
+
+
+@query("q_d6_embed_similarity", oracle=None, group="D")
+def embed_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 -> D3 composition, the full multimodal retrieval shape: binary
+    payload -> Arrow-batched embedding stub -> cosine top-3 neighbors for
+    the first 20 docs. The embedding stage and the similarity stage are the
+    same operators a production image-retrieval pipeline would run; only
+    the encoder body is a stub. Rows-only (stubbed features)."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir)["documents"]
+    emb = _with_payload(d).select("doc_id", "payload").mapInPandas(
+        _fake_embed, schema=_EMBED_SCHEMA
+    )
+    q = emb.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    dot = F.aggregate(
+        F.zip_with("q_emb", "c_emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+        )
+    )
+    pairs = (
+        emb.select(F.col("doc_id").alias("cid"), F.col("embedding").alias("c_emb"))
+        .join(F.broadcast(q), F.col("qid") != F.col("cid"))
+        .withColumn(
+            "cos",
+            dot / F.nullif(norm(F.col("q_emb")) * norm(F.col("c_emb")), F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "cid", "rank", F.round("cos", 6).alias("cos_sim"))
+        .orderBy("qid", "rank")
+    )

@@ -197,3 +197,40 @@ if _twst_available():
     query("q_c6_transform_with_state", oracle=None, group="C")(
         transform_with_state_totals
     )
+
+
+@query("q_c8_stream_stream_join", oracle=None, group="C")
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 (beyond SURVEY's C1-C7): watermarked stream-stream inner join —
+    purchases joined to the same user's clicks in the preceding 30 minutes.
+    Both sides carry watermarks so the join state is bounded (Spark evicts
+    rows older than watermark + range); the time-range predicate rides the
+    user_id equi-key exactly like the batch range join (q_ext_range_join)."""
+    path = _replay_dir(spark, sf_dir)
+    clicks = (
+        _read_stream(spark, path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _read_stream(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "c_user = p_user AND c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts < p_ts"
+        ),
+    ).select("purchase_id", "p_user", "click_id")
+    return _run_to_memory(joined, mode="append")
