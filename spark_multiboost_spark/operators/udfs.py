@@ -9,6 +9,7 @@ UDFs only on tiny dimensions; everything else Arrow-batched.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -124,7 +125,11 @@ def _minmax_norm(pdf: pd.DataFrame) -> pd.DataFrame:
             "value_minmax": ((pdf["value"] - lo) / span if span != 0 else -1.0),
         }
     )
-    out["value_minmax"] = out["value_minmax"].round(6)
+    # half-AWAY rounding to match SQL ROUND (DuckDB and Spark F.round):
+    # pandas .round is half-even, which flips exact .xxxxxx5 values
+    # (surfaced by the sf0.1 sweep: 3/100k rows). Safe for the [0,1] range
+    # and the exact -1.0 sentinel.
+    out["value_minmax"] = np.floor(out["value_minmax"] * 1e6 + 0.5) / 1e6
     return out
 
 
