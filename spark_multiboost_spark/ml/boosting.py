@@ -117,6 +117,66 @@ def stump_class_weights(weighted: DataFrame, feats: DataFrame) -> DataFrame:
     )
 
 
+def uniform_class_weights(
+    emb: DataFrame, num_features: int, num_classes: int, m: int
+) -> DataFrame:
+    """A3+A4 for ROUND ONE (uniform weights): the weighted long frame is a
+    pure function of the scan, so the feats-x-weights join of
+    :func:`stump_class_weights` fuses away — one pass over the source
+    explodes (feature, class) pairs directly, saving both join shuffles.
+    The training loop keeps the join because its weights evolve; this is
+    the plan you want wherever weights are derivable (first round,
+    re-initialization, uniform-importance scoring). Numbers are identical
+    to the join formulation."""
+    base = (
+        emb.select(
+            F.col("vec_id").alias("id"),
+            "label",
+            F.posexplode(F.slice("embedding", 1, num_features)).alias("f0", "value"),
+        )
+        .select(
+            "id",
+            "label",
+            (F.col("f0") + 1).alias("feature"),
+            "value",
+            F.explode(F.sequence(F.lit(0), F.lit(num_classes - 1))).alias("class"),
+        )
+        .select(
+            "feature",
+            "value",
+            "class",
+            F.when(F.col("class") == F.col("label"), 1).otherwise(-1).alias("y"),
+            F.lit(1.0 / (m * num_classes)).alias("weight"),
+        )
+    )
+    grouped = base.groupBy("feature", "value", "class").agg(
+        F.sum(F.when(F.col("y") == 1, F.col("weight")).otherwise(0.0)).alias("swp"),
+        F.sum(F.when(F.col("y") == -1, F.col("weight")).otherwise(0.0)).alias("swm"),
+    )
+    w_cum = (
+        Window.partitionBy("feature", "class")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("feature", "class")
+    cum = grouped.select(
+        "feature",
+        F.col("value").alias("threshold"),
+        "class",
+        F.sum("swp").over(w_cum).alias("p_plus"),
+        F.sum("swm").over(w_cum).alias("p_minus"),
+        F.sum("swp").over(w_tot).alias("t_plus"),
+        F.sum("swm").over(w_tot).alias("t_minus"),
+    )
+    return cum.select(
+        "feature",
+        "threshold",
+        "class",
+        (F.col("t_plus") - F.col("p_plus") + F.col("p_minus")).alias("w_plus"),
+        (F.col("t_minus") - F.col("p_minus") + F.col("p_plus")).alias("w_minus"),
+    )
+
+
 def stump_class_weights_salted(
     weighted: DataFrame, feats: DataFrame, n_buckets: int = 8
 ) -> DataFrame:

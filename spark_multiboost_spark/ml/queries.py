@@ -276,11 +276,11 @@ FROM cw GROUP BY feature, threshold
     group="A",
 )
 def stump_z_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5: Z = 2 sum_l sqrt(W+ W-) per candidate (features 1-4 shown)."""
+    """A5: Z = 2 sum_l sqrt(W+ W-) per candidate (features 1-4 shown).
+    Round-one weights are uniform, so the fused no-join formulation applies
+    (boosting.uniform_class_weights) — same numbers, two fewer shuffles."""
     emb = _emb(spark, sf_dir)
-    weighted, _m = _weighted_uniform(emb)
-    feats = boosting.explode_features(emb).filter(F.col("feature") <= 4)
-    cw = boosting.stump_class_weights(weighted, feats)
+    cw = boosting.uniform_class_weights(emb, 4, K, emb.count())
     return boosting.stump_z(cw).select(
         "feature", "threshold", F.round("z", 9).alias("z")
     )
@@ -301,11 +301,9 @@ FROM zs ORDER BY z, feature, threshold LIMIT 1
 )
 def best_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: global argmin of Z over candidates (features 1-4 slice),
-    deterministic tiebreak."""
+    deterministic tiebreak. Uses the fused uniform-weight plan (see A5)."""
     emb = _emb(spark, sf_dir)
-    weighted, _m = _weighted_uniform(emb)
-    feats = boosting.explode_features(emb).filter(F.col("feature") <= 4)
-    zs = boosting.stump_z(boosting.stump_class_weights(weighted, feats))
+    zs = boosting.stump_z(boosting.uniform_class_weights(emb, 4, K, emb.count()))
     return boosting.best_stump_row(zs).select(
         "feature",
         F.round("threshold", 6).alias("threshold"),
