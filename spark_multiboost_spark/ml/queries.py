@@ -524,3 +524,15 @@ def model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "t", "feature", "threshold", F.element_at("votes", 1).alias("v0")
     ).orderBy("t")
+
+
+@query("q_a12_train_feature_sampled", oracle=None, group="A")
+def train_feature_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 (cont.): per-round FEATURE subsampling (the reference's
+    featureRate analogue [R], confidence M) — deterministic rotating subset,
+    rows-only like the instance-sampling twin."""
+    emb = _emb(spark, sf_dir)
+    stumps = boosting.train(
+        spark, emb, num_rounds=2, num_classes=K, feature_fraction=0.25, seed=11
+    )
+    return boosting.stumps_to_df(spark, stumps).select("t", "feature", "threshold")

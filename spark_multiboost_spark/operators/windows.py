@@ -146,3 +146,27 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 3)
     )
+
+
+@query(
+    "q_ext_dist_rank",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey), 6) AS cume
+FROM orders
+""",
+    group="B",
+)
+def dist_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B16 (cont.): distribution window functions percent_rank/cume_dist —
+    rank-based, so exact across engines (ordering carries a unique
+    tiebreaker)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
