@@ -53,3 +53,76 @@ def test_c6_stateful_final_counts(spark, sf_dir):
     )
     got = {r["user_id"]: r["n_events"] for r in final}
     assert got == expected
+
+
+def test_c4_true_late_row_dropped(spark, sf_dir):
+    """A row arriving AFTER the watermark passed its window must be dropped
+    in append mode — the actual late-data semantics, not just replay
+    equivalence."""
+    import os
+
+    import pandas as pd
+
+    from spark_multiboost_spark.streaming.jobs import (
+        _read_stream,
+        _replay_dir,
+        _run_to_memory,
+    )
+
+    path = _replay_dir(spark, sf_dir)
+    files = sorted(os.listdir(path))
+    first = pd.read_parquet(os.path.join(path, files[0]))
+    # craft a late event: timestamp at the very start of the stream, but
+    # arriving in a file AFTER every on-time file (watermark long past it)
+    late = first.iloc[[0]].copy()
+    late["event_id"] = 999_999_999
+    late.to_parquet(os.path.join(path, "part-zzzz-late.parquet"))
+    late_window = late["ts"].dt.floor("h").iloc[0]
+    late_type = late["event_type"].iloc[0]
+
+    stream = _read_stream(spark, path)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    out = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in _run_to_memory(agg, mode="append").collect()
+    }
+    batch_without_late = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(
+            (F.date_trunc("hour", "ts") == F.lit(late_window))
+            & (F.col("event_type") == late_type)
+        )
+        .count()
+    )
+    emitted = out.get((late_window.to_pydatetime(), late_type))
+    # the late duplicate was NOT counted: emitted == on-time batch count
+    assert emitted == batch_without_late
+
+
+def test_c8_stream_stream_join_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream join must produce exactly the batch
+    range-join pairs (replay is in event-time order, so nothing is late)."""
+    out = all_queries()["q_c8_stream_stream_join"].fn(spark, sf_dir)
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("cts") < F.col("pts")),
+    ).select("purchase_id", "click_id")
+    got = {(r["purchase_id"], r["click_id"]) for r in out.collect()}
+    want = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
+    assert got == want
