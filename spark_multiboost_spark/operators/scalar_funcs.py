@@ -300,3 +300,46 @@ def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy(F.col("k").asc_nulls_first())
     )
+
+
+@query(
+    "q_ext_try_funcs",
+    oracle="""
+SELECT l_linenumber,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(COALESCE(l_extendedprice /
+                  (CASE WHEN l_linenumber > 4 THEN 0
+                        ELSE POWER(2, l_linenumber) END), 0)
+                     AS DECIMAL(38,6))) AS DOUBLE) AS safe_ratio_sum,
+       CAST(SUM(CASE WHEN TRY_CAST(l_returnflag AS INTEGER) IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_uncastable
+FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber
+""",
+    group="B",
+)
+def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: try_divide (NULL on /0, never a job
+    failure) and try_cast — at 100 TB a single malformed row must not kill
+    a stage, so the pipeline-safe forms are the default posture. Divisors
+    are dyadic (2^k, k<=4) so the quotient is an exact <=6-decimal value:
+    the decimal-path SUM then involves NO rounding, sidestepping the
+    double->decimal tie-break differences between engines (DuckDB's
+    division errors on /0, so its twin spells the NULL via CASE)."""
+    from ..functions.parity import bcount
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    divisor = F.when(F.col("l_linenumber") > 4, F.lit(0.0)).otherwise(
+        F.pow(F.lit(2.0), F.col("l_linenumber"))
+    )
+    safe = F.coalesce(F.try_divide(F.col("l_extendedprice"), divisor), F.lit(0.0))
+    return (
+        li.groupBy("l_linenumber")
+        .agg(
+            bcount().alias("n"),
+            F.sum(safe.cast("decimal(38,6)")).cast("double").alias("safe_ratio_sum"),
+            F.sum(
+                F.when(F.col("l_returnflag").try_cast("int").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_uncastable"),
+        )
+        .orderBy("l_linenumber")
+    )

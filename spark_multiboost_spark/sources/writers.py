@@ -82,3 +82,28 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(bcount().alias("n_items"), dsum("l_quantity").alias("sum_qty"))
         .orderBy("o_orderpriority")
     )
+
+
+@query("q_b03_range_sorted_write", oracle=None, group="B")
+def range_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 (cont.): range-partitioned, within-file-sorted layout — each
+    output file covers a disjoint l_shipdate range with sorted row groups,
+    so a time-range reader prunes whole files on parquet min/max stats
+    (the clustering/Z-order-lite every time-series warehouse wants). The
+    read-back filters one narrow month; correctness is the read-back agg."""
+    t = load_tables(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="smb_rng_"), "lineitem_ranged")
+    (
+        t["lineitem"]
+        .repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    return back.agg(
+        bcount().alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
