@@ -536,3 +536,49 @@ def train_feature_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb, num_rounds=2, num_classes=K, feature_fraction=0.25, seed=11
     )
     return boosting.stumps_to_df(spark, stumps).select("t", "feature", "threshold")
+
+
+@query("q_a1_text_parser", oracle=None, group="A")
+def text_parser_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (cont.): the reference's text ingestion path — MultiLabeledPoint
+    parsing ([R] MultiLabeledPointParser, style of MLlib LabeledPoint.parse;
+    reconstructed, mount empty). Serialize embeddings to 'label|v1,v2,...'
+    text lines, parse back with split + transform casts (schema-pinned, all
+    JVM-side — the declarative replacement for sc.textFile().map(parse)),
+    and verify the round-trip inline: every parsed row must bit-match its
+    parquet original (n_mismatch is asserted 0 by the test suite and
+    observable in the output)."""
+    emb = _emb(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="smb_mlp_"), "points_txt")
+    (
+        emb.select(
+            F.concat_ws(
+                "|",
+                F.col("vec_id").cast("string"),
+                F.col("label").cast("string"),
+                F.array_join(F.transform("embedding", lambda x: x.cast("string")), ","),
+            ).alias("value")
+        ).write.mode("overwrite").text(path)
+    )
+    parsed = (
+        spark.read.text(path)
+        .select(F.split("value", "\\|").alias("p"))
+        .select(
+            F.element_at("p", 1).cast("bigint").alias("vec_id"),
+            F.element_at("p", 2).cast("int").alias("label"),
+            F.transform(F.split(F.element_at("p", 3), ","), lambda s: s.cast("double")).alias(
+                "embedding"
+            ),
+        )
+    )
+    orig = emb.select(
+        F.col("vec_id"), F.col("label"), F.col("embedding").alias("orig_emb")
+    )
+    joined = parsed.join(orig, ["vec_id"]).select(
+        "vec_id",
+        (F.col("embedding") == F.col("orig_emb")).alias("vec_match"),
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parsed"),
+        F.sum(F.when(~F.col("vec_match"), 1).otherwise(0)).cast("bigint").alias("n_mismatch"),
+    )

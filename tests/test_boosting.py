@@ -107,3 +107,13 @@ def test_estimator_pipeline(spark, sf_dir):
     assert "scores" in out.columns and "predicted_labels" in out.columns
     row = out.filter(F.col("vec_id") == 0).collect()[0]
     assert len(row["scores"]) == 10
+
+
+def test_a1_text_parser_roundtrip_exact(spark, sf_dir):
+    """The text serialize->parse path must reproduce every vector
+    bit-exactly (Spark's double<->string cast is round-trip-safe)."""
+    from spark_multiboost_spark.registry import all_queries
+
+    row = all_queries()["q_a1_text_parser"].fn(spark, sf_dir).collect()[0]
+    assert row["n_parsed"] > 0
+    assert row["n_mismatch"] == 0
