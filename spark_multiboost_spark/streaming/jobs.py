@@ -234,3 +234,81 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).select("purchase_id", "p_user", "click_id")
     return _run_to_memory(joined, mode="append")
+
+
+@query("q_c9_streaming_similarity", oracle=None, group="C")
+def streaming_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 (beyond SURVEY's C1-C8; PAPERS.md streaming-similarity thread):
+    continuous top-k retrieval — a stream of query vectors scored per
+    micro-batch against a static corpus with the same blocked-matmul
+    partial top-k as the batch flagship. The corpus matrix ships to workers
+    by closure (= broadcast); each arriving query needs one (1 x d) @
+    (d x N) product + an argpartition — the serving-path shape for
+    embedding-stream retrieval. Results are identical to the batch
+    q_d3_topk_cosine for the same query set (asserted in tests)."""
+    import numpy as np
+
+    from ..functions.similarity import (
+        K,
+        N_QUERIES,
+        _seq_dot_block,
+        _seq_sq_norm,
+    )
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cpd = emb.select("vec_id", "embedding").toPandas()
+    C = np.array([np.asarray(e, dtype=np.float64) for e in cpd["embedding"]])
+    c_ids = cpd["vec_id"].to_numpy(np.int64)
+    c_norm = np.sqrt(_seq_sq_norm(C))
+
+    # replay the query set as a 4-file stream
+    qpd = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="smb_qstream_"), "queries")
+    os.makedirs(path, exist_ok=True)
+    per = max(1, len(qpd) // 4)
+    for i in range(4):
+        chunk = qpd.iloc[i * per : (i + 1) * per if i < 3 else len(qpd)]
+        if len(chunk):
+            chunk.to_parquet(os.path.join(path, f"part-{i:04d}.parquet"))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            q_ids = pdf["vec_id"].to_numpy(np.int64)
+            q_norm = np.sqrt(_seq_sq_norm(Q))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = _seq_dot_block(C, Q) / (c_norm[:, None] * q_norm[None, :])
+            S[c_ids[:, None] == q_ids[None, :]] = -np.inf
+            out = []
+            for j in range(S.shape[1]):
+                top = np.argpartition(-S[:, j], K - 1)[: K + 1]
+                order = np.lexsort((c_ids[top], -S[top, j]))[:K]
+                sel = top[order]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": q_ids[j],
+                            "cid": c_ids[sel],
+                            "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
+                            "cos_sim": np.floor(S[sel, j] * 1e6 + 0.5) / 1e6,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    stream = (
+        # the replay files come from the already-double-cast table
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<DOUBLE>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    scored = stream.mapInPandas(
+        score, "qid bigint, cid bigint, rank bigint, cos_sim double"
+    )
+    return _run_to_memory(scored, mode="append")

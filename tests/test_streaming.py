@@ -126,3 +126,13 @@ def test_c8_stream_stream_join_matches_batch(spark, sf_dir):
     got = {(r["purchase_id"], r["click_id"]) for r in out.collect()}
     want = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
     assert got == want
+
+
+def test_c9_streaming_similarity_matches_batch(spark, sf_dir):
+    """Per-micro-batch retrieval must equal the batch flagship's answer for
+    the same query set (same scoring math, same tiebreaks)."""
+    out = all_queries()["q_c9_streaming_similarity"].fn(spark, sf_dir)
+    batch = all_queries()["q_d3_topk_cosine"].fn(spark, sf_dir)
+    got = {(r["qid"], r["rank"]): (r["cid"], r["cos_sim"]) for r in out.collect()}
+    want = {(r["qid"], r["rank"]): (r["cid"], r["cos_sim"]) for r in batch.collect()}
+    assert got == want
