@@ -571,3 +571,111 @@ def listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+@query(
+    "q_b14_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+    group="B",
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14 (cont.): explicit GROUPING SETS with grouping() markers — the
+    general form rollup/cube specialize. Runs through spark.sql so the text
+    stays near-identical to the oracle."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@query(
+    "q_ext_dates",
+    oracle="""
+SELECT o_orderkey,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE) AS due_date,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_epoch_start,
+       CAST(EXTRACT(QUARTER FROM o_orderdate) AS BIGINT) AS qtr
+FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey
+""",
+    group="B",
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B24 (cont.): last_day / date_add / datediff / quarter — the date
+    arithmetic surface (mind datediff arg order: Spark (end, start) ==
+    DuckDB date_diff('day', start, end))."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.filter(F.col("o_orderkey") <= 200)
+        .select(
+            "o_orderkey",
+            F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+            F.date_add(F.col("o_orderdate").cast("date"), 90).alias("due_date"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            ).cast("bigint").alias("days_since_epoch_start"),
+            F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q_ext_funnel",
+    oracle="""
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS signed_up,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                     THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_signup,
+       CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                      AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS full_funnel
+FROM stages
+""",
+    group="B",
+)
+def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: signup -> click -> purchase ordered-stage
+    conversion via conditional MIN timestamps — one shuffle on user_id,
+    one pass, no self-joins (the n-way event self-join formulation
+    explodes at scale; conditional aggregation doesn't)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    def first_ts(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    stages = ev.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        bcount().alias("n_users"),
+        F.sum(F.when(signed, 1).otherwise(0)).cast("bigint").alias("signed_up"),
+        F.sum(F.when(clicked, 1).otherwise(0)).cast("bigint").alias("clicked_after_signup"),
+        F.sum(F.when(purchased, 1).otherwise(0)).cast("bigint").alias("full_funnel"),
+    )
