@@ -422,3 +422,60 @@ def docpipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_d4_tfidf",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE LENGTH(token) > 0 GROUP BY doc_id, token
+), df AS (
+  SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tf GROUP BY token
+), nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         ROUND(tf.tf * LN(nn.n / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN nn
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, token) AS rnk
+  FROM scored
+)
+SELECT doc_id, token, tf, tfidf
+FROM ranked WHERE rnk <= 3 AND doc_id < 50
+ORDER BY doc_id, tfidf DESC, token
+""",
+    group="D",
+)
+def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): TF-IDF with top-3 terms per document — term frequency
+    (hash agg), document frequency (distinct-count agg), one broadcast of
+    the scalar corpus size, score projection (per-row IEEE math, no float
+    aggregation), window top-k. The full relevance-scoring pipeline in one
+    declarative plan."""
+    d = load_tables(spark, sf_dir)["documents"]
+    n_docs = d.select(F.countDistinct("doc_id").cast("double").alias("n"))
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+        .groupBy("doc_id", "token")
+        .agg(bcount().alias("tf"))
+    )
+    df = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "token", "tf", "tfidf")
+        .orderBy("doc_id", F.col("tfidf").desc(), "token")
+    )

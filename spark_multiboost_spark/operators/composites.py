@@ -679,3 +679,78 @@ def funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(clicked, 1).otherwise(0)).cast("bigint").alias("clicked_after_signup"),
         F.sum(F.when(purchased, 1).otherwise(0)).cast("bigint").alias("full_funnel"),
     )
+
+
+@query(
+    "q_ext_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM activity WHERE week_offset <= 3
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+    group="B",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted per
+    week-offset of later activity — first-touch agg, self-join on user_id
+    (both sides already partitioned by the key), distinct, count. The
+    warehouse classic for activity data."""
+    ev = load_tables(spark, sf_dir)["events"]
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(F.date_trunc("week", "ts"), F.col("cohort_week")) / 7
+                )
+            ).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("week_offset") <= 3)
+        .groupBy("cohort_week", "week_offset")
+        .agg(bcount().alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "q_ext_histogram",
+    oracle="""
+SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi
+FROM events
+GROUP BY bucket ORDER BY bucket
+""",
+    group="B",
+)
+def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via floor-bucketing — a one-shuffle GROUP BY
+    (width_bucket semantics without engine-specific edge rules)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.floor(F.col("value") / 25.0).cast("bigint").alias("bucket"))
+        .agg(
+            bcount().alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
