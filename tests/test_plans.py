@@ -124,3 +124,21 @@ def test_warm_cache_parity(spark, sf_dir):
                 df.unpersist()
             except Exception:
                 pass
+
+
+def test_funnel_single_keyed_shuffle(spark, sf_dir):
+    """Conditional-aggregation funnel: one exchange for the user_id groupBy
+    + one for the global rollup — the no-self-join property that keeps it
+    viable at scale."""
+    plan = _plan(spark, "q_ext_funnel", sf_dir)
+    # "Exchange (" matches the tree form once per node (details render as
+    # "(7) Exchange" and don't match)
+    assert plan.count("Exchange (") <= 2
+    assert "Join" not in plan  # no self-joins
+
+
+def test_docpipe_bounded_shuffles(spark, sf_dir):
+    """Pipeline composite: md5-window + lang-agg + output sort — at most
+    three exchanges end to end."""
+    plan = _plan(spark, "q_comp_docpipe", sf_dir)
+    assert plan.count("Exchange (") <= 3
