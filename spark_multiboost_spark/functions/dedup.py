@@ -417,3 +417,35 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("cluster_size"))
         .orderBy("cluster_id")
     )
+
+
+@query("q_d2_mllib_minhash", oracle=None, group="D")
+def mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 cross-check (SURVEY §2 D2): the same near-dup candidate problem
+    through MLlib's MinHashLSH — shingles -> HashingTF set-vectors ->
+    approxSimilarityJoin at Jaccard distance <= 0.5. Rows-only (MLlib's
+    hash seeds are engine-specific); the test suite cross-validates that
+    every exact-duplicate pair found by the hand-rolled LSH is also found
+    here. Demonstrates the pyspark.ml pipeline interop path."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_tables(spark, sf_dir)["documents"]
+    sh = _shingled(d)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    # _shingled guarantees >= 1 shingle per doc, so every vector has a
+    # non-zero entry (MinHashLSH's requirement)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .orderBy("doc_a", "doc_b")
+    )

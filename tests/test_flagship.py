@@ -22,3 +22,21 @@ def test_knn_label_agreement_oracle(spark, sf_dir):
 
 def test_bucketed_ann_oracle(spark, sf_dir):
     compare(spark, "q_d3_bucketed_ann", sf_dir)
+
+
+def test_d2_mllib_minhash_finds_exact_dups(spark, sf_dir):
+    """Cross-validation of the two LSH implementations: any EXACT duplicate
+    pair (Jaccard 1.0 in the hand-rolled pipeline) has identical MinHash
+    signatures under ANY scheme, so MLlib's approxSimilarityJoin must also
+    emit it."""
+    from spark_multiboost_spark.registry import all_queries
+
+    hand = all_queries()["q_d2_minhash_lsh"].fn(spark, sf_dir).collect()
+    exact = {(r["doc_a"], r["doc_b"]) for r in hand if r["jaccard"] == 1.0}
+    if not exact:
+        import pytest
+
+        pytest.skip("fixture has no exact-duplicate shingle sets at this SF")
+    mllib = all_queries()["q_d2_mllib_minhash"].fn(spark, sf_dir).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in mllib}
+    assert exact <= got
