@@ -754,3 +754,43 @@ def histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_ext_salted_join",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {dsum_sql('l_extendedprice')} AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    group="B",
+)
+def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew playbook, join half (companion to q_ext_salted_agg): when one
+    join key is pathologically hot, salt the FACT side's key with a
+    deterministic per-row component and replicate the other side once per
+    salt — every hot key spreads over N_SALTS reducers, at the cost of an
+    N_SALTS-times-larger build side. Identical results to the plain join
+    (the oracle IS the plain join). AQE's skew-join split is the automatic
+    version; the explicit form is for engines/pipelines where AQE can't see
+    the skew (e.g. a skewed key feeding a window)."""
+    n_salts = 8
+    t = load_tables(spark, sf_dir)
+    fact = t["lineitem"].withColumn(
+        "f_salt", (F.col("l_linenumber") % n_salts).cast("int")
+    )
+    dim = t["orders"].withColumn(
+        "d_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return (
+        fact.join(
+            dim,
+            (F.col("f_salt") == F.col("d_salt"))
+            & (F.col("l_orderkey") == F.col("o_orderkey")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(bcount().alias("n_items"), dsum("l_extendedprice").alias("total_price"))
+        .orderBy("o_orderpriority")
+    )
