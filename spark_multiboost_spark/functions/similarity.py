@@ -62,6 +62,75 @@ def _seq_sq_norm(M: np.ndarray) -> np.ndarray:
     return out
 
 
+#: candidate-row schema emitted by the shared scorer (batch + streaming)
+CAND_SCHEMA = "qid bigint, cid bigint, cos_raw double, q_label bigint, c_label bigint"
+
+
+def build_scorer(
+    Q: np.ndarray,
+    q_ids: np.ndarray,
+    q_labels: np.ndarray,
+    k: int = K,
+):
+    """Build the ``mapInPandas`` generator that scores corpus Arrow batches
+    against a fixed query matrix and emits per-batch partial top-k
+    candidate rows (schema ``CAND_SCHEMA``).
+
+    Shared by the batch flagship (whole query set at once) and the
+    streaming retrieval path (one query micro-batch at a time) so both
+    produce bit-identical candidates for the same queries.
+    """
+    q_norm = np.sqrt(_seq_sq_norm(Q))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            cid = pdf["vec_id"].to_numpy(np.int64)
+            c_label = pdf["label"].to_numpy(np.int64)
+            c_norm = np.sqrt(_seq_sq_norm(C))
+            denom = c_norm[:, None] * q_norm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = _seq_dot_block(C, Q) / denom  # (b x q)
+            S[cid[:, None] == q_ids[None, :]] = -np.inf  # exclude self-pairs
+            S[denom == 0.0] = -np.inf  # NULL-safe zero vectors (dropped)
+            kk = min(k, S.shape[0])
+            # partial top-k per query: argpartition prunes, then TIE
+            # EXPANSION — argpartition breaks exact-score ties at the k-th
+            # boundary arbitrarily, so re-admit every row tied with the
+            # k-th score and re-select the kk best under the exact global
+            # comparator (-cos, cid).  Truncating after that sort is sound:
+            # any dropped row ranks worse than all kk kept rows under the
+            # same comparator the global window uses.
+            part = np.argpartition(-S, kk - 1, axis=0)[:kk, :]  # (kk x q)
+            out = []
+            for j in range(S.shape[1]):
+                col = S[:, j]
+                kth = col[part[:, j]].min()
+                if np.isneginf(kth):
+                    cand = np.nonzero(np.isfinite(col))[0]
+                else:
+                    cand = np.nonzero(col >= kth)[0]
+                order = np.lexsort((cid[cand], -col[cand]))
+                sel = cand[order][:kk]
+                sel = sel[np.isfinite(col[sel])]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "qid": q_ids[j],
+                            "cid": cid[sel],
+                            "cos_raw": S[sel, j],
+                            "q_label": q_labels[j],
+                            "c_label": c_label[sel],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return score
+
+
 def _topk_candidates(spark: SparkSession, sf_dir: str, k: int = K) -> DataFrame:
     """Per-batch partial top-k cosine candidates: (qid, cid, cos_raw,
     q_label, c_label).
@@ -85,49 +154,10 @@ def _topk_candidates(spark: SparkSession, sf_dir: str, k: int = K) -> DataFrame:
     Q = np.array([np.asarray(e, dtype=np.float64) for e in qpd["embedding"]])
     q_ids = qpd["vec_id"].to_numpy(np.int64)
     q_labels = qpd["label"].to_numpy(np.int64)
-    q_norm = np.sqrt(_seq_sq_norm(Q))
-
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            C = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
-            cid = pdf["vec_id"].to_numpy(np.int64)
-            c_label = pdf["label"].to_numpy(np.int64)
-            c_norm = np.sqrt(_seq_sq_norm(C))
-            denom = c_norm[:, None] * q_norm[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                S = _seq_dot_block(C, Q) / denom  # (b x q)
-            S[cid[:, None] == q_ids[None, :]] = -np.inf  # exclude self-pairs
-            S[denom == 0.0] = -np.inf  # NULL-safe zero vectors (dropped)
-            kk = min(k, S.shape[0])
-            # partial top-k per query: argpartition then exact (-cos, cid) sort
-            part = np.argpartition(-S, kk - 1, axis=0)[:kk, :]  # (kk x q)
-            out = []
-            for j in range(S.shape[1]):
-                rows = part[:, j]
-                order = np.lexsort((cid[rows], -S[rows, j]))
-                sel = rows[order]
-                keep = np.isfinite(S[sel, j])
-                sel = sel[keep]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "qid": q_ids[j],
-                            "cid": cid[sel],
-                            "cos_raw": S[sel, j],
-                            "q_label": q_labels[j],
-                            "c_label": c_label[sel],
-                        }
-                    )
-                )
-            yield pd.concat(out, ignore_index=True)
+    score = build_scorer(Q, q_ids, q_labels, k)
 
     corpus = emb.select("vec_id", "embedding", "label")
-    return corpus.mapInPandas(
-        score,
-        "qid bigint, cid bigint, cos_raw double, q_label bigint, c_label bigint",
-    )
+    return corpus.mapInPandas(score, CAND_SCHEMA)
 
 
 def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -366,6 +366,13 @@ def train(
     weighted = weighted.localCheckpoint(eager=True)
 
     stumps: list[Stump] = []
+    # loop-invariant: feature count never changes between rounds, so the
+    # one action that computes it runs once, not once per round
+    n_feats = (
+        feats.agg(F.max("feature")).collect()[0][0]
+        if feature_fraction is not None
+        else None
+    )
     for t in range(num_rounds):
         search_w, search_f = weighted, feats
         if sample_fraction is not None:
@@ -374,7 +381,6 @@ def train(
             )
             search_w = weighted.join(F.broadcast(ids), "id")
         if feature_fraction is not None:
-            n_feats = feats.agg(F.max("feature")).collect()[0][0]
             keep = max(1, int(n_feats * feature_fraction))
             # deterministic per-round rotation of the feature subset
             search_f = feats.filter(

@@ -582,3 +582,89 @@ def text_parser_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_parsed"),
         F.sum(F.when(~F.col("vec_match"), 1).otherwise(0)).cast("bigint").alias("n_mismatch"),
     )
+
+
+@query("q_a1_sparse_parser", oracle=None, group="A")
+def sparse_parser_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (cont.): sparse-vector ingestion (SURVEY §1.1/§1.2 — the reference
+    accepts mllib sparse vectors; reconstructed, mount empty).
+
+    Pipeline: threshold the dense fixture embedding to a genuinely sparse
+    vector (|x| < 0.13 -> 0, ~30% of entries survive at fixture scale), serialize the non-zeros as libsvm-style
+    ``vec_id|label|idx:val idx:val`` text lines, parse back entirely
+    JVM-side into the SURVEY §1.2 ``MAP<INT,DOUBLE>`` representation
+    (split + map_from_entries), zero-fill it back to ``ARRAY<DOUBLE>``
+    against the original dimensionality, and verify the round-trip inline:
+    every reconstructed dense vector must bit-match its thresholded
+    original (n_mismatch asserted 0 by the test suite).  Doubles
+    round-trip exactly through their shortest string repr, so the check is
+    bitwise, not approximate.  All-zero vectors degrade to an empty entry
+    list and must still parse (empty-string guard in the entry filter)."""
+    emb = _emb(spark, sf_dir)
+    sparse = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding", lambda x: F.when(F.abs(x) >= 0.13, x).otherwise(F.lit(0.0))
+        ).alias("svec"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="smb_sparse_"), "points_txt")
+    entry_strs = F.filter(
+        F.transform(
+            "svec",
+            lambda x, i: F.when(
+                x != 0.0, F.concat(i.cast("string"), F.lit(":"), x.cast("string"))
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    (
+        sparse.select(
+            F.concat_ws(
+                "|",
+                F.col("vec_id").cast("string"),
+                F.col("label").cast("string"),
+                F.array_join(entry_strs, " "),
+            ).alias("value")
+        ).write.mode("overwrite").text(path)
+    )
+    parsed = (
+        spark.read.text(path)
+        .select(F.split("value", "\\|").alias("p"))
+        .select(
+            F.element_at("p", 1).cast("bigint").alias("vec_id"),
+            F.element_at("p", 2).cast("int").alias("label"),
+            F.map_from_entries(
+                F.transform(
+                    F.filter(
+                        F.split(F.element_at("p", 3), " "), lambda s: s != ""
+                    ),
+                    lambda s: F.struct(
+                        F.split(s, ":").getItem(0).cast("int").alias("idx"),
+                        F.split(s, ":").getItem(1).cast("double").alias("val"),
+                    ),
+                )
+            ).alias("smap"),
+        )
+    )
+    orig = sparse.select("vec_id", F.col("svec").alias("orig_svec"))
+    joined = parsed.join(orig, "vec_id").select(
+        "vec_id",
+        F.size("smap").alias("n_entries"),
+        # zero-fill MAP<INT,DOUBLE> back to dense at the original dim;
+        # transform indices are 0-based to match the serialized idx
+        (
+            F.transform(
+                F.col("orig_svec"),
+                lambda _x, i: F.coalesce(F.element_at("smap", i), F.lit(0.0)),
+            )
+            == F.col("orig_svec")
+        ).alias("vec_match"),
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parsed"),
+        F.sum(F.when(~F.col("vec_match"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_mismatch"),
+        F.sum("n_entries").cast("bigint").alias("n_sparse_entries"),
+    )

@@ -321,7 +321,8 @@ SELECT SUBSTR(c_name, 1, 9) AS name_prefix,
        {dsum_sql('c_acctbal')} AS total_bal
 FROM customer
 WHERE c_acctbal > (SELECT {davg_sql('c_acctbal')} FROM customer WHERE c_acctbal > 0.0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
 GROUP BY name_prefix ORDER BY name_prefix
 """,
     group="B",
@@ -329,9 +330,14 @@ GROUP BY name_prefix ORDER BY name_prefix
 def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar subquery threshold + anti join + agg. The
     scalar is one broadcast value; the anti join broadcasts the distinct
-    o_custkey set (small relative to lineitem at any SF). The average uses
-    the exact-decimal path so the > threshold cut is bit-identical across
-    engines (a double-ulp flip here would change membership, not a digit)."""
+    urgent-order custkey set (small relative to lineitem at any SF). The
+    average uses the exact-decimal path so the > threshold cut is
+    bit-identical across engines (a double-ulp flip here would change
+    membership, not a digit).
+
+    The anti side is "no URGENT order" (not "no orders at all"): every
+    fixture customer has orders, so the unfiltered form was 0 rows at
+    every SF — a vacuous green that proved only schema."""
     t = load_tables(spark, sf_dir)
     avg_bal = (
         t["customer"]
@@ -346,9 +352,10 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rich = t["customer"].join(
         F.broadcast(avg_bal), F.col("c_acctbal") > F.col("v")
     )
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         rich.join(
-            t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+            urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
         )
         .groupBy(F.substring("c_name", 1, 9).alias("name_prefix"))
         .agg(bcount().alias("n_cust"), dsum("c_acctbal").alias("total_bal"))

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.parity import bcount, dsum, dsum_sql
 from ..registry import query
@@ -133,16 +134,23 @@ def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_b08_anti_join",
     oracle="""
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 """,
     group="B",
 )
 def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B8: LEFT ANTI join — customers with no orders at all."""
+    """B8: LEFT ANTI join — customers with no *urgent* order.
+
+    Round-1 used "no orders at all", which is empty at every fixture SF
+    (each customer has orders) and proved only schema; the priority filter
+    yields a real anti set (18 rows at sf0.001, 203 at sf0.01)."""
     t = load_tables(spark, sf_dir)
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         t["customer"]
-        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     )
 
@@ -208,40 +216,61 @@ def theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_b10_asof_join",
     oracle="""
-SELECT o.o_orderkey,
-       MAX(e.ts) AS last_event_ts,
-       MAX_BY(e.value, e.ts) AS last_event_value,
-       CAST(COUNT(*) AS BIGINT) AS n_events_before
-FROM orders o
-JOIN events e
-  ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
-GROUP BY o.o_orderkey
-ORDER BY o.o_orderkey
+SELECT event_id, asof_orderkey, asof_orderdate, asof_price
+FROM (
+    SELECT e.event_id,
+           o.o_orderkey AS asof_orderkey,
+           o.o_orderdate AS asof_orderdate,
+           o.o_totalprice AS asof_price,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+           ) AS rn
+    FROM events e
+    JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+WHERE rn = 1
+ORDER BY event_id
 """,
     group="B",
 )
 def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B10: as-of join — for each order, the latest event of that user at or
-    before the order date. Aggregate formulation (join on equi-key + range,
-    then max/max_by) = one shuffle on user key; equivalent to DuckDB's ASOF
-    JOIN but expressed with portable semantics (SURVEY §2 B10).
+    """B10: as-of join — for each event, that user's most recent order at or
+    before the event timestamp (the classic "latest state as of t" lookup).
+    Equi-key (user) join + range filter, then a per-event row_number window
+    picks the latest; equivalent to DuckDB's ASOF JOIN but expressed with
+    portable semantics (SURVEY §2 B10).
 
-    Determinism: event ts values are unique per user at µs resolution in the
-    fixtures, so MAX_BY has a unique argmax."""
+    Direction matters for non-vacuity: fixture orders (1995-2001) all
+    precede fixture events (2024), so every event has a matching order —
+    round-1's order->event direction returned 0 rows and proved only
+    schema.  Determinism: o_orderdate has day resolution (ties possible),
+    so the window order carries o_orderkey as a unique tiebreaker.
+
+    Scale: one shuffle on the user equi-key for the join (range predicate
+    stays a post-join filter, never a cartesian), one on event_id for the
+    window; at 100 TB the window side is pre-bounded because each event
+    keeps only its user's orders."""
     t = load_tables(spark, sf_dir)
     o = t["orders"]
     e = t["events"]
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
     return (
-        o.join(
-            e,
-            (F.col("user_id") == F.col("o_custkey"))
-            & (F.col("ts") <= F.col("o_orderdate")),
+        e.join(
+            o,
+            (F.col("o_custkey") == F.col("user_id"))
+            & (F.col("o_orderdate") <= F.col("ts")),
         )
-        .groupBy("o_orderkey")
-        .agg(
-            F.max("ts").alias("last_event_ts"),
-            F.expr("max_by(value, ts)").alias("last_event_value"),
-            bcount().alias("n_events_before"),
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_orderdate").alias("asof_orderdate"),
+            F.col("o_totalprice").alias("asof_price"),
         )
-        .orderBy("o_orderkey")
+        .orderBy("event_id")
     )

@@ -243,10 +243,30 @@ def explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_b28_map_funcs", oracle=None, group="B")
+@query(
+    "q_b28_map_funcs",
+    oracle="""
+SELECT event_id,
+       array_to_string(list_sort(map_keys(m)), ',') AS keys_csv,
+       map_extract(m, 'type')[1] AS type_val,
+       CAST(map_extract(m, 'val')[1] AS DOUBLE) AS val_num
+FROM (
+    SELECT event_id,
+           MAP {'type': event_type, 'val': CAST(value AS VARCHAR)} AS m
+    FROM events
+)
+""",
+    group="B",
+)
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B28: map construction + map_keys/values/element_at — rows-only
-    (DuckDB MAP semantics differ; SURVEY §2 B28)."""
+    """B28: map construction + map_keys/element_at.
+
+    Output is scalar-only (the key list is flattened to a CSV string) so
+    the driver's canonicalizer can sort/hash it — raw ARRAY columns are
+    unhashable in its pandas path.  The map value round-trips
+    double->string->double, which is exact in both engines (shortest-repr
+    cast), so ``val_num`` oracle-matches without string-format parity.
+    """
     e = load_tables(spark, sf_dir)["events"]
     m = e.select(
         "event_id",
@@ -256,8 +276,9 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "event_id",
-        F.map_keys("m").alias("keys"),
+        F.concat_ws(",", F.sort_array(F.map_keys("m"))).alias("keys_csv"),
         F.element_at("m", "type").alias("type_val"),
+        F.element_at("m", "val").cast("double").alias("val_num"),
     )
 
 

@@ -68,18 +68,26 @@ def intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_b22_except",
     oracle="""
-SELECT c_nationkey AS nationkey FROM customer
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 EXCEPT
-SELECT s_nationkey AS nationkey FROM supplier
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '5-LOW'
 """,
     group="B",
 )
 def except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B22: EXCEPT (distinct) — nations with customers but no suppliers."""
+    """B22: EXCEPT (distinct) — customers with urgent orders but no low-
+    priority ones.  Round-1 subtracted supplier nations from customer
+    nations, which is empty (both cover all 25 nations) and proved only
+    schema; this set is 17 rows at sf0.001, 188 at sf0.01."""
     t = load_tables(spark, sf_dir)
-    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
-    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
+    o = t["orders"]
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return urgent.subtract(low)
 
 
 @query(

@@ -16,11 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 from ..registry import query
 from ..session import load_tables
 
-# identical text in Spark SQL and DuckDB
+# identical text in Spark SQL and DuckDB.  Threshold is 1.5x the average:
+# round-1 used 2x, but the fixture price cap (~500k) sits at ~2x the mean,
+# so the result was empty at every SF and the green check proved only
+# schema.  1.5x selects ~380 rows at sf0.001 / ~3.7k at sf0.01.
 _SCALAR_SUBQ = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
-WHERE o_totalprice > 2 * (
+WHERE o_totalprice > 1.5 * (
     SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
     FROM orders)
 """
@@ -28,7 +31,7 @@ WHERE o_totalprice > 2 * (
 
 @query("q_b30_scalar_subquery", oracle=_SCALAR_SUBQ, group="B")
 def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B30: scalar subquery — orders above 2x the average price."""
+    """B30: scalar subquery — orders above 1.5x the average price."""
     load_tables(spark, sf_dir)
     return spark.sql(_SCALAR_SUBQ)
 

@@ -29,8 +29,10 @@ from ..session import load_tables
 
 @pandas_udf(LongType())
 def _token_count(text: pd.Series) -> pd.Series:
-    # whitespace token count, vectorized over the Arrow batch
-    return text.str.count(" ").add(1).astype("int64")
+    # whitespace token count, vectorized over the Arrow batch.  Nullable
+    # Int64, not int64: a NULL text row must map to NULL (matching the SQL
+    # twin) rather than raise on the NaN->int cast and kill the job.
+    return text.str.count(" ").add(1).astype("Int64")
 
 
 @query(

@@ -53,7 +53,12 @@ def get_spark(app_name: str = "spark_multiboost_spark") -> SparkSession:
     )
 
 
-_SHIPPED_SESSIONS: set[int] = set()
+#: id(session) -> the session itself.  The STRONG reference is the point:
+#: CPython recycles object ids after GC, so an id-keyed set could serve a
+#: brand-new session the previous tenant's state; pinning the session in
+#: the value keeps every cached id unique among live objects.  Growth is
+#: bounded by the number of sessions a process creates (a handful).
+_SHIPPED_SESSIONS: dict[int, SparkSession] = {}
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -84,7 +89,7 @@ def _ship_package(spark: SparkSession) -> None:
                         rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                         zf.write(full, rel)
     sc.addPyFile(zpath)
-    _SHIPPED_SESSIONS.add(key)
+    _SHIPPED_SESSIONS[key] = spark
 
 
 def _ensure_session_confs(spark: SparkSession) -> None:
@@ -123,8 +128,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """
     _ensure_session_confs(spark)
     cached = _TABLE_CACHE.get(id(spark))
-    if cached is not None and cached[0] == sf_dir:
-        return cached[1]
+    if cached is not None and cached[0] is spark and cached[1] == sf_dir:
+        return cached[2]
     dfs: dict[str, DataFrame] = {}
     for name in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -139,13 +144,16 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df.createOrReplaceTempView(name)
         dfs[name] = df
-    _TABLE_CACHE[id(spark)] = (sf_dir, dfs)
+    _TABLE_CACHE[id(spark)] = (spark, sf_dir, dfs)
     return dfs
 
 
-#: (session id) -> (sf_dir, tables); avoids re-reading 10 parquet footers per
-#: query call — temp views stay registered for the matching sf_dir
-_TABLE_CACHE: dict[int, tuple[str, dict[str, DataFrame]]] = {}
+#: (session id) -> (session, sf_dir, tables); avoids re-reading 10 parquet
+#: footers per query call — temp views stay registered for the matching
+#: sf_dir.  The session sits in the VALUE as a strong reference so its id
+#: can never be recycled and handed to a different live session (see
+#: _SHIPPED_SESSIONS); the `is` check in load_tables is belt-and-braces.
+_TABLE_CACHE: dict[int, tuple[SparkSession, str, dict[str, DataFrame]]] = {}
 
 
 def warm_cache(spark: SparkSession, sf_dir: str, min_bytes: int = 1 << 20) -> None:
@@ -178,4 +186,4 @@ def warm_cache(spark: SparkSession, sf_dir: str, min_bytes: int = 1 << 20) -> No
         df.count()  # materialize now so timed runs see the warm cache
         df.createOrReplaceTempView(name)
         tables[name] = df
-    _TABLE_CACHE[id(spark)] = (sf_dir, tables)
+    _TABLE_CACHE[id(spark)] = (spark, sf_dir, tables)

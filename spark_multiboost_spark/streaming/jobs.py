@@ -66,7 +66,12 @@ def _run_to_memory(stream_df: DataFrame, mode: str = "append") -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        # reading the memory sink mid-stream would silently return partial
+        # results that a rows-only check (count >= 0) cannot catch
+        q.stop()
+        raise RuntimeError(f"stream {name} did not finish within 300s")
     return stream_df.sparkSession.table(name)
 
 
@@ -240,31 +245,33 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C9 (beyond SURVEY's C1-C8; PAPERS.md streaming-similarity thread):
     continuous top-k retrieval — a stream of query vectors scored per
-    micro-batch against a static corpus with the same blocked-matmul
-    partial top-k as the batch flagship. The corpus matrix ships to workers
-    by closure (= broadcast); each arriving query needs one (1 x d) @
-    (d x N) product + an argpartition — the serving-path shape for
-    embedding-stream retrieval. Results are identical to the batch
-    q_d3_topk_cosine for the same query set (asserted in tests)."""
+    micro-batch against the static corpus, which STAYS DISTRIBUTED.
+
+    Shape (the serving-path shape at 100 TB, where the corpus is the big
+    side): ``foreachBatch`` collects only the query micro-batch (small by
+    definition — it is the arriving request set), ships it to every corpus
+    partition via the shared ``build_scorer`` closure, and the corpus
+    streams through the same Arrow blocked-matmul partial top-k as the
+    batch flagship; a per-qid window finishes the exact global top-k.
+    Round-1 `toPandas()`'d the whole corpus to the driver — fine as a
+    local demo, wrong side collected at scale; this form never moves the
+    corpus.  Results are identical to batch q_d3_topk_cosine for the same
+    query set (asserted in tests) because candidate generation and the
+    final comparator are literally the same code."""
     import numpy as np
 
-    from ..functions.similarity import (
-        K,
-        N_QUERIES,
-        _seq_dot_block,
-        _seq_sq_norm,
-    )
+    from pyspark.sql.window import Window
+
+    from ..functions.similarity import CAND_SCHEMA, K, N_QUERIES, build_scorer
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    cpd = emb.select("vec_id", "embedding").toPandas()
-    C = np.array([np.asarray(e, dtype=np.float64) for e in cpd["embedding"]])
-    c_ids = cpd["vec_id"].to_numpy(np.int64)
-    c_norm = np.sqrt(_seq_sq_norm(C))
+    corpus = emb.select("vec_id", "embedding", "label")
 
-    # replay the query set as a 4-file stream
+    # replay the query set as a 4-file stream (with labels so the shared
+    # candidate schema is satisfied)
     qpd = (
         emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
+        .select("vec_id", "embedding", "label")
         .toPandas()
     )
     path = os.path.join(tempfile.mkdtemp(prefix="smb_qstream_"), "queries")
@@ -275,40 +282,41 @@ def streaming_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         if len(chunk):
             chunk.to_parquet(os.path.join(path, f"part-{i:04d}.parquet"))
 
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            Q = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
-            q_ids = pdf["vec_id"].to_numpy(np.int64)
-            q_norm = np.sqrt(_seq_sq_norm(Q))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                S = _seq_dot_block(C, Q) / (c_norm[:, None] * q_norm[None, :])
-            S[c_ids[:, None] == q_ids[None, :]] = -np.inf
-            out = []
-            for j in range(S.shape[1]):
-                top = np.argpartition(-S[:, j], K - 1)[: K + 1]
-                order = np.lexsort((c_ids[top], -S[top, j]))[:K]
-                sel = top[order]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "qid": q_ids[j],
-                            "cid": c_ids[sel],
-                            "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
-                            "cos_sim": np.floor(S[sel, j] * 1e6 + 0.5) / 1e6,
-                        }
-                    )
-                )
-            yield pd.concat(out, ignore_index=True)
+    results: list[pd.DataFrame] = []
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bq = batch_df.toPandas()  # the SMALL side: this trigger's queries
+        if not len(bq):
+            return
+        Q = np.array([np.asarray(e, dtype=np.float64) for e in bq["embedding"]])
+        q_ids = bq["vec_id"].to_numpy(np.int64)
+        q_labels = bq["label"].to_numpy(np.int64)
+        cand = corpus.mapInPandas(build_scorer(Q, q_ids, q_labels, K), CAND_SCHEMA)
+        w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
+        top = (
+            cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= K)
+            .select("qid", "cid", "rank", F.round("cos_raw", 6).alias("cos_sim"))
+        )
+        results.append(top.toPandas())
 
     stream = (
         # the replay files come from the already-double-cast table
-        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<DOUBLE>")
+        spark.readStream.schema(
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>, label BIGINT"
+        )
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    scored = stream.mapInPandas(
-        score, "qid bigint, cid bigint, rank bigint, cos_sim double"
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .trigger(availableNow=True)
+        .start()
     )
-    return _run_to_memory(scored, mode="append")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_similarity did not finish within 300s")
+    out = pd.concat(results, ignore_index=True)
+    return spark.createDataFrame(
+        out, "qid bigint, cid bigint, rank bigint, cos_sim double"
+    )

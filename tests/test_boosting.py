@@ -117,3 +117,16 @@ def test_a1_text_parser_roundtrip_exact(spark, sf_dir):
     row = all_queries()["q_a1_text_parser"].fn(spark, sf_dir).collect()[0]
     assert row["n_parsed"] > 0
     assert row["n_mismatch"] == 0
+
+
+def test_a1_sparse_parser_roundtrip_exact(spark, sf_dir):
+    """The sparse (libsvm-style idx:val -> MAP<INT,DOUBLE> -> zero-filled
+    dense) path must also round-trip bit-exactly, and must actually
+    exercise sparsity (non-zero entry count strictly between 0 and
+    n_parsed * dim)."""
+    from spark_multiboost_spark.registry import all_queries
+
+    row = all_queries()["q_a1_sparse_parser"].fn(spark, sf_dir).collect()[0]
+    assert row["n_parsed"] > 0
+    assert row["n_mismatch"] == 0
+    assert 0 < row["n_sparse_entries"] < row["n_parsed"] * 64

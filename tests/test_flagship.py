@@ -40,3 +40,23 @@ def test_d2_mllib_minhash_finds_exact_dups(spark, sf_dir):
     mllib = all_queries()["q_d2_mllib_minhash"].fn(spark, sf_dir).collect()
     got = {(r["doc_a"], r["doc_b"]) for r in mllib}
     assert exact <= got
+
+
+def test_d1_exact_dedup_decision_set(spark):
+    """The dedup decision covers every document at any SF, and the real
+    duplicate groups surface at sf0.1 (the only fixture SF with dups)."""
+    from spark_multiboost_spark.registry import all_queries
+
+    fn = all_queries()["q_d1_exact_dedup"].fn
+    small = fn(spark, "/root/testdata/sf0.001")
+    assert small.count() == small.select("doc_id").distinct().count() > 0
+    big = fn(spark, "/root/testdata/sf0.1")
+    dup_rows = big.filter("group_size > 1")
+    assert dup_rows.count() > 0
+    # exactly one canonical per dup group
+    from pyspark.sql import functions as F
+
+    per_group = dup_rows.groupBy("text_hash").agg(
+        F.sum(dup_rows.is_canonical.cast("int")).alias("n_canon")
+    )
+    assert per_group.filter("n_canon <> 1").count() == 0
