@@ -541,3 +541,72 @@ def mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_a") < F.col("doc_b"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "q_d2_removal_rate",
+    oracle="WITH _x AS (SELECT 1)"
+    + _SHINGLE_SQL
+    + f"""
+, sig AS (
+  SELECT doc_id, shingles, {_SIG_SQL} AS sig FROM sh
+), buckets AS (
+  SELECT doc_id, shingles, b.band,
+         MD5(CONCAT(sig[2 * b.band + 1], sig[2 * b.band + 2])) AS band_hash
+  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b,
+         a.shingles AS sa, x.shingles AS sb
+  FROM buckets a JOIN buckets x
+    ON a.band = x.band AND a.band_hash = x.band_hash AND a.doc_id < x.doc_id
+), removed AS (
+  SELECT DISTINCT doc_b AS doc_id FROM cand
+  WHERE CAST(LEN(LIST_INTERSECT(sa, sb)) AS DOUBLE)
+        / (LEN(sa) + LEN(sb) - LEN(LIST_INTERSECT(sa, sb))) >= {_JACCARD_THRESHOLD}
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(r.doc_id) AS BIGINT) AS n_removed,
+       ROUND(CAST(COUNT(r.doc_id) AS DOUBLE) / COUNT(*), 6) AS removal_rate
+FROM documents d LEFT JOIN removed r USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+""",
+    group="D",
+)
+def removal_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 (cont.): per-source dedup REMOVAL-RATE report — the accounting
+    step after near-dup detection: for every source, how many docs the
+    keep-lowest-id rule over the verified LSH pair graph would drop.
+    (Greedy pairwise removal, not transitive closure — the closure lives
+    in q_d2_dup_clusters; both appear in real pipelines.)
+
+    Reuses the oracle-checked q_d2_minhash_lsh pair generation, so its
+    scale shape (banded equi-join, never all-pairs) carries over; the
+    report itself is one distinct + one broadcast-able left join + one
+    hash-agg on source."""
+    d = load_tables(spark, sf_dir)["documents"]
+    removed = (
+        minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("removed", F.lit(1))
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(removed), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("removed"), F.lit(0))).cast("bigint").alias("n_removed"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_removed",
+            F.round(F.col("n_removed").cast("double") / F.col("n_docs"), 6).alias(
+                "removal_rate"
+            ),
+        )
+        .orderBy("source")
+    )

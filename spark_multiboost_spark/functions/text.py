@@ -479,3 +479,158 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", "tf", "tfidf")
         .orderBy("doc_id", F.col("tfidf").desc(), "token")
     )
+
+
+# -- LLM-pretraining pipeline gates (beyond SURVEY D4/D5: the quality ops a
+# -- 100 TB training-data pipeline runs between ingest and tokenization) ---
+
+
+@query(
+    "q_d5_repetition_score",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+), tg AS (
+  SELECT doc_id,
+         LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 0)),
+             i -> CONCAT_WS(' ', toks[i], toks[i + 1], toks[i + 2])) AS gs
+  FROM docs WHERE LEN(toks) >= 3
+)
+SELECT doc_id,
+       CAST(LEN(gs) AS BIGINT) AS n_trigrams,
+       ROUND(CAST(LEN(gs) - LEN(LIST_DISTINCT(gs)) AS DOUBLE) / LEN(gs), 6)
+           AS dup_frac,
+       (LEN(gs) - LEN(LIST_DISTINCT(gs)) > 0) AS is_repetitive
+FROM tg
+ORDER BY doc_id
+""",
+    group="D",
+)
+def repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): intra-document repetition — the fraction of duplicate
+    word trigrams per doc (the Gopher-style repetition gate used to drop
+    looping/boilerplate pages from pretraining corpora).  Pure HOF
+    arithmetic on the token array: no shuffle at all until the final
+    presentation sort — at 100 TB this is a map-only pass over the scan."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split("text", " ")
+    gs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    out = (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", gs.alias("gs"))
+        .select(
+            "doc_id",
+            F.size("gs").cast("bigint").alias("n_trigrams"),
+            F.round(
+                (F.size("gs") - F.size(F.array_distinct("gs"))).cast("double")
+                / F.size("gs"),
+                6,
+            ).alias("dup_frac"),
+            ((F.size("gs") - F.size(F.array_distinct("gs"))) > 0).alias(
+                "is_repetitive"
+            ),
+        )
+    )
+    return out.orderBy("doc_id")
+
+
+@query(
+    "q_d5_contamination",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 0)),
+             i -> CONCAT_WS(' ', toks[i], toks[i + 1], toks[i + 2]))) AS shingles
+  FROM docs WHERE LEN(toks) >= 3
+), ex AS (
+  SELECT doc_id, UNNEST(shingles) AS g FROM sh
+), bench AS (
+  SELECT doc_id, g FROM ex WHERE doc_id % 97 = 0
+)
+SELECT b.doc_id AS bench_doc, c.doc_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM bench b JOIN ex c ON b.g = c.g AND b.doc_id <> c.doc_id
+GROUP BY b.doc_id, c.doc_id
+ORDER BY bench_doc, doc_id
+""",
+    group="D",
+)
+def contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): benchmark-contamination detection — which corpus docs
+    share word trigrams with a held-out "benchmark" set (stand-in:
+    doc_id % 97 == 0), the n-gram-overlap decontamination check every
+    pretraining pipeline runs before training.
+
+    Scale shape: the benchmark side is small by definition -> broadcast
+    it; the corpus explodes to (doc, trigram) rows map-side and the
+    overlap is one broadcast-hash-join + hash-agg, never a doc x doc
+    product.  Shingle lists are per-doc distinct, so COUNT(*) counts
+    DISTINCT shared trigrams on both engines."""
+    from .dedup import _shingled
+
+    d = load_tables(spark, sf_dir)["documents"]
+    ex = _shingled(d).select("doc_id", F.explode("shingles").alias("g"))
+    bench = ex.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_doc"), "g"
+    )
+    return (
+        ex.join(F.broadcast(bench), "g")
+        .filter(F.col("doc_id") != F.col("bench_doc"))
+        .groupBy("bench_doc", "doc_id")
+        .agg(bcount().alias("n_shared"))
+        .orderBy("bench_doc", "doc_id")
+    )
+
+
+@query(
+    "q_d5_mix_weights",
+    oracle="""
+WITH per_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(SUM(n_docs) AS DOUBLE) AS total,
+         CAST(COUNT(*) AS DOUBLE) AS n_langs
+  FROM per_lang
+)
+SELECT lang, n_docs,
+       ROUND(n_docs / total, 6) AS actual_share,
+       ROUND((1.0 / n_langs) / (n_docs / total), 6) AS mix_weight
+FROM per_lang CROSS JOIN tot
+ORDER BY lang
+""",
+    group="D",
+)
+def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): domain-mixing sampling weights — per-language upsample /
+    downsample factors that rebalance the corpus to a uniform language mix
+    (the data-mixture reweighting step of pretraining pipelines; swap the
+    uniform target for any target share vector without changing the plan).
+    One hash-agg for the counts, then a broadcast of the one-row totals —
+    the per-group weight lookup every sampler worker would join against."""
+    d = load_tables(spark, sf_dir)["documents"]
+    per_lang = d.groupBy("lang").agg(bcount().alias("n_docs"))
+    tot = per_lang.agg(
+        F.sum("n_docs").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_langs"),
+    )
+    share = F.col("n_docs") / F.col("total")
+    return (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(share, 6).alias("actual_share"),
+            F.round((F.lit(1.0) / F.col("n_langs")) / share, 6).alias("mix_weight"),
+        )
+        .orderBy("lang")
+    )
