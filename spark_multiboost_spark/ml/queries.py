@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -667,4 +667,140 @@ def sparse_parser_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_mismatch"),
         F.sum("n_entries").cast("bigint").alias("n_sparse_entries"),
+    )
+
+
+_SPARSE_Z_SQL = f"""
+WITH e AS (
+  SELECT vec_id,
+         LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+             x -> CASE WHEN ABS(x) >= 0.13 THEN x ELSE 0.0 END) AS embedding,
+         label
+  FROM embeddings
+), mlp AS (
+  SELECT vec_id AS id, g.class,
+         CASE WHEN g.class = label THEN 1 ELSE -1 END AS y
+  FROM e CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {K - 1})) AS class) g
+), mm AS (SELECT COUNT(*) AS m FROM e
+), w AS (
+  SELECT mlp.id, mlp.class, mlp.y, CAST(1.0 AS DOUBLE) / (mm.m * {K}) AS weight
+  FROM mlp, mm
+), feats AS (
+  SELECT vec_id AS id, j.feature, embedding[j.feature] AS value
+  FROM e CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, 4)) AS feature) j
+), grouped AS (
+  SELECT f.feature, f.value, w.class,
+         SUM(CASE WHEN w.y = 1 THEN w.weight ELSE 0 END) AS swp,
+         SUM(CASE WHEN w.y = -1 THEN w.weight ELSE 0 END) AS swm
+  FROM feats f JOIN w ON f.id = w.id
+  GROUP BY f.feature, f.value, w.class
+), cum AS (
+  SELECT feature, value AS threshold, class,
+         SUM(swp) OVER (PARTITION BY feature, class ORDER BY value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_plus,
+         SUM(swm) OVER (PARTITION BY feature, class ORDER BY value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_minus,
+         SUM(swp) OVER (PARTITION BY feature, class) AS t_plus,
+         SUM(swm) OVER (PARTITION BY feature, class) AS t_minus
+  FROM grouped
+), cw AS (
+  SELECT feature, threshold, class,
+         t_plus - p_plus + p_minus AS w_plus,
+         t_minus - p_minus + p_plus AS w_minus
+  FROM cum
+)
+SELECT feature, threshold,
+       ROUND(2.0 * SUM(SQRT(w_plus * w_minus)), 9) AS z
+FROM cw GROUP BY feature, threshold
+"""
+
+
+@query("q_a5_sparse_stump_z", oracle=_SPARSE_Z_SQL, group="A")
+def sparse_stump_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 over the SPARSE representation (SURVEY §1.1/§1.2: the reference
+    accepts mllib sparse vectors; q_a1_sparse_parser ingests them).  The
+    stump search runs on MAP<INT,DOUBLE> directly: only stored (non-zero)
+    entries explode and join weights; the weight mass of every IMPLICIT
+    zero is recovered per (feature, class) as total-class-mass minus
+    observed-mass and injected as a single value=0.0 row before the
+    prefix-sum window.
+
+    Why this matters at 100 TB: with 1%-dense vectors the exploded frame
+    shrinks 100x versus the dense path — the join, pre-agg, and window all
+    scale with STORED entries, while the zero mass costs one d x K-row
+    side-aggregate.  The oracle is the DENSE pipeline over the same
+    thresholded vectors, so the check proves the sparse path is
+    numerically indistinguishable from materializing the zeros
+    (representation-agnostic training)."""
+    emb = _emb(spark, sf_dir)
+    weighted, _m = _weighted_uniform(emb)
+
+    # dense -> MAP<INT,DOUBLE> (1-based feature keys), |x| < 0.13 -> implicit
+    smap = F.map_from_entries(
+        F.filter(
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(
+                    F.abs(x) >= 0.13,
+                    F.struct((i + 1).alias("feature"), x.alias("value")),
+                ),
+            ),
+            lambda s: s.isNotNull(),
+        )
+    )
+    sp = (
+        emb.select(F.col("vec_id").alias("id"), smap.alias("smap"))
+        .select("id", F.explode("smap").alias("feature", "value"))
+        .filter(F.col("feature") <= 4)
+    )
+    obs = sp.join(weighted, "id").groupBy("feature", "value", "class").agg(
+        F.sum(F.when(F.col("y") == 1, F.col("weight")).otherwise(0.0)).alias("swp"),
+        F.sum(F.when(F.col("y") == -1, F.col("weight")).otherwise(0.0)).alias("swm"),
+    )
+    # implicit-zero mass: class totals are feature-independent (tiny agg),
+    # observed mass per (feature, class) subtracts off
+    totals = weighted.groupBy("class").agg(
+        F.sum(F.when(F.col("y") == 1, F.col("weight")).otherwise(0.0)).alias("tp"),
+        F.sum(F.when(F.col("y") == -1, F.col("weight")).otherwise(0.0)).alias("tm"),
+    )
+    obs_tot = obs.groupBy("feature", "class").agg(
+        F.sum("swp").alias("op"), F.sum("swm").alias("om")
+    )
+    features = spark.range(1, 5).select(F.col("id").cast("int").alias("feature"))
+    zero = (
+        features.crossJoin(F.broadcast(totals))
+        .join(obs_tot, ["feature", "class"], "left")
+        .select(
+            "feature",
+            F.lit(0.0).alias("value"),
+            "class",
+            (F.col("tp") - F.coalesce(F.col("op"), F.lit(0.0))).alias("swp"),
+            (F.col("tm") - F.coalesce(F.col("om"), F.lit(0.0))).alias("swm"),
+        )
+    )
+    grouped = obs.unionByName(zero)
+    w_cum = (
+        Window.partitionBy("feature", "class")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("feature", "class")
+    cum = grouped.select(
+        "feature",
+        F.col("value").alias("threshold"),
+        "class",
+        F.sum("swp").over(w_cum).alias("p_plus"),
+        F.sum("swm").over(w_cum).alias("p_minus"),
+        F.sum("swp").over(w_tot).alias("t_plus"),
+        F.sum("swm").over(w_tot).alias("t_minus"),
+    )
+    cw = cum.select(
+        "feature",
+        "threshold",
+        "class",
+        (F.col("t_plus") - F.col("p_plus") + F.col("p_minus")).alias("w_plus"),
+        (F.col("t_minus") - F.col("p_minus") + F.col("p_plus")).alias("w_minus"),
+    )
+    return boosting.stump_z(cw).select(
+        "feature", "threshold", F.round("z", 9).alias("z")
     )
