@@ -41,6 +41,10 @@ HEADLINE = [
     "q_ext_hypertable_rollup",
     "q_comp_docpipe",
     "q_d3_ivf_ann",
+    # round-2 additions: pretraining-pipeline gates + sparse training path
+    "q_d5_contamination",
+    "q_d2_removal_rate",
+    "q_a5_sparse_stump_z",
 ]
 
 
@@ -77,7 +81,10 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_query_total_sec (median-of-3, warm session)",
+                "metric": (
+                    f"headline_query_total_sec ({len(HEADLINE)} queries, "
+                    "median-of-3, warm session)"
+                ),
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -172,12 +172,19 @@ def warm_cache(spark: SparkSession, sf_dir: str, min_bytes: int = 1 << 20) -> No
     """
     tables = dict(load_tables(spark, sf_dir))
     par = spark.sparkContext.defaultParallelism
+    # the text corpus always fans out regardless of file bytes: its derived
+    # work (shingle HOFs, 8 md5 signatures per shingle) is CPU-superlinear
+    # in tokens, so even a sub-MB parquet file serializes seconds of compute
+    # onto one core if left on the scan's partitioning.  embeddings stays on
+    # byte rules: its heavy path (Arrow blocked matmul) WANTS large batches,
+    # and fanning 5k rows across 32 partitions measurably hurt it.
+    force_fanout = {"documents"}
     for name in TABLES:
         size = os.path.getsize(f"{sf_dir}/{name}.parquet")
-        if size < min_bytes:
+        if size < min_bytes and name not in force_fanout:
             continue
         df = tables[name]
-        if size >= 4 * min_bytes:
+        if size >= 4 * min_bytes or name in force_fanout:
             # only genuinely large facts get fanned out: on a table this
             # size the scan parallelism pays for the extra tasks; smaller
             # tables finish faster on few partitions than 32 tasks schedule
