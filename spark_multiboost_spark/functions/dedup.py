@@ -141,12 +141,20 @@ ORDER BY doc_a, doc_b
 def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2: MinHash(8 salted md5) + LSH(4 bands x 2) candidate generation,
     then exact-Jaccard verification of candidates only. The candidate join
-    is an equi-join on (band, band_hash) — no all-pairs blowup."""
+    is an equi-join on (band, band_hash) — no all-pairs blowup.
+
+    Scale shape: the band join shuffles (doc_id, band, band_hash) ONLY —
+    never the shingle payloads.  Candidate pairs dedup on the two ids
+    (narrow distinct), and the shingle arrays are joined back just for the
+    surviving candidates.  At 100 TB the payload-through-the-band-join
+    variant shuffles the whole corpus once per band; this one moves ids.
+    The shingled corpus is referenced three times (signatures + two verify
+    probes); persist() marks it computed-once (MEMORY_AND_DISK, spills).
+    On a cluster you'd materialize signatures to a table instead."""
     d = load_tables(spark, sf_dir)["documents"]
-    sh = _shingled(d)
+    sh = _shingled(d).persist()
     sig = sh.select(
         "doc_id",
-        "shingles",
         F.transform(
             F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
             lambda k: F.array_min(
@@ -159,12 +167,10 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     buckets = sig.select(
         "doc_id",
-        "shingles",
         F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
         F.col("sig"),
     ).select(
         "doc_id",
-        "shingles",
         "band",
         F.md5(
             F.concat(
@@ -173,23 +179,20 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_hash"),
     )
-    a = buckets.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sa"),
-        "band",
-        "band_hash",
-    )
-    b = buckets.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sb"),
-        "band",
-        "band_hash",
-    )
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     cand = (
         a.join(b, ["band", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sa", "sb")
+        .select("doc_a", "doc_b")
         .distinct()
+    )
+    cand = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")),
+        "doc_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")),
+        "doc_b",
     )
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
     union = F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))
