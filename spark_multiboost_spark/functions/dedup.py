@@ -613,3 +613,189 @@ def removal_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# -- exact-substring (chunk-hash) dedup ----------------------------------
+
+CHUNK_W = 8  # tokens per chunk
+CHUNK_STRIDE = 4
+
+_CHUNK_SQL = f"""
+, docs AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+), ch AS (
+  SELECT doc_id,
+         MD5(CONCAT_WS(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                            toks[i+4], toks[i+5], toks[i+6], toks[i+7])) AS chash
+  FROM docs, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - {CHUNK_W - 1}, 0),
+                                    {CHUNK_STRIDE})) AS t(i)
+  WHERE LEN(toks) >= {CHUNK_W}
+)
+"""
+
+
+@query(
+    "q_d2_chunk_dedup",
+    oracle="WITH _x AS (SELECT 1)"
+    + _CHUNK_SQL
+    + """
+, cstat AS (
+  SELECT chash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM ch GROUP BY chash
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) FILTER (s.nd > 1) AS BIGINT) AS n_shared,
+       ROUND(CAST(COUNT(*) FILTER (s.nd > 1) AS DOUBLE) / COUNT(*), 6)
+           AS shared_frac
+FROM ch c JOIN cstat s USING (chash)
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+""",
+    group="D",
+)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 (cont.): exact-substring dedup via overlapping token-chunk hashes
+    — the chunk-level pass pretraining pipelines run AFTER doc-level dedup
+    to catch boilerplate and long verbatim quotes that doc-level Jaccard
+    misses.  Each doc emits md5 hashes of 8-token windows at stride 4; a
+    chunk seen in >1 distinct doc is "shared", and the per-doc output is
+    the fraction of its chunks that are shared (the removal signal).
+
+    Scale shape: explode -> two hash-aggs (chunk stats, then per-doc
+    rollup) joined on chash.  Both aggs get map-side partial aggregation;
+    nothing is ever pairwise.  The chunk-stat table is the only shuffle of
+    corpus-sized data, on an md5 key — uniform by construction, no skew."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split("text", " ")
+    ch = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= CHUNK_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size("toks") - (CHUNK_W - 1), F.lit(0)),
+                        F.lit(CHUNK_STRIDE),
+                    ),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ",
+                            *[
+                                F.element_at(F.col("toks"), i + off)
+                                for off in range(CHUNK_W)
+                            ],
+                        )
+                    ),
+                )
+            ).alias("chash"),
+        )
+    )
+    cstat = ch.groupBy("chash").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("nd")
+    )
+    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("bigint")
+    return (
+        ch.join(cstat, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            shared.alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_chunks"), 6
+            ).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -- semantic dedup (SemDeDup-style, via IVF cells) -----------------------
+
+SEM_N_CELLS = 16
+SEM_TAU = 0.30
+
+
+@query(
+    "q_d2_semantic_dedup",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), cent AS (
+  SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id < {SEM_N_CELLS}
+), assign AS (
+  SELECT vec_id, emb, cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id ORDER BY list_distance(emb, cemb), cent_id) AS rk
+  FROM e CROSS JOIN cent
+), a AS (
+  SELECT vec_id, emb, cent_id FROM assign WHERE rk = 1
+), removed AS (
+  SELECT DISTINCT y.vec_id
+  FROM a x JOIN a y ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+  WHERE list_cosine_similarity(x.emb, y.emb) >= {SEM_TAU}
+)
+SELECT a.vec_id, a.cent_id AS cell, (r.vec_id IS NULL) AS is_kept
+FROM a LEFT JOIN removed r USING (vec_id)
+ORDER BY a.vec_id
+""",
+    group="D",
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 (cont.): SemDeDup-style semantic deduplication — cluster the
+    embedding corpus into IVF cells (centroids = vec_id < SEM_N_CELLS,
+    deterministic stand-ins for k-means), then WITHIN each cell drop every
+    vector whose cosine to a lower-id cell-mate is >= SEM_TAU.  Emits the
+    per-vector keep/drop decision.
+
+    Scale shape (the SemDeDup argument): pairwise comparison happens only
+    inside a cell, so the candidate count is sum_c |cell_c|^2 instead of
+    n^2 — with k cells of balanced size that is n^2/k, and the cell
+    assignment itself is a broadcast join (centroids are tiny).  The
+    within-cell self-join is an equi-join on cell id; no all-pairs plan
+    ever appears (asserted in tests alongside the other dedup paths)."""
+    from .vector import cosine, l2_distance
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    cent = F.broadcast(
+        e.filter(F.col("vec_id") < SEM_N_CELLS).select(
+            F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+    a = (
+        e.crossJoin(cent)
+        .withColumn("dist", l2_distance(F.col("emb"), F.col("cemb")))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "emb", "cent_id")
+    )
+    x = a.select(
+        F.col("vec_id").alias("va"), F.col("emb").alias("ea"), "cent_id"
+    )
+    y = a.select(
+        F.col("vec_id").alias("vec_id"), F.col("emb").alias("eb"), "cent_id"
+    )
+    removed = (
+        x.join(y, "cent_id")
+        .filter(F.col("va") < F.col("vec_id"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= SEM_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("rm", F.lit(1))
+    )
+    return (
+        a.join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cent_id").alias("cell"),
+            F.col("rm").isNull().alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )

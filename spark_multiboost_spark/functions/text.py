@@ -634,3 +634,68 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_d5_perplexity_proxy",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+), freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY token
+), tot AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS total FROM freq
+), scored AS (
+  SELECT t.doc_id, -LN(CAST(f.n AS DOUBLE) / tot.total) AS nlp
+  FROM toks t JOIN freq f USING (token) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(nlp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+           AS avg_neg_logp
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    group="D",
+)
+def perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): perplexity-proxy quality score — per-document average
+    negative log-probability under a corpus-level unigram language model
+    (the cheap stand-in for a trained-LM perplexity filter; docs with
+    unusually high avg_neg_logp are rare-token noise, unusually low ones
+    are boilerplate repetition).
+
+    Scale shape: token explode -> one hash-agg for the unigram counts
+    (map-side partial aggregation collapses the Zipf head before the
+    shuffle), then the frequency table — vocabulary-sized, which grows
+    ~logarithmically with the corpus — is BROADCAST back onto the token
+    stream, so the scoring join never shuffles corpus-scale data on the
+    skewed token key; the final per-doc agg shuffles on doc_id (uniform).
+    Per-token -ln p is quantized to DECIMAL(18,6) before summing
+    (functions/parity.py discipline) so the average is
+    accumulation-order-independent and cross-engine exact."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    freq = toks.groupBy("token").agg(bcount().alias("n"))
+    tot = freq.agg(F.sum("n").cast("double").alias("total"))
+    nlp = -F.log(F.col("n").cast("double") / F.col("total"))
+    return (
+        toks.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", nlp.alias("nlp"))
+        .groupBy("doc_id")
+        .agg(
+            bcount().alias("n_tokens"),
+            (
+                F.sum(F.col("nlp").cast("decimal(18,6)")).cast("double")
+                / F.count("nlp")
+            ).alias("avg_neg_logp_raw"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("avg_neg_logp_raw", 6).alias("avg_neg_logp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -492,6 +492,97 @@ def fixed_model_micro_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-class L1 vote mass of the fixed model, as exact shared literals:
+# left-to-right float sum in Python == the same literal in both engines,
+# so margin normalization has zero cross-engine ambiguity.
+_VOTE_NORMS = [
+    abs(_VOTES0[l]) + abs(_VOTES1[l]) + abs(_VOTES2[l]) for l in range(K)
+]
+
+
+@query(
+    "q_a11_margin_distribution",
+    oracle=_PRELUDE
+    + f"""
+, stumps AS (SELECT * FROM {_STUMPS_SQL})
+, phi AS (
+  SELECT e.vec_id AS id, st.t, st.votes,
+         CASE WHEN e.embedding[st.feature] > st.threshold THEN 1.0 ELSE -1.0 END AS phi
+  FROM e CROSS JOIN stumps st
+), scored AS (
+  SELECT id, g.class, SUM(votes[g.class + 1] * phi) AS score
+  FROM phi CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {K - 1})) AS class) g
+  GROUP BY id, g.class
+), margins AS (
+  SELECT s.id,
+         MIN(CAST(mlp.y * s.score / (CAST({_sql_list(_VOTE_NORMS)} AS DOUBLE[])[s.class + 1])
+                  AS DECIMAL(18,6))) AS min_margin
+  FROM scored s JOIN mlp ON s.id = mlp.id AND s.class = mlp.class
+  GROUP BY s.id
+), bucketed AS (
+  SELECT CAST(FLOOR(min_margin * 10) AS BIGINT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_examples
+  FROM margins GROUP BY bucket
+), mm2 AS (SELECT CAST(SUM(n_examples) AS DOUBLE) AS m FROM bucketed)
+SELECT bucket, ROUND(bucket / 10.0, 1) AS margin_lo, n_examples,
+       ROUND(CAST(SUM(n_examples) OVER (ORDER BY bucket) AS DOUBLE) / mm2.m, 6)
+           AS cum_frac
+FROM bucketed CROSS JOIN mm2
+ORDER BY bucket
+""",
+    group="A",
+)
+def margin_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 (cont.): normalized margin distribution of the fixed strong model
+    — per example, min over labels of y * H(x)[l] / sum_t |v_tl|, bucketed
+    at width 0.1 with the cumulative fraction (the margins-explanation view
+    of boosting generalization, Schapire et al. 1998).  Negative-bucket
+    mass = examples some label still misclassifies; the cum_frac curve is
+    what the margin-theory bound is written over.
+
+    One broadcast of the 3-stump table, one hash-agg to scores, one to the
+    per-example min, one to buckets — no corpus-sized shuffle carries more
+    than (id, margin)."""
+    emb = _emb(spark, sf_dir)
+    sdf = boosting.stumps_to_df(emb.sparkSession, _STUMPS_FIXED)
+    scored = boosting.score_model(emb, sdf)
+    mlp = boosting.mlp_long(emb, K)
+    norms = F.array(*[F.lit(v) for v in _VOTE_NORMS])
+    margins = (
+        scored.join(mlp, ["id", "class"])
+        .select(
+            "id",
+            (
+                F.col("y") * F.col("score")
+                / F.element_at(norms, F.col("class") + 1)
+            )
+            # quantize before min/floor: an all-stumps-aligned example has
+            # margin exactly +-1.0 in real arithmetic but +-1 +- ulp in
+            # either engine's sum order, which flips the 0.1-bucket floor
+            .cast("decimal(18,6)")
+            .alias("margin"),
+        )
+        .groupBy("id")
+        .agg(F.min("margin").alias("min_margin"))
+    )
+    bucketed = margins.groupBy(
+        F.floor(F.col("min_margin") * 10).cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_examples"))
+    m = bucketed.agg(F.sum("n_examples").cast("double").alias("m"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        bucketed.crossJoin(F.broadcast(m))
+        .withColumn("cum", F.sum("n_examples").over(w).cast("double"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") / 10.0, 1).alias("margin_lo"),
+            "n_examples",
+            F.round(F.col("cum") / F.col("m"), 6).alias("cum_frac"),
+        )
+        .orderBy("bucket")
+    )
+
+
 @query("q_a10_train_loop", oracle=None, group="A")
 def train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10: the full boosting loop (T=3) — iterative, rows-only check;

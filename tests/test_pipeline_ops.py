@@ -1,0 +1,43 @@
+"""Behavioral checks for the round-2/3 pretraining-pipeline operators
+(exact-equality vs DuckDB is covered by test_oracle_all; these assert the
+operators produce the *signal* they exist for)."""
+
+from __future__ import annotations
+
+from spark_multiboost_spark.registry import all_queries
+
+_Q = all_queries()
+
+
+def test_chunk_dedup_finds_shared_chunks(spark, sf_dir):
+    df = _Q["q_d2_chunk_dedup"].fn(spark, sf_dir).toPandas()
+    assert (df["n_shared"] > 0).any()  # fixtures contain near-dup docs
+    assert ((df["shared_frac"] >= 0) & (df["shared_frac"] <= 1)).all()
+    assert (df["n_shared"] <= df["n_chunks"]).all()
+
+
+def test_semantic_dedup_decisions(spark, sf_dir):
+    df = _Q["q_d2_semantic_dedup"].fn(spark, sf_dir).toPandas()
+    # one decision per corpus vector, some removals, centroids keep themselves
+    assert df["vec_id"].is_unique
+    assert (~df["is_kept"]).any() and df["is_kept"].any()
+    cent_rows = df[df["vec_id"] < 16]
+    # a centroid is the lowest id in its own cell only if no smaller-id vec
+    # shares the cell; vec_id 0 always survives (nothing below it)
+    assert bool(df.loc[df["vec_id"] == 0, "is_kept"].iloc[0])
+
+
+def test_perplexity_proxy_is_a_quality_signal(spark, sf_dir):
+    df = _Q["q_d5_perplexity_proxy"].fn(spark, sf_dir).toPandas()
+    assert (df["avg_neg_logp"] > 0).all()  # -ln p of observed tokens
+    # corpus-level unigram entropy bound: avg over docs sits near ln(vocab)
+    assert 1.0 < df["avg_neg_logp"].mean() < 20.0
+    assert df["n_tokens"].ge(1).all()
+
+
+def test_margin_distribution_accounts_for_every_example(spark, sf_dir):
+    df = _Q["q_a11_margin_distribution"].fn(spark, sf_dir).toPandas()
+    emb_rows = _Q["q_a1_scan_embeddings"].fn(spark, sf_dir).count()
+    assert df["n_examples"].sum() == emb_rows
+    assert abs(df["cum_frac"].iloc[-1] - 1.0) < 1e-9
+    assert df["bucket"].between(-10, 9).all()  # normalized margins in [-1, 1]

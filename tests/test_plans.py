@@ -147,7 +147,19 @@ def test_docpipe_bounded_shuffles(spark, sf_dir):
 def test_dedup_no_cartesian(spark, sf_dir):
     # the round-1 judge flagged both of these as all-pairs scale-killers;
     # the banded/blocked rewrites must never regress to a cartesian
-    for name in ("q_d2_embedding_neardup", "q_d2_ngram_jaccard"):
+    for name in (
+        "q_d2_embedding_neardup",
+        "q_d2_ngram_jaccard",
+        "q_d2_chunk_dedup",
+        "q_d2_minhash_lsh",
+    ):
         plan = _plan(spark, name, sf_dir)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+    # semantic dedup: the only BNLJs allowed are the broadcasts of the
+    # 16-row centroid table for cell assignment (the assignment subtree is
+    # duplicated across the two sides of the self-join, so it appears
+    # twice); the within-cell pair join must stay an equi-join on cell id
+    plan = _plan(spark, "q_d2_semantic_dedup", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin (") <= 2
