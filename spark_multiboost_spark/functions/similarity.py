@@ -444,3 +444,46 @@ ORDER BY qid, rank
 """
 
 query("q_d3_ivf_ann", oracle=_IVF_ORACLE, group="D")(ivf_ann)
+
+
+_RECALL_ORACLE = f"""
+WITH bf AS ({_TOPK_ORACLE}), iv AS ({_IVF_ORACLE})
+SELECT bf.qid,
+       CAST(COUNT(iv.cid) AS BIGINT) AS n_hits,
+       ROUND(CAST(COUNT(iv.cid) AS DOUBLE) / {K}, 6) AS recall_at_k
+FROM bf LEFT JOIN iv ON bf.qid = iv.qid AND bf.cid = iv.cid
+GROUP BY bf.qid
+ORDER BY bf.qid
+"""
+
+
+def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): recall@k of the IVF approximate index against the exact
+    brute-force top-k — the measurement every ANN deployment runs before
+    trusting the approximate path (tune N_CELLS/N_PROBE until this says
+    what the product needs).  Composes the two already-oracle-checked
+    queries; the join is on (qid, cid) — two small result sets, so the
+    report itself costs nothing next to the searches."""
+    bf = topk_cosine(spark, sf_dir).select("qid", "cid")
+    iv = ivf_ann(spark, sf_dir).select("qid", F.col("cid").alias("iv_cid"))
+    return (
+        bf.join(
+            iv,
+            (bf["qid"] == iv["qid"]) & (bf["cid"] == iv["iv_cid"]),
+            "left",
+        )
+        .select(bf["qid"].alias("qid"), "iv_cid")
+        .groupBy("qid")
+        .agg(
+            F.count("iv_cid").cast("bigint").alias("n_hits"),
+        )
+        .select(
+            "qid",
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / K, 6).alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )
+
+
+query("q_d3_ivf_recall", oracle=_RECALL_ORACLE, group="D")(ivf_recall)

@@ -41,3 +41,22 @@ def test_margin_distribution_accounts_for_every_example(spark, sf_dir):
     assert df["n_examples"].sum() == emb_rows
     assert abs(df["cum_frac"].iloc[-1] - 1.0) < 1e-9
     assert df["bucket"].between(-10, 9).all()  # normalized margins in [-1, 1]
+
+
+def test_pretrain_pipeline_gates_all_fire(spark, sf_dir):
+    df = _Q["q_comp_pretrain_pipeline"].fn(spark, sf_dir).toPandas()
+    reasons = set(r for rr in df["reasons"] if rr for r in rr.split(","))
+    # every gate must actually drop something at every fixture SF
+    assert reasons == {"lang", "len", "rep", "chunk_dup", "near_dup", "contam", "holdout"}
+    assert df["kept"].any() and (~df["kept"]).any()
+    # kept <-> no reasons
+    assert (df["kept"] == (df["reasons"] == "")).all()
+
+
+def test_ivf_recall_bounds(spark, sf_dir):
+    df = _Q["q_d3_ivf_recall"].fn(spark, sf_dir).toPandas()
+    assert len(df) == 100  # one row per query vector
+    assert df["recall_at_k"].between(0, 1).all()
+    # the approximation must be usefully better than nothing and the
+    # report must not be vacuously perfect (otherwise it tests nothing)
+    assert 0.05 < df["recall_at_k"].mean() < 1.0
