@@ -363,6 +363,209 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- pretraining-pipeline composite ---------------------------------------
+
+PIPE_LANG_DROP = "zh"  # stand-in for "not in the training language set"
+PIPE_MIN_TOK = 20
+PIPE_MAX_TOK = 95
+PIPE_CHUNK_MAX = 0.5
+PIPE_CONTAM_MIN = 4  # distinct shared trigrams with any one benchmark doc
+
+
+def _pretrain_oracle() -> str:
+    from ..functions.dedup import _JACCARD_THRESHOLD, _SIG_SQL
+
+    return f"""
+WITH docs AS (
+  SELECT doc_id, source, lang, STRING_SPLIT(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 0)),
+             i -> CONCAT_WS(' ', toks[i], toks[i + 1], toks[i + 2]))) AS shingles
+  FROM docs WHERE LEN(toks) >= 3
+), sig AS (
+  SELECT doc_id, {_SIG_SQL} AS sig FROM sh
+), buckets AS (
+  SELECT doc_id, b.band,
+         MD5(CONCAT(sig[2 * b.band + 1], sig[2 * b.band + 2])) AS band_hash
+  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b
+  FROM buckets a JOIN buckets x
+    ON a.band = x.band AND a.band_hash = x.band_hash AND a.doc_id < x.doc_id
+), removed AS (
+  SELECT DISTINCT c.doc_b AS doc_id
+  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
+  WHERE CAST(LEN(LIST_INTERSECT(sa.shingles, sb.shingles)) AS DOUBLE)
+        / (LEN(sa.shingles) + LEN(sb.shingles)
+           - LEN(LIST_INTERSECT(sa.shingles, sb.shingles))) >= {_JACCARD_THRESHOLD}
+), ch AS (
+  SELECT doc_id,
+         MD5(CONCAT_WS(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
+                            toks[i+4], toks[i+5], toks[i+6], toks[i+7])) AS chash
+  FROM docs, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - 7, 0), 4)) AS t(i)
+  WHERE LEN(toks) >= 8
+), cstat AS (
+  SELECT chash, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY chash
+), chunkfrac AS (
+  SELECT c.doc_id,
+         ROUND(CAST(COUNT(*) FILTER (s.nd > 1) AS DOUBLE) / COUNT(*), 6)
+             AS shared_frac
+  FROM ch c JOIN cstat s USING (chash) GROUP BY c.doc_id
+), rep AS (
+  SELECT doc_id,
+         CAST(LEN(gs) - LEN(LIST_DISTINCT(gs)) AS DOUBLE) / LEN(gs) AS dup_frac
+  FROM (SELECT doc_id,
+               LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 0)),
+                   i -> CONCAT_WS(' ', toks[i], toks[i + 1], toks[i + 2])) AS gs
+        FROM docs WHERE LEN(toks) >= 3)
+), ex AS (
+  SELECT doc_id, UNNEST(shingles) AS g FROM sh
+), bench AS (
+  SELECT doc_id, g FROM ex WHERE doc_id % 97 = 0
+), contam AS (
+  SELECT doc_id, MAX(ns) AS contam_max
+  FROM (SELECT c.doc_id, b.doc_id AS bd, COUNT(*) AS ns
+        FROM ex c JOIN bench b ON c.g = b.g AND c.doc_id <> b.doc_id
+        GROUP BY c.doc_id, b.doc_id)
+  GROUP BY doc_id
+), feat AS (
+  SELECT d.doc_id, d.source, d.lang, CAST(LEN(d.toks) AS BIGINT) AS n_tokens,
+         COALESCE(r.dup_frac, 0) AS dup_frac,
+         COALESCE(cf.shared_frac, 0) AS shared_frac,
+         (rm.doc_id IS NOT NULL) AS is_near_dup,
+         COALESCE(cm.contam_max, 0) AS contam_max,
+         (d.doc_id % 97 = 0) AS is_holdout
+  FROM docs d
+  LEFT JOIN rep r USING (doc_id)
+  LEFT JOIN chunkfrac cf USING (doc_id)
+  LEFT JOIN removed rm USING (doc_id)
+  LEFT JOIN contam cm USING (doc_id)
+)
+SELECT doc_id, source, lang, n_tokens,
+       (lang <> '{PIPE_LANG_DROP}'
+        AND n_tokens BETWEEN {PIPE_MIN_TOK} AND {PIPE_MAX_TOK}
+        AND dup_frac = 0 AND shared_frac <= {PIPE_CHUNK_MAX}
+        AND NOT is_near_dup AND contam_max < {PIPE_CONTAM_MIN}
+        AND NOT is_holdout) AS kept,
+       CONCAT_WS(',',
+         CASE WHEN lang = '{PIPE_LANG_DROP}' THEN 'lang' END,
+         CASE WHEN n_tokens NOT BETWEEN {PIPE_MIN_TOK} AND {PIPE_MAX_TOK} THEN 'len' END,
+         CASE WHEN dup_frac > 0 THEN 'rep' END,
+         CASE WHEN shared_frac > {PIPE_CHUNK_MAX} THEN 'chunk_dup' END,
+         CASE WHEN is_near_dup THEN 'near_dup' END,
+         CASE WHEN contam_max >= {PIPE_CONTAM_MIN} THEN 'contam' END,
+         CASE WHEN is_holdout THEN 'holdout' END) AS reasons
+FROM feat
+ORDER BY doc_id
+"""
+
+
+@query("q_comp_pretrain_pipeline", oracle=_pretrain_oracle(), group="E")
+def pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E: the end-to-end pretraining-data curation composite — every gate a
+    real pipeline runs before training, fused into ONE declarative plan
+    with a per-document keep/drop decision and the failed-gate reasons:
+
+      lang filter | token-length band | trigram-repetition (Gopher-style)
+      | chunk-level duplication | MinHash-LSH near-dup removal | benchmark
+      n-gram contamination | holdout exclusion
+
+    Composes the already-oracle-checked operators (chunk_dedup,
+    minhash_lsh, contamination) rather than re-deriving them, so every
+    gate's scale shape carries over: all joins are on doc_id (uniform
+    key), the LSH band join moves ids only, the benchmark side is
+    broadcast, and nothing is ever pairwise across the corpus.  The
+    reasons string is CONCAT_WS over per-gate CASEs — null-skipping in
+    both engines, so kept docs get ''."""
+    from ..functions.dedup import chunk_dedup, minhash_lsh
+    from ..functions.text import contamination
+
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split("text", " ")
+    gs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+        ),
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.when(
+            F.size("toks") >= 3,
+            (F.size(gs) - F.size(F.array_distinct(gs))).cast("double") / F.size(gs),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )
+    chunkfrac = chunk_dedup(spark, sf_dir).select("doc_id", "shared_frac")
+    removed = (
+        minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near_dup", F.lit(True))
+    )
+    contam = (
+        contamination(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.max("n_shared").alias("contam_max"))
+    )
+    feat = (
+        base.join(chunkfrac, "doc_id", "left")
+        .join(removed, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_tokens",
+            "dup_frac",
+            F.coalesce("shared_frac", F.lit(0.0)).alias("shared_frac"),
+            F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
+            F.coalesce("contam_max", F.lit(0)).alias("contam_max"),
+            (F.col("doc_id") % 97 == 0).alias("is_holdout"),
+        )
+    )
+    kept = (
+        (F.col("lang") != PIPE_LANG_DROP)
+        & F.col("n_tokens").between(PIPE_MIN_TOK, PIPE_MAX_TOK)
+        & (F.col("dup_frac") == 0)
+        & (F.col("shared_frac") <= PIPE_CHUNK_MAX)
+        & ~F.col("is_near_dup")
+        & (F.col("contam_max") < PIPE_CONTAM_MIN)
+        & ~F.col("is_holdout")
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("lang") == PIPE_LANG_DROP, F.lit("lang")),
+        F.when(~F.col("n_tokens").between(PIPE_MIN_TOK, PIPE_MAX_TOK), F.lit("len")),
+        F.when(F.col("dup_frac") > 0, F.lit("rep")),
+        F.when(F.col("shared_frac") > PIPE_CHUNK_MAX, F.lit("chunk_dup")),
+        F.when(F.col("is_near_dup"), F.lit("near_dup")),
+        F.when(F.col("contam_max") >= PIPE_CONTAM_MIN, F.lit("contam")),
+        F.when(F.col("is_holdout"), F.lit("holdout")),
+    )
+    return feat.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_tokens",
+        kept.alias("kept"),
+        reasons.alias("reasons"),
+    ).orderBy("doc_id")
+
+
 @query(
     "q_ext_range_join",
     oracle="""
@@ -801,206 +1004,3 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(bcount().alias("n_items"), dsum("l_extendedprice").alias("total_price"))
         .orderBy("o_orderpriority")
     )
-
-
-# -- pretraining-pipeline composite ---------------------------------------
-
-PIPE_LANG_DROP = "zh"  # stand-in for "not in the training language set"
-PIPE_MIN_TOK = 20
-PIPE_MAX_TOK = 95
-PIPE_CHUNK_MAX = 0.5
-PIPE_CONTAM_MIN = 4  # distinct shared trigrams with any one benchmark doc
-
-
-def _pretrain_oracle() -> str:
-    from ..functions.dedup import _JACCARD_THRESHOLD, _SIG_SQL
-
-    return f"""
-WITH docs AS (
-  SELECT doc_id, source, lang, STRING_SPLIT(text, ' ') AS toks FROM documents
-), sh AS (
-  SELECT doc_id,
-         LIST_DISTINCT(LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 0)),
-             i -> CONCAT_WS(' ', toks[i], toks[i + 1], toks[i + 2]))) AS shingles
-  FROM docs WHERE LEN(toks) >= 3
-), sig AS (
-  SELECT doc_id, {_SIG_SQL} AS sig FROM sh
-), buckets AS (
-  SELECT doc_id, b.band,
-         MD5(CONCAT(sig[2 * b.band + 1], sig[2 * b.band + 2])) AS band_hash
-  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b
-  FROM buckets a JOIN buckets x
-    ON a.band = x.band AND a.band_hash = x.band_hash AND a.doc_id < x.doc_id
-), removed AS (
-  SELECT DISTINCT c.doc_b AS doc_id
-  FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b
-  WHERE CAST(LEN(LIST_INTERSECT(sa.shingles, sb.shingles)) AS DOUBLE)
-        / (LEN(sa.shingles) + LEN(sb.shingles)
-           - LEN(LIST_INTERSECT(sa.shingles, sb.shingles))) >= {_JACCARD_THRESHOLD}
-), ch AS (
-  SELECT doc_id,
-         MD5(CONCAT_WS(' ', toks[i], toks[i+1], toks[i+2], toks[i+3],
-                            toks[i+4], toks[i+5], toks[i+6], toks[i+7])) AS chash
-  FROM docs, UNNEST(GENERATE_SERIES(1, GREATEST(LEN(toks) - 7, 0), 4)) AS t(i)
-  WHERE LEN(toks) >= 8
-), cstat AS (
-  SELECT chash, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY chash
-), chunkfrac AS (
-  SELECT c.doc_id,
-         ROUND(CAST(COUNT(*) FILTER (s.nd > 1) AS DOUBLE) / COUNT(*), 6)
-             AS shared_frac
-  FROM ch c JOIN cstat s USING (chash) GROUP BY c.doc_id
-), rep AS (
-  SELECT doc_id,
-         CAST(LEN(gs) - LEN(LIST_DISTINCT(gs)) AS DOUBLE) / LEN(gs) AS dup_frac
-  FROM (SELECT doc_id,
-               LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(toks) - 2, 0)),
-                   i -> CONCAT_WS(' ', toks[i], toks[i + 1], toks[i + 2])) AS gs
-        FROM docs WHERE LEN(toks) >= 3)
-), ex AS (
-  SELECT doc_id, UNNEST(shingles) AS g FROM sh
-), bench AS (
-  SELECT doc_id, g FROM ex WHERE doc_id % 97 = 0
-), contam AS (
-  SELECT doc_id, MAX(ns) AS contam_max
-  FROM (SELECT c.doc_id, b.doc_id AS bd, COUNT(*) AS ns
-        FROM ex c JOIN bench b ON c.g = b.g AND c.doc_id <> b.doc_id
-        GROUP BY c.doc_id, b.doc_id)
-  GROUP BY doc_id
-), feat AS (
-  SELECT d.doc_id, d.source, d.lang, CAST(LEN(d.toks) AS BIGINT) AS n_tokens,
-         COALESCE(r.dup_frac, 0) AS dup_frac,
-         COALESCE(cf.shared_frac, 0) AS shared_frac,
-         (rm.doc_id IS NOT NULL) AS is_near_dup,
-         COALESCE(cm.contam_max, 0) AS contam_max,
-         (d.doc_id % 97 = 0) AS is_holdout
-  FROM docs d
-  LEFT JOIN rep r USING (doc_id)
-  LEFT JOIN chunkfrac cf USING (doc_id)
-  LEFT JOIN removed rm USING (doc_id)
-  LEFT JOIN contam cm USING (doc_id)
-)
-SELECT doc_id, source, lang, n_tokens,
-       (lang <> '{PIPE_LANG_DROP}'
-        AND n_tokens BETWEEN {PIPE_MIN_TOK} AND {PIPE_MAX_TOK}
-        AND dup_frac = 0 AND shared_frac <= {PIPE_CHUNK_MAX}
-        AND NOT is_near_dup AND contam_max < {PIPE_CONTAM_MIN}
-        AND NOT is_holdout) AS kept,
-       CONCAT_WS(',',
-         CASE WHEN lang = '{PIPE_LANG_DROP}' THEN 'lang' END,
-         CASE WHEN n_tokens NOT BETWEEN {PIPE_MIN_TOK} AND {PIPE_MAX_TOK} THEN 'len' END,
-         CASE WHEN dup_frac > 0 THEN 'rep' END,
-         CASE WHEN shared_frac > {PIPE_CHUNK_MAX} THEN 'chunk_dup' END,
-         CASE WHEN is_near_dup THEN 'near_dup' END,
-         CASE WHEN contam_max >= {PIPE_CONTAM_MIN} THEN 'contam' END,
-         CASE WHEN is_holdout THEN 'holdout' END) AS reasons
-FROM feat
-ORDER BY doc_id
-"""
-
-
-@query("q_comp_pretrain_pipeline", oracle=_pretrain_oracle(), group="E")
-def pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E: the end-to-end pretraining-data curation composite — every gate a
-    real pipeline runs before training, fused into ONE declarative plan
-    with a per-document keep/drop decision and the failed-gate reasons:
-
-      lang filter | token-length band | trigram-repetition (Gopher-style)
-      | chunk-level duplication | MinHash-LSH near-dup removal | benchmark
-      n-gram contamination | holdout exclusion
-
-    Composes the already-oracle-checked operators (chunk_dedup,
-    minhash_lsh, contamination) rather than re-deriving them, so every
-    gate's scale shape carries over: all joins are on doc_id (uniform
-    key), the LSH band join moves ids only, the benchmark side is
-    broadcast, and nothing is ever pairwise across the corpus.  The
-    reasons string is CONCAT_WS over per-gate CASEs — null-skipping in
-    both engines, so kept docs get ''."""
-    from ..functions.dedup import chunk_dedup, minhash_lsh
-    from ..functions.text import contamination
-
-    d = load_tables(spark, sf_dir)["documents"]
-    toks = F.split("text", " ")
-    gs = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0))),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(F.col("toks"), i),
-            F.element_at(F.col("toks"), i + 1),
-            F.element_at(F.col("toks"), i + 2),
-        ),
-    )
-    base = d.select(
-        "doc_id",
-        "source",
-        "lang",
-        toks.alias("toks"),
-    ).select(
-        "doc_id",
-        "source",
-        "lang",
-        F.size("toks").cast("bigint").alias("n_tokens"),
-        F.when(
-            F.size("toks") >= 3,
-            (F.size(gs) - F.size(F.array_distinct(gs))).cast("double") / F.size(gs),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("dup_frac"),
-    )
-    chunkfrac = chunk_dedup(spark, sf_dir).select("doc_id", "shared_frac")
-    removed = (
-        minhash_lsh(spark, sf_dir)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-        .withColumn("is_near_dup", F.lit(True))
-    )
-    contam = (
-        contamination(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.max("n_shared").alias("contam_max"))
-    )
-    feat = (
-        base.join(chunkfrac, "doc_id", "left")
-        .join(removed, "doc_id", "left")
-        .join(contam, "doc_id", "left")
-        .select(
-            "doc_id",
-            "source",
-            "lang",
-            "n_tokens",
-            "dup_frac",
-            F.coalesce("shared_frac", F.lit(0.0)).alias("shared_frac"),
-            F.coalesce("is_near_dup", F.lit(False)).alias("is_near_dup"),
-            F.coalesce("contam_max", F.lit(0)).alias("contam_max"),
-            (F.col("doc_id") % 97 == 0).alias("is_holdout"),
-        )
-    )
-    kept = (
-        (F.col("lang") != PIPE_LANG_DROP)
-        & F.col("n_tokens").between(PIPE_MIN_TOK, PIPE_MAX_TOK)
-        & (F.col("dup_frac") == 0)
-        & (F.col("shared_frac") <= PIPE_CHUNK_MAX)
-        & ~F.col("is_near_dup")
-        & (F.col("contam_max") < PIPE_CONTAM_MIN)
-        & ~F.col("is_holdout")
-    )
-    reasons = F.concat_ws(
-        ",",
-        F.when(F.col("lang") == PIPE_LANG_DROP, F.lit("lang")),
-        F.when(~F.col("n_tokens").between(PIPE_MIN_TOK, PIPE_MAX_TOK), F.lit("len")),
-        F.when(F.col("dup_frac") > 0, F.lit("rep")),
-        F.when(F.col("shared_frac") > PIPE_CHUNK_MAX, F.lit("chunk_dup")),
-        F.when(F.col("is_near_dup"), F.lit("near_dup")),
-        F.when(F.col("contam_max") >= PIPE_CONTAM_MIN, F.lit("contam")),
-        F.when(F.col("is_holdout"), F.lit("holdout")),
-    )
-    return feat.select(
-        "doc_id",
-        "source",
-        "lang",
-        "n_tokens",
-        kept.alias("kept"),
-        reasons.alias("reasons"),
-    ).orderBy("doc_id")
