@@ -895,3 +895,144 @@ def sparse_stump_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boosting.stump_z(cw).select(
         "feature", "threshold", F.round("z", 9).alias("z")
     )
+
+
+ABSTAIN_DELTA = 0.05  # half-width of the abstention band around the cut
+
+
+@query(
+    "q_a5_abstain_stump_z",
+    oracle=_PRELUDE
+    + f"""
+, grouped AS (
+  SELECT f.feature, f.value, w.class,
+         SUM(CASE WHEN w.y = 1 THEN w.weight ELSE 0 END) AS swp,
+         SUM(CASE WHEN w.y = -1 THEN w.weight ELSE 0 END) AS swm
+  FROM feats f JOIN w ON f.id = w.id
+  WHERE f.feature <= 4
+  GROUP BY f.feature, f.value, w.class
+), cum AS (
+  SELECT feature, value AS threshold, class,
+         COALESCE(SUM(swp) OVER (PARTITION BY feature, class ORDER BY value
+             RANGE BETWEEN UNBOUNDED PRECEDING AND {ABSTAIN_DELTA} PRECEDING), 0) AS lo_p,
+         COALESCE(SUM(swm) OVER (PARTITION BY feature, class ORDER BY value
+             RANGE BETWEEN UNBOUNDED PRECEDING AND {ABSTAIN_DELTA} PRECEDING), 0) AS lo_m,
+         SUM(swp) OVER (PARTITION BY feature, class ORDER BY value
+             RANGE BETWEEN UNBOUNDED PRECEDING AND {ABSTAIN_DELTA} FOLLOWING) AS le_hi_p,
+         SUM(swm) OVER (PARTITION BY feature, class ORDER BY value
+             RANGE BETWEEN UNBOUNDED PRECEDING AND {ABSTAIN_DELTA} FOLLOWING) AS le_hi_m,
+         SUM(swp) OVER (PARTITION BY feature, class) AS t_p,
+         SUM(swm) OVER (PARTITION BY feature, class) AS t_m
+  FROM grouped
+), blocks AS (
+  SELECT feature, threshold, class, lo_p, lo_m,
+         GREATEST(t_p - le_hi_p, 0) AS hi_p, GREATEST(t_m - le_hi_m, 0) AS hi_m,
+         GREATEST((t_p + t_m) - (lo_p + lo_m + GREATEST(t_p - le_hi_p, 0)
+                                 + GREATEST(t_m - le_hi_m, 0)), 0) AS w0
+  FROM cum
+)
+SELECT feature, threshold,
+       ROUND(SUM(w0 + 2.0 * SQRT(lo_p * lo_m) + 2.0 * SQRT(hi_p * hi_m)), 9) AS z
+FROM blocks
+GROUP BY feature, threshold
+""",
+    group="A",
+)
+def abstain_stump_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (cont.): Z-criterion for the ABSTAINING stump — the three-block
+    weak learner of the BoosTexter family (Schapire & Singer 1999 §4.1,
+    domain-partitioning hypotheses): predict -1 below threshold-delta, +1
+    above threshold+delta, abstain (phi=0) inside the band.  The abstain
+    block contributes its whole weight mass to Z, the voting blocks
+    contribute 2*sqrt(W+ W-), so Z = sum_l [W0_l + 2 sqrt(Wlo+ Wlo-) +
+    2 sqrt(Whi+ Whi-)] — minimizing it trades decisiveness against
+    confidence exactly as the theory prescribes.
+
+    Implementation: the two extra cut positions per candidate (theta +-
+    delta) come from VALUE-RANGE window frames over the same pre-aggregated
+    (feature, value, class) frame the two-block search uses — no extra
+    shuffle versus plain A5; both engines agree on inclusive range-frame
+    boundaries (verified, see tests)."""
+    emb = _emb(spark, sf_dir)
+    m = emb.count()
+    weight = 1.0 / (m * K)
+    base = (
+        emb.select(
+            F.col("vec_id").alias("id"),
+            "label",
+            F.posexplode(F.slice("embedding", 1, 4)).alias("f0", "value"),
+        )
+        .select("id", "label", (F.col("f0") + 1).alias("feature"), "value")
+        .crossJoin(spark.range(K).select(F.col("id").cast("int").alias("class")))
+    )
+    grouped = base.groupBy("feature", "value", "class").agg(
+        F.sum(
+            F.when(F.col("class") == F.col("label"), F.lit(weight)).otherwise(0.0)
+        ).alias("swp"),
+        F.sum(
+            F.when(F.col("class") != F.col("label"), F.lit(weight)).otherwise(0.0)
+        ).alias("swm"),
+    )
+    d = ABSTAIN_DELTA
+    frame = "PARTITION BY feature, class ORDER BY value"
+    cum = grouped.select(
+        "feature",
+        F.col("value").alias("threshold"),
+        "class",
+        F.coalesce(
+            F.expr(
+                f"SUM(swp) OVER ({frame} RANGE BETWEEN UNBOUNDED PRECEDING AND {d} PRECEDING)"
+            ),
+            F.lit(0.0),
+        ).alias("lo_p"),
+        F.coalesce(
+            F.expr(
+                f"SUM(swm) OVER ({frame} RANGE BETWEEN UNBOUNDED PRECEDING AND {d} PRECEDING)"
+            ),
+            F.lit(0.0),
+        ).alias("lo_m"),
+        F.expr(
+            f"SUM(swp) OVER ({frame} RANGE BETWEEN UNBOUNDED PRECEDING AND {d} FOLLOWING)"
+        ).alias("le_hi_p"),
+        F.expr(
+            f"SUM(swm) OVER ({frame} RANGE BETWEEN UNBOUNDED PRECEDING AND {d} FOLLOWING)"
+        ).alias("le_hi_m"),
+        F.expr("SUM(swp) OVER (PARTITION BY feature, class)").alias("t_p"),
+        F.expr("SUM(swm) OVER (PARTITION BY feature, class)").alias("t_m"),
+    )
+    blocks = cum.select(
+        "feature",
+        "threshold",
+        "class",
+        "lo_p",
+        "lo_m",
+        # clamp at 0: when the range frame spans the whole partition the
+        # complement is exactly 0 in real arithmetic but +-1 ulp in either
+        # engine's accumulation order, and sqrt(-epsilon) must never happen
+        F.greatest(F.col("t_p") - F.col("le_hi_p"), F.lit(0.0)).alias("hi_p"),
+        F.greatest(F.col("t_m") - F.col("le_hi_m"), F.lit(0.0)).alias("hi_m"),
+        F.greatest(
+            F.col("t_p")
+            + F.col("t_m")
+            - (
+                F.col("lo_p")
+                + F.col("lo_m")
+                + F.greatest(F.col("t_p") - F.col("le_hi_p"), F.lit(0.0))
+                + F.greatest(F.col("t_m") - F.col("le_hi_m"), F.lit(0.0))
+            ),
+            F.lit(0.0),
+        ).alias("w0"),
+    )
+    return (
+        blocks.groupBy("feature", "threshold")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("w0")
+                    + 2.0 * F.sqrt(F.col("lo_p") * F.col("lo_m"))
+                    + 2.0 * F.sqrt(F.col("hi_p") * F.col("hi_m"))
+                ),
+                9,
+            ).alias("z")
+        )
+    )

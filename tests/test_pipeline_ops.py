@@ -60,3 +60,14 @@ def test_ivf_recall_bounds(spark, sf_dir):
     # the approximation must be usefully better than nothing and the
     # report must not be vacuously perfect (otherwise it tests nothing)
     assert 0.05 < df["recall_at_k"].mean() < 1.0
+
+
+def test_abstain_stump_z_bounds(spark, sf_dir):
+    df = _Q["q_a5_abstain_stump_z"].fn(spark, sf_dir).toPandas()
+    # Z is a normalizer bound: (0, 1] for any weak hypothesis under a
+    # distribution; < 1 for at least one candidate means boosting can
+    # make progress with an abstaining stump
+    assert (df["z"] > 0).all() and (df["z"] <= 1.0 + 1e-9).all()
+    assert df["z"].min() < 1.0
+    plain = _Q["q_a5_stump_z"].fn(spark, sf_dir).toPandas()
+    assert len(df) == len(plain)  # same candidate grid (features 1-4)
