@@ -320,3 +320,83 @@ def streaming_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "qid bigint, cid bigint, rank bigint, cos_sim double"
     )
+
+
+_DOCS_DDL = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+def _replay_docs_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Write documents as n parquet files for file-source replay."""
+    docs = load_tables(spark, sf_dir)["documents"].orderBy("doc_id")
+    path = os.path.join(tempfile.mkdtemp(prefix="smb_stream_"), "docs_files")
+    pdf = docs.toPandas()
+    os.makedirs(path, exist_ok=True)
+    per = max(1, len(pdf) // n_files)
+    for i in range(n_files):
+        chunk = pdf.iloc[i * per : (i + 1) * per if i < n_files - 1 else len(pdf)]
+        if len(chunk):
+            chunk.to_parquet(os.path.join(path, f"part-{i:04d}.parquet"))
+    return path
+
+
+@query("q_c10_streaming_curation", oracle=None, group="C")
+def streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 (beyond SURVEY's C1-C9): the pretraining curation gates applied
+    to a LIVE document stream — the ingest-time shape of
+    q_comp_pretrain_pipeline.  Stateless gates (language, token-length
+    band, trigram repetition) are per-row expressions that run unchanged
+    on a stream; the near-dup gate joins the stream against the STATIC
+    LSH-removed set (stream-static join: the dedup index is a periodically
+    rebuilt batch artifact at 100 TB — the stream checks membership, it
+    does not rebuild the index).  Per-(lang) kept/total counts in complete
+    mode; tests assert exact equality with the batch gates on the same
+    corpus."""
+    from ..functions.dedup import minhash_lsh
+    from ..operators.composites import PIPE_LANG_DROP, PIPE_MAX_TOK, PIPE_MIN_TOK
+
+    path = _replay_docs_dir(spark, sf_dir)
+    stream = spark.readStream.schema(_DOCS_DDL).option("maxFilesPerTrigger", 1).parquet(path)
+    removed = (
+        minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near_dup", F.lit(True))
+    )
+    toks = F.split("text", " ")
+    gs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+        ),
+    )
+    gated = (
+        stream.select("doc_id", "lang", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.when(
+                F.size("toks") >= 3,
+                (F.size(gs) - F.size(F.array_distinct(gs))).cast("double")
+                / F.size(gs),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+        .join(removed, "doc_id", "left")  # stream-static membership probe
+        .withColumn(
+            "kept",
+            (F.col("lang") != PIPE_LANG_DROP)
+            & F.col("n_tokens").between(PIPE_MIN_TOK, PIPE_MAX_TOK)
+            & (F.col("dup_frac") == 0)
+            & F.col("is_near_dup").isNull(),
+        )
+    )
+    counted = gated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+    )
+    return _run_to_memory(counted, mode="complete")

@@ -136,3 +136,77 @@ def test_c9_streaming_similarity_matches_batch(spark, sf_dir):
     got = {(r["qid"], r["rank"]): (r["cid"], r["cos_sim"]) for r in out.collect()}
     want = {(r["qid"], r["rank"]): (r["cid"], r["cos_sim"]) for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_curation_matches_batch_gates(spark, sf_dir):
+    """The streamed stateless gates + static near-dup probe must agree
+    exactly with the same gates computed in batch."""
+    from pyspark.sql import functions as F
+
+    from spark_multiboost_spark.functions.dedup import minhash_lsh
+    from spark_multiboost_spark.operators.composites import (
+        PIPE_LANG_DROP,
+        PIPE_MAX_TOK,
+        PIPE_MIN_TOK,
+    )
+    from spark_multiboost_spark.registry import all_queries
+    from spark_multiboost_spark.session import load_tables
+
+    streamed = (
+        all_queries()["q_c10_streaming_curation"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split("text", " ")
+    gs = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+        ),
+    )
+    removed = (
+        minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near_dup", F.lit(True))
+    )
+    batch = (
+        d.select("doc_id", "lang", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.when(
+                F.size("toks") >= 3,
+                (F.size(gs) - F.size(F.array_distinct(gs))).cast("double")
+                / F.size(gs),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+        .join(removed, "doc_id", "left")
+        .withColumn(
+            "kept",
+            (F.col("lang") != PIPE_LANG_DROP)
+            & F.col("n_tokens").between(PIPE_MIN_TOK, PIPE_MAX_TOK)
+            & (F.col("dup_frac") == 0)
+            & F.col("is_near_dup").isNull(),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        )
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    assert streamed.equals(batch)
+    assert streamed["n_kept"].sum() > 0
+    assert (streamed["n_kept"] < streamed["n_docs"]).any()
