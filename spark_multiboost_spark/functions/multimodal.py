@@ -198,3 +198,58 @@ def embed_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", "rank", F.round("cos", 6).alias("cos_sim"))
         .orderBy("qid", "rank")
     )
+
+
+BINFILE_MOD = 13  # sample: every 13th doc becomes a standalone blob file
+
+
+@query(
+    "q_d6_binaryfile_source",
+    oracle=f"""
+SELECT doc_id,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+       MD5(text) AS content_md5
+FROM documents
+WHERE doc_id % {BINFILE_MOD} = 0
+ORDER BY doc_id
+""",
+    group="D",
+)
+def binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 (cont.): ingestion through Spark's REAL ``binaryFile`` source —
+    the way image/audio corpora actually arrive (a directory of blob files
+    on object storage).  The fixture docs stand in for blobs: each sampled
+    doc is materialized as ``<doc_id>.bin`` whose bytes are the utf-8 text,
+    then read back via ``format("binaryFile")`` which yields (path,
+    modificationTime, length, content); doc_id is recovered from the file
+    name and the oracle recomputes length + md5 from the source table, so
+    the whole blob round-trip is hash-checked.
+
+    Scale notes: binaryFile scans parallelize across files (one task per
+    file up to maxPartitionBytes); the per-file setup here is fixture
+    scaffolding — in production the files already exist, and the read +
+    regexp_extract + md5 is the entire plan (no shuffle until the sort)."""
+    import os
+    import tempfile
+
+    d = load_tables(spark, sf_dir)["documents"]
+    pdf = (
+        d.filter(F.col("doc_id") % BINFILE_MOD == 0)
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    blob_dir = tempfile.mkdtemp(prefix="smb_blobs_")
+    for _, row in pdf.iterrows():
+        with open(os.path.join(blob_dir, f"{int(row.doc_id)}.bin"), "wb") as f:
+            f.write(row.text.encode("utf-8"))
+    files = spark.read.format("binaryFile").load(blob_dir)
+    return (
+        files.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )
