@@ -45,6 +45,8 @@ HEADLINE = [
     "q_d5_contamination",
     "q_d2_removal_rate",
     "q_a5_sparse_stump_z",
+    # same IVF search, plan rebuilt around one Arrow pass (vs q_d3_ivf_ann)
+    "q_d3_ivf_ann_arrow",
 ]
 
 

@@ -95,40 +95,56 @@ def build_scorer(
                 S = _seq_dot_block(C, Q) / denom  # (b x q)
             S[cid[:, None] == q_ids[None, :]] = -np.inf  # exclude self-pairs
             S[denom == 0.0] = -np.inf  # NULL-safe zero vectors (dropped)
-            kk = min(k, S.shape[0])
-            # partial top-k per query: argpartition prunes, then TIE
-            # EXPANSION — argpartition breaks exact-score ties at the k-th
-            # boundary arbitrarily, so re-admit every row tied with the
-            # k-th score and re-select the kk best under the exact global
-            # comparator (-cos, cid).  Truncating after that sort is sound:
-            # any dropped row ranks worse than all kk kept rows under the
-            # same comparator the global window uses.
-            part = np.argpartition(-S, kk - 1, axis=0)[:kk, :]  # (kk x q)
-            out = []
-            for j in range(S.shape[1]):
-                col = S[:, j]
-                kth = col[part[:, j]].min()
-                if np.isneginf(kth):
-                    cand = np.nonzero(np.isfinite(col))[0]
-                else:
-                    cand = np.nonzero(col >= kth)[0]
-                order = np.lexsort((cid[cand], -col[cand]))
-                sel = cand[order][:kk]
-                sel = sel[np.isfinite(col[sel])]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "qid": q_ids[j],
-                            "cid": cid[sel],
-                            "cos_raw": S[sel, j],
-                            "q_label": q_labels[j],
-                            "c_label": c_label[sel],
-                        }
-                    )
-                )
-            yield pd.concat(out, ignore_index=True)
+            yield _partial_topk_frame(S, cid, c_label, q_ids, q_labels, k)
 
     return score
+
+
+def _partial_topk_frame(
+    S: np.ndarray,
+    cid: np.ndarray,
+    c_label: np.ndarray,
+    q_ids: np.ndarray,
+    q_labels: np.ndarray,
+    k: int,
+) -> pd.DataFrame:
+    """Per-batch partial top-k selection over a scored (b x q) matrix,
+    emitting ``CAND_SCHEMA`` rows.  Shared by the exact scorer
+    (:func:`build_scorer`) and the IVF-masked scorer so both apply the
+    EXACT same boundary semantics.
+
+    argpartition prunes, then TIE EXPANSION — argpartition breaks
+    exact-score ties at the k-th boundary arbitrarily, so re-admit every
+    row tied with the k-th score and re-select the kk best under the exact
+    global comparator (-cos, cid).  Truncating after that sort is sound:
+    any dropped row ranks worse than all kk kept rows under the same
+    comparator the global window uses.
+    """
+    kk = min(k, S.shape[0])
+    part = np.argpartition(-S, kk - 1, axis=0)[:kk, :]  # (kk x q)
+    out = []
+    for j in range(S.shape[1]):
+        col = S[:, j]
+        kth = col[part[:, j]].min()
+        if np.isneginf(kth):
+            cand = np.nonzero(np.isfinite(col))[0]
+        else:
+            cand = np.nonzero(col >= kth)[0]
+        order = np.lexsort((cid[cand], -col[cand]))
+        sel = cand[order][:kk]
+        sel = sel[np.isfinite(col[sel])]
+        out.append(
+            pd.DataFrame(
+                {
+                    "qid": q_ids[j],
+                    "cid": cid[sel],
+                    "cos_raw": S[sel, j],
+                    "q_label": q_labels[j],
+                    "c_label": c_label[sel],
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True)
 
 
 def _topk_candidates(spark: SparkSession, sf_dir: str, k: int = K) -> DataFrame:
@@ -487,3 +503,101 @@ def ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 query("q_d3_ivf_recall", oracle=_RECALL_ORACLE, group="D")(ivf_recall)
+
+
+def _seq_l2_sq(C: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(b x d) corpus block vs (m x d) centroids -> (b x m) SQUARED L2
+    distances with strict left-to-right accumulation over the d axis —
+    the numpy twin of :func:`..functions.vector.l2_distance`'s Catalyst
+    fold (sqrt omitted: monotone, irrelevant to argmin; exact ties in the
+    squared form are exact ties in the rooted form)."""
+    D = np.zeros((C.shape[0], cent.shape[0]), dtype=np.float64)
+    for i in range(C.shape[1]):
+        diff = C[:, i : i + 1] - cent[None, :, i]
+        D += diff * diff
+    return D
+
+
+def ivf_ann_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): the SAME IVF search as :func:`ivf_ann` — identical
+    output, same DuckDB oracle — with the physical plan rebuilt around one
+    Arrow pass instead of the pure-Catalyst crossJoin+window assignment.
+
+    Why: in :func:`ivf_ann` the corpus-side cell assignment materializes
+    N_CELLS x corpus rows through a crossJoin and shuffles them through a
+    per-vector window — the heaviest item on the bench.  Here the centroid
+    table (tiny by construction) ships to every task inside the
+    ``mapInPandas`` closure, so each Arrow batch:
+
+    1. assigns its own rows to their nearest cell (blocked numpy L2,
+       sequential accumulation, ties to the lowest cent_id — exactly the
+       ``ORDER BY dist, cent_id`` window it replaces),
+    2. scores rows against ONLY the queries probing that row's cell
+       (mask to -inf, the moral equivalent of the probe equi-join), and
+    3. emits a partial top-k per query via the shared tie-expanding
+       selector (:func:`_partial_topk_frame`).
+
+    The corpus is touched ONCE with ZERO pre-candidate shuffles (no
+    crossJoin, no window, no probe-join exchange); the global window then
+    merges #batches x q x k candidate rows.  At 100 TB this is the shape
+    that wins whenever centroids fit in a task (they do: IVF centroid
+    tables are KBs-to-MBs by design) — the pure-Catalyst twin remains
+    registered as the no-Python counterpoint and recall cross-check.
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cpd = (
+        emb.filter(F.col("vec_id") < N_CELLS)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")  # ascending cent_id => argmin ties pick lowest
+    )
+    cent = np.array([np.asarray(e, dtype=np.float64) for e in cpd["embedding"]])
+
+    qpd = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    Q = np.array([np.asarray(e, dtype=np.float64) for e in qpd["embedding"]])
+    q_ids = qpd["vec_id"].to_numpy(np.int64)
+    q_norm = np.sqrt(_seq_sq_norm(Q))
+
+    # query-side probe assignment (q x m, driver-side: the query set is
+    # bounded) -> bool mask allowed[cell, j] = "query j probes cell"
+    qd = _seq_l2_sq(Q, cent)
+    allowed = np.zeros((cent.shape[0], Q.shape[0]), dtype=bool)
+    for j in range(Q.shape[0]):
+        order = np.lexsort((np.arange(cent.shape[0]), qd[j]))  # dist, cent_id
+        allowed[order[:N_PROBE], j] = True
+
+    q_zeros = np.zeros(Q.shape[0], dtype=np.int64)  # labels unused downstream
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            cid = pdf["vec_id"].to_numpy(np.int64)
+            cell = np.argmin(_seq_l2_sq(C, cent), axis=1)  # first min = low id
+            c_norm = np.sqrt(_seq_sq_norm(C))
+            denom = c_norm[:, None] * q_norm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = _seq_dot_block(C, Q) / denom
+            S[~allowed[cell, :]] = -np.inf  # probe mask == the cell equi-join
+            S[cid[:, None] == q_ids[None, :]] = -np.inf
+            S[denom == 0.0] = -np.inf
+            c_zeros = np.zeros(len(cid), dtype=np.int64)
+            yield _partial_topk_frame(S, cid, c_zeros, q_ids, q_zeros, K)
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(score, CAND_SCHEMA)
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= K)
+        .select("qid", "cid", "rank", F.round("cos_raw", 6).alias("cos_sim"))
+        .orderBy("qid", "rank")
+    )
+
+
+query("q_d3_ivf_ann_arrow", oracle=_IVF_ORACLE, group="D")(ivf_ann_arrow)

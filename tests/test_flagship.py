@@ -24,6 +24,21 @@ def test_bucketed_ann_oracle(spark, sf_dir):
     compare(spark, "q_d3_bucketed_ann", sf_dir)
 
 
+def test_ivf_arrow_oracle(spark, sf_dir):
+    compare(spark, "q_d3_ivf_ann_arrow", sf_dir)
+
+
+def test_ivf_arrow_equals_catalyst(spark, sf_dir):
+    """The Arrow-scored IVF and the pure-Catalyst IVF are the SAME search
+    (same centroids, same probe rule, same tiebreaks) — row-for-row equal."""
+    from spark_multiboost_spark.registry import all_queries
+
+    qs = all_queries()
+    arrow = sorted(map(str, qs["q_d3_ivf_ann_arrow"].fn(spark, sf_dir).collect()))
+    cat = sorted(map(str, qs["q_d3_ivf_ann"].fn(spark, sf_dir).collect()))
+    assert arrow == cat
+
+
 def test_d2_mllib_minhash_finds_exact_dups(spark, sf_dir):
     """Cross-validation of the two LSH implementations: any EXACT duplicate
     pair (Jaccard 1.0 in the hand-rolled pipeline) has identical MinHash

@@ -99,6 +99,20 @@ def test_ivf_broadcast_probe(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_ivf_arrow_single_scan(spark, sf_dir):
+    """The Arrow IVF rebuild: centroids ship in the closure, cell
+    assignment + probe masking + partial top-k all happen inside ONE
+    mapInPandas pass — no crossJoin, no probe join, and no exchange before
+    the candidate merge window (exactly one, for the global top-k)."""
+    plan = _plan(spark, "q_d3_ivf_ann_arrow", sf_dir)
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    # one exchange for the candidate-merge window + one range partition for
+    # the presentation ORDER BY — nothing touches the corpus before the merge
+    assert plan.count("Exchange (") <= 2
+    assert "WindowGroupLimit" in plan
+
+
 def test_warm_cache_parity(spark, sf_dir):
     """The bench warm-cache tier (repartition + persist) must not change any
     result: the decimal aggregate path is accumulation-order independent and
