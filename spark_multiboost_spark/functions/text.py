@@ -699,3 +699,119 @@ def perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SEQ_LEN = 128  # tokens per packed training sequence
+PACK_BUCKET = 100  # doc_ids per prefix-sum bucket (see scale note below)
+
+
+@query(
+    "q_d4_sequence_pack",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS start_off
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(start_off AS BIGINT) AS start_off,
+       CAST(start_off // {SEQ_LEN} AS BIGINT) AS first_seq,
+       CAST((start_off + n_tokens - 1) // {SEQ_LEN} AS BIGINT) AS last_seq,
+       CAST((start_off + n_tokens - 1) // {SEQ_LEN}
+            - start_off // {SEQ_LEN} + 1 AS BIGINT) AS n_seqs
+FROM c ORDER BY doc_id
+""",
+    group="D",
+)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): concat-and-chunk sequence packing — the GPT-style
+    pretraining layout (concatenate the token stream in doc_id order, cut
+    every SEQ_LEN tokens, docs may straddle a cut).  Emits each document's
+    placement: absolute start offset, first/last sequence index, and how
+    many training sequences it spans.
+
+    Scale shape: the global prefix sum is NOT a single-partition window.
+    It is the two-stage salted form (same recipe as the A4 salted variant):
+    per-bucket cumsums run partitioned on ``bucket`` (uniform fan-in,
+    PACK_BUCKET docs each), and only the per-bucket TOTALS — corpus /
+    PACK_BUCKET rows — go through the tiny global window, after which the
+    bucket base offsets broadcast back.  At 100 TB widen PACK_BUCKET (or
+    add a third level) so the totals table stays one task; the arithmetic
+    is integer-exact at any nesting depth.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.floor(F.col("doc_id") / PACK_BUCKET).alias("bucket"),
+    )
+    per_bucket = t.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "bucket", F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0)).alias("base")
+    )
+    wi = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    placed = (
+        t.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum", F.sum("n_tokens").over(wi))
+        .withColumn("start_off", (F.col("base") + F.col("cum") - F.col("n_tokens")))
+    )
+    first = F.floor(F.col("start_off") / SEQ_LEN)
+    last = F.floor((F.col("start_off") + F.col("n_tokens") - 1) / SEQ_LEN)
+    return placed.select(
+        "doc_id",
+        "n_tokens",
+        F.col("start_off").cast("bigint").alias("start_off"),
+        first.cast("bigint").alias("first_seq"),
+        last.cast("bigint").alias("last_seq"),
+        (last - first + 1).cast("bigint").alias("n_seqs"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "q_d4_train_split",
+    oracle="""
+WITH s AS (
+  SELECT lang,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+         CASE WHEN (ASCII(SUBSTR(MD5(text), 1, 1)) * 256
+                    + ASCII(SUBSTR(MD5(text), 2, 1))) % 20 < 19
+              THEN 'train' ELSE 'valid' END AS split
+  FROM documents
+)
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM s GROUP BY split, lang ORDER BY split, lang
+""",
+    group="D",
+)
+def train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): deterministic CONTENT-keyed train/validation split
+    (~95/5 by md5 of the text, not the doc_id) — identical texts land in
+    the same split by construction, so exact duplicates can never leak
+    from train into validation even before dedup runs.  Pure map-side
+    expression + one aggregation; reshards freely at any scale."""
+    d = load_tables(spark, sf_dir)["documents"]
+    h = F.md5(F.col("text"))
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 20
+    return (
+        d.select(
+            "lang",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+            F.when(bucket < 19, "train").otherwise("valid").alias("split"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            bcount().alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )

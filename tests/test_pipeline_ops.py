@@ -71,3 +71,36 @@ def test_abstain_stump_z_bounds(spark, sf_dir):
     assert df["z"].min() < 1.0
     plain = _Q["q_a5_stump_z"].fn(spark, sf_dir).toPandas()
     assert len(df) == len(plain)  # same candidate grid (features 1-4)
+
+
+def test_sequence_pack_is_contiguous(spark, sf_dir):
+    """The packing is a true concat-and-chunk: offsets tile the token
+    stream with no gaps or overlaps, and spans are consistent."""
+    df = (
+        _Q["q_d4_sequence_pack"].fn(spark, sf_dir).toPandas().sort_values("doc_id")
+    )
+    starts = df["start_off"].to_numpy()
+    toks = df["n_tokens"].to_numpy()
+    assert starts[0] == 0
+    assert (starts[1:] == starts[:-1] + toks[:-1]).all()
+    assert (df["n_seqs"] >= 1).all()
+    assert (df["last_seq"] >= df["first_seq"]).all()
+    # docs longer than one sequence must span; docs that fit may still
+    # straddle a cut but never span more than ceil(nt/SEQ)+1 sequences
+    from spark_multiboost_spark.functions.text import SEQ_LEN
+
+    import numpy as np
+
+    assert (df["n_seqs"] <= np.ceil(toks / SEQ_LEN) + 1).all()
+
+
+def test_train_split_ratio_and_determinism(spark, sf_dir):
+    df = _Q["q_d4_train_split"].fn(spark, sf_dir).toPandas()
+    by_split = df.groupby("split")["n_docs"].sum()
+    assert set(by_split.index) <= {"train", "valid"}
+    total = by_split.sum()
+    # content-hash split: ~95/5 with generous tolerance at small SF
+    assert by_split.get("train", 0) / total > 0.85
+    # deterministic: a second run is identical
+    df2 = _Q["q_d4_train_split"].fn(spark, sf_dir).toPandas()
+    assert df.equals(df2)
