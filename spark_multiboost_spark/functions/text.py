@@ -815,3 +815,62 @@ def train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+CHUNK_LEN = 32  # tokens per retrieval chunk
+CHUNK_STRIDE = 24  # overlap = CHUNK_LEN - CHUNK_STRIDE tokens
+
+
+@query(
+    "q_d4_chunk_windows",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+), c AS (
+  SELECT doc_id,
+         UNNEST(GENERATE_SERIES(0, CAST(GREATEST(
+           CEIL((LEN(toks) - {CHUNK_LEN}) / {CHUNK_STRIDE}.0), 0) AS BIGINT)))
+           AS chunk_id,
+         toks
+  FROM t
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(LEN(LIST_SLICE(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                            chunk_id * {CHUNK_STRIDE} + {CHUNK_LEN})) AS BIGINT)
+         AS n_tokens,
+       ARRAY_TO_STRING(LIST_SLICE(toks, chunk_id * {CHUNK_STRIDE} + 1,
+                                  chunk_id * {CHUNK_STRIDE} + 3), ' ') AS head
+FROM c ORDER BY doc_id, chunk_id
+""",
+    group="D",
+)
+def chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): overlapping retrieval chunks — slide a CHUNK_LEN-token
+    window with CHUNK_STRIDE step over each document (the RAG indexing
+    layout; every token is covered, consecutive chunks share
+    CHUNK_LEN - CHUNK_STRIDE tokens so no boundary context is lost).
+
+    Pure map-side: split -> per-doc ``sequence`` of chunk ids -> explode ->
+    ``slice``.  No shuffle at all before the presentation sort; output
+    cardinality ~ n_tokens / CHUNK_STRIDE per doc, and each chunk carries
+    its own provenance (doc_id, chunk_id) for the downstream embed +
+    ANN-index stages (q_d3_*)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split("text", " ")
+    last_chunk = F.greatest(
+        F.ceil((F.size(toks) - CHUNK_LEN) / F.lit(float(CHUNK_STRIDE))),
+        F.lit(0),
+    ).cast("int")
+    t = d.select("doc_id", toks.alias("toks"), last_chunk.alias("last_chunk"))
+    c = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("last_chunk"))).alias("chunk_id"),
+        "toks",
+    )
+    start = F.col("chunk_id") * CHUNK_STRIDE + 1
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(F.slice("toks", start, F.lit(CHUNK_LEN))).cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", F.slice("toks", start, F.lit(3))).alias("head"),
+    ).orderBy("doc_id", "chunk_id")

@@ -104,3 +104,26 @@ def test_train_split_ratio_and_determinism(spark, sf_dir):
     # deterministic: a second run is identical
     df2 = _Q["q_d4_train_split"].fn(spark, sf_dir).toPandas()
     assert df.equals(df2)
+
+
+def test_chunk_windows_cover_every_token(spark, sf_dir):
+    """Stride-window chunking: chunks start at 0, never exceed CHUNK_LEN,
+    and the last chunk of each doc reaches exactly the doc's final token."""
+    from pyspark.sql import functions as F
+
+    from spark_multiboost_spark.functions.text import CHUNK_LEN, CHUNK_STRIDE
+
+    df = _Q["q_d4_chunk_windows"].fn(spark, sf_dir).toPandas()
+    assert (df.groupby("doc_id")["chunk_id"].min() == 0).all()
+    assert df["n_tokens"].between(1, CHUNK_LEN).all()
+    last = df.loc[df.groupby("doc_id")["chunk_id"].idxmax()]
+    covered = last["chunk_id"] * CHUNK_STRIDE + last["n_tokens"]
+    d = (
+        _Q["q_d1_exact_dedup"]
+        .fn(spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("nt"))
+        .toPandas()
+        .set_index("doc_id")["nt"]
+    )
+    assert (covered.set_axis(last["doc_id"]).sort_index() == d.sort_index()).all()
