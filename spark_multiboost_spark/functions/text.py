@@ -874,3 +874,68 @@ def chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.slice("toks", start, F.lit(CHUNK_LEN))).cast("bigint").alias("n_tokens"),
         F.concat_ws(" ", F.slice("toks", start, F.lit(3))).alias("head"),
     ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "q_d4_pack_manifest",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS start_off
+  FROM t
+), spans AS (
+  SELECT doc_id, n_tokens, start_off,
+         UNNEST(GENERATE_SERIES(CAST(start_off // {SEQ_LEN} AS BIGINT),
+                                CAST((start_off + n_tokens - 1) // {SEQ_LEN}
+                                     AS BIGINT)))
+           AS seq_id
+  FROM c
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+       CAST(SUM(LEAST(start_off + n_tokens, (seq_id + 1) * {SEQ_LEN})
+                - GREATEST(start_off, seq_id * {SEQ_LEN})) AS BIGINT)
+         AS n_tokens_in_seq
+FROM spans GROUP BY seq_id ORDER BY seq_id
+""",
+    group="D",
+)
+def pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): the per-SEQUENCE inverse of :func:`sequence_pack` — for
+    every packed training sequence, which documents contribute and how
+    many of its SEQ_LEN token slots each fills (the manifest a data loader
+    reads to reconstruct attention-mask document boundaries).
+
+    Every sequence must account for exactly SEQ_LEN tokens (except the
+    final partial one) — asserted in pytest.  Plan: the same two-stage
+    prefix sum as sequence_pack, then explode each doc over the sequences
+    it straddles (bounded fan-out: n_tokens/SEQ_LEN + 1) and aggregate on
+    seq_id — a uniform key by construction (every seq holds SEQ_LEN
+    tokens), so the shuffle cannot skew."""
+    placed = sequence_pack(spark, sf_dir)
+    spans = placed.select(
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        F.explode(F.sequence(F.col("first_seq"), F.col("last_seq"))).alias("seq_id"),
+    )
+    in_seq = F.least(
+        F.col("start_off") + F.col("n_tokens"), (F.col("seq_id") + 1) * SEQ_LEN
+    ) - F.greatest(F.col("start_off"), F.col("seq_id") * SEQ_LEN)
+    return (
+        spans.groupBy("seq_id")
+        .agg(
+            bcount().alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+            F.sum(in_seq).cast("bigint").alias("n_tokens_in_seq"),
+        )
+        .orderBy("seq_id")
+    )

@@ -127,3 +127,18 @@ def test_chunk_windows_cover_every_token(spark, sf_dir):
         .set_index("doc_id")["nt"]
     )
     assert (covered.set_axis(last["doc_id"]).sort_index() == d.sort_index()).all()
+
+
+def test_pack_manifest_accounts_every_slot(spark, sf_dir):
+    """Each packed sequence holds exactly SEQ_LEN tokens (the final one may
+    be partial); manifest token totals equal the corpus token total; seq
+    ids are dense from 0."""
+    from spark_multiboost_spark.functions.text import SEQ_LEN
+
+    df = _Q["q_d4_pack_manifest"].fn(spark, sf_dir).toPandas().sort_values("seq_id")
+    assert df["seq_id"].tolist() == list(range(len(df)))
+    assert (df["n_tokens_in_seq"].iloc[:-1] == SEQ_LEN).all()
+    assert 1 <= df["n_tokens_in_seq"].iloc[-1] <= SEQ_LEN
+    pack = _Q["q_d4_sequence_pack"].fn(spark, sf_dir).toPandas()
+    assert df["n_tokens_in_seq"].sum() == pack["n_tokens"].sum()
+    assert (df["first_doc"] <= df["last_doc"]).all()
