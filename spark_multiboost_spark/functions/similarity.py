@@ -601,3 +601,105 @@ def ivf_ann_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 query("q_d3_ivf_ann_arrow", oracle=_IVF_ORACLE, group="D")(ivf_ann_arrow)
+
+
+N_KMEANS_ITERS = 4
+
+
+def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): Lloyd's k-means over the embedding corpus — trains the
+    centroids the IVF index stands on (q_d3_ivf_ann's docstring promises
+    "swapping in trained k-means centroids changes only the centroid
+    table"; this is the trainer).  Iterative => rows-only check, like the
+    A10 boosting loop; pytest cross-checks against a driver-side numpy
+    Lloyd's at sf0.001 and asserts the inertia curve never rises.
+
+    Scale shape (the boosting-loop recipe applied to clustering):
+
+    - centroid table is tiny -> BROADCAST into the assignment crossJoin;
+      the corpus never shuffles for assignment.
+    - argmin via ``min(struct(d2, cent_id, embedding))`` — one hash-agg
+      on vec_id (uniform key), no window.
+    - centroid update via posexplode -> groupBy (cell, pos): at most
+      N_CELLS x dim rows leave the partial aggregation, so the shuffle is
+      map-side-combined down to KBs regardless of corpus size.
+    - per-iteration driver materialization is N_CELLS x dim + 3 metric
+      values — model-sized, never corpus-sized.
+    - inertia and centroid sums accumulate in DECIMAL (parity.py
+      discipline) so results are partition-order independent run to run.
+    """
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    corpus = emb.select("vec_id", "embedding").persist()
+    cent = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < N_CELLS)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    dim = len(cent[0][1])
+    history = []
+    try:
+        for it in range(N_KMEANS_ITERS):
+            cent_df = F.broadcast(
+                spark.createDataFrame(
+                    cent, "cent_id int, cent_emb array<double>"
+                )
+            )
+            d2 = F.aggregate(
+                F.zip_with("embedding", "cent_emb", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            assigned = (
+                corpus.crossJoin(cent_df)
+                .select("vec_id", "embedding", F.struct(d2.alias("d2"), "cent_id").alias("s"))
+                .groupBy("vec_id", "embedding")
+                .agg(F.min("s").alias("best"))
+                .select(
+                    "vec_id",
+                    "embedding",
+                    F.col("best.cent_id").alias("cell"),
+                    F.col("best.d2").alias("d2"),
+                )
+            )
+            stats = assigned.groupBy("cell").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("d2").cast("decimal(30,12)")).alias("inertia_part"),
+            )
+            srows = stats.collect()
+            inertia = float(sum(r["inertia_part"] for r in srows))
+            history.append(
+                (
+                    it,
+                    round(inertia, 6),
+                    len(srows),
+                    int(max(r["n"] for r in srows)),
+                )
+            )
+            upd = (
+                assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+                .groupBy("cell", "pos")
+                .agg(
+                    (
+                        F.sum(F.col("v").cast("decimal(30,15)"))
+                        / F.count(F.lit(1))
+                    )
+                    .cast("double")
+                    .alias("mean_v")
+                )
+                .collect()
+            )
+            new_cent = {cid: list(vec) for cid, vec in cent}  # empty cells keep old
+            acc: dict[int, list[float]] = {}
+            for r in upd:
+                acc.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = r["mean_v"]
+            new_cent.update(acc)
+            cent = sorted((cid, vec) for cid, vec in new_cent.items())
+    finally:
+        corpus.unpersist()
+    return spark.createDataFrame(
+        history, "iter int, inertia double, n_active_cells bigint, largest_cell bigint"
+    )
+
+
+query("q_d3_kmeans_train", oracle=None, group="D")(kmeans_train)

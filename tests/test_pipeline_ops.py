@@ -142,3 +142,48 @@ def test_pack_manifest_accounts_every_slot(spark, sf_dir):
     pack = _Q["q_d4_sequence_pack"].fn(spark, sf_dir).toPandas()
     assert df["n_tokens_in_seq"].sum() == pack["n_tokens"].sum()
     assert (df["first_doc"] <= df["last_doc"]).all()
+
+
+def test_kmeans_matches_numpy_lloyds(spark, sf_dir):
+    """The distributed Lloyd's loop is the algorithm it claims: same init
+    (vec_id < N_CELLS), same argmin tie rule (lowest cent_id), same means
+    => same inertia curve as a driver-side numpy reference, and inertia
+    never rises."""
+    import numpy as np
+
+    from spark_multiboost_spark.functions.similarity import (
+        N_CELLS,
+        N_KMEANS_ITERS,
+    )
+
+    got = (
+        _Q["q_d3_kmeans_train"].fn(spark, sf_dir).toPandas().sort_values("iter")
+    )
+    assert (got["inertia"].diff().dropna() <= 1e-9).all()
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    X = np.array([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    cent = X[: N_CELLS].copy()
+    ref = []
+    for _ in range(N_KMEANS_ITERS):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        cell = d2.argmin(axis=1)  # first occurrence = lowest cent_id
+        inertia = d2[np.arange(len(X)), cell].sum()
+        counts = np.bincount(cell, minlength=N_CELLS)
+        ref.append((inertia, (counts > 0).sum(), counts.max()))
+        for c in range(N_CELLS):
+            if counts[c]:
+                cent[c] = X[cell == c].mean(axis=0)
+    for (g_i, g_a, g_l), (r_i, r_a, r_l) in zip(
+        got[["inertia", "n_active_cells", "largest_cell"]].itertuples(
+            index=False, name=None
+        ),
+        ref,
+    ):
+        assert abs(g_i - r_i) <= 1e-6 * max(1.0, abs(r_i))
+        assert g_a == r_a and g_l == r_l
