@@ -45,6 +45,7 @@ _QUERY_MODULES = [
     "spark_multiboost_spark.functions.similarity",
     "spark_multiboost_spark.functions.dedup",
     "spark_multiboost_spark.operators.composites",
+    "spark_multiboost_spark.functions.similarity_training",
     "spark_multiboost_spark.streaming.batch_equiv",
     "spark_multiboost_spark.functions.text",
     "spark_multiboost_spark.streaming.jobs",

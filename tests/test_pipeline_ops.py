@@ -187,3 +187,13 @@ def test_kmeans_matches_numpy_lloyds(spark, sf_dir):
     ):
         assert abs(g_i - r_i) <= 1e-6 * max(1.0, abs(r_i))
         assert g_a == r_a and g_l == r_l
+
+
+def test_ivf_trained_recall_not_worse(spark, sf_dir):
+    """Training the quantizer must not hurt retrieval: trained-centroid
+    recall@k stays within noise of (in practice above) seed recall."""
+    seed = _Q["q_d3_ivf_recall"].fn(spark, sf_dir).toPandas()
+    trained = _Q["q_d3_ivf_trained_recall"].fn(spark, sf_dir).toPandas()
+    assert len(trained) == len(seed) == 100
+    assert trained["recall_at_k"].between(0, 1).all()
+    assert trained["recall_at_k"].mean() >= seed["recall_at_k"].mean() - 0.05
