@@ -7,7 +7,7 @@ runnable, oracle-checked code.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.parity import bcount, davg_sql, dsum, dsum_sql
@@ -1004,3 +1004,67 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(bcount().alias("n_items"), dsum("l_extendedprice").alias("total_price"))
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_ext_gapfill_locf",
+    oracle="""
+WITH d AS (
+  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+  FROM events GROUP BY user_id, date_trunc('day', CAST(ts AS TIMESTAMP))
+), s AS (
+  SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM d GROUP BY user_id
+), cal AS (
+  SELECT user_id, UNNEST(GENERATE_SERIES(mn, mx, INTERVAL 1 DAY)) AS day
+  FROM s
+), j AS (
+  SELECT c.user_id, c.day, d.day_value
+  FROM cal c LEFT JOIN d ON c.user_id = d.user_id AND c.day = d.day
+)
+SELECT user_id, CAST(day AS DATE) AS day,
+       ROUND(day_value, 2) AS observed_value,
+       ROUND(LAST_VALUE(day_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled_value,
+       (day_value IS NOT NULL) AS is_observed
+FROM j ORDER BY user_id, day
+""",
+    group="E",
+)
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E (ext): time-series gap-fill + last-observation-carried-forward —
+    the timescaledb `time_bucket_gapfill` / `locf` shape: per-user daily
+    calendar densified over each user's own active span, missing days
+    carried forward from the last observed day.
+
+    Scale shape: the calendar explode is per-key and bounded (span days),
+    the LEFT JOIN is an equi-join on (user_id, day) — uniform key — and the
+    LOCF window is partitioned per user (no global window).  Day sums take
+    the decimal parity path so fill values are partition-order exact."""
+    ev = load_tables(spark, sf_dir)["events"]
+    d = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(dsum("value").alias("day_value"))
+    )
+    s = d.groupBy("user_id").agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    cal = s.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day"),
+    )
+    j = cal.join(d, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        F.col("day").cast("date").alias("day"),
+        F.round("day_value", 2).alias("observed_value"),
+        F.round(F.last("day_value", ignorenulls=True).over(w), 2).alias(
+            "filled_value"
+        ),
+        F.col("day_value").isNotNull().alias("is_observed"),
+    ).orderBy("user_id", "day")
