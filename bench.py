@@ -21,7 +21,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # representative spread: scan+agg, shuffle join, broadcast join, window
 # top-k, CTE/subquery, streaming batch-equivalents, vector similarity,
-# boosting stump search (the reference's hot loop), UDF path
+# boosting stump search (the reference's hot loop), UDF path.
+#
+# HEADLINE is FROZEN at the round-1 set so "value" stays comparable round
+# over round (and against the driver's recorded BASELINE total, which was
+# taken under this exact 17-query protocol). New flagships go in SHOWCASE:
+# timed under the same protocol, reported separately, never summed into
+# "value" — growing coverage must not mechanically inflate the headline.
 HEADLINE = [
     "q_b11_pricing_summary",
     "q_b05_join_revenue_by_priority",
@@ -41,12 +47,17 @@ HEADLINE = [
     "q_ext_hypertable_rollup",
     "q_comp_docpipe",
     "q_d3_ivf_ann",
-    # round-2 additions: pretraining-pipeline gates + sparse training path
+]
+
+# round-2+ flagships, timed but reported outside the comparable total
+SHOWCASE = [
     "q_d5_contamination",
     "q_d2_removal_rate",
     "q_a5_sparse_stump_z",
     # same IVF search, plan rebuilt around one Arrow pass (vs q_d3_ivf_ann)
     "q_d3_ivf_ann_arrow",
+    "q_d4_sequence_pack",
+    "q_ext_gapfill_locf",
 ]
 
 
@@ -65,31 +76,41 @@ def main() -> None:
     spark = get_spark("smb-bench")
     warm_cache(spark, SF_DIR)  # hot-warehouse tier: parallel + in-memory
     qs = queries()
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        runs = []
-        for i in range(4):  # first run = warm-up, discarded
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            # noop sink: full execution incl. every output column (count()
-            # would let Catalyst prune work the query claims to do)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            if i > 0:
-                runs.append(dt)
-        timings[name] = round(statistics.median(runs), 4)
+
+    def time_set(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            fn = qs[name]
+            runs = []
+            for i in range(4):  # first run = warm-up, discarded
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                # noop sink: full execution incl. every output column
+                # (count() would let Catalyst prune work the query claims
+                # to do)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                if i > 0:
+                    runs.append(dt)
+            timings[name] = round(statistics.median(runs), 4)
+        return timings
+
+    timings = time_set(HEADLINE)
+    extra = time_set(SHOWCASE)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
             {
                 "metric": (
-                    f"headline_query_total_sec ({len(HEADLINE)} queries, "
-                    "median-of-3, warm session)"
+                    f"headline_query_total_sec ({len(HEADLINE)} queries — "
+                    "the frozen round-1 set, comparable across rounds; "
+                    "median-of-3, warm session; extra_queries timed "
+                    "identically, excluded from value)"
                 ),
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

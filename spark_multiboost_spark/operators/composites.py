@@ -1068,3 +1068,69 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("day_value").isNotNull().alias("is_observed"),
     ).orderBy("user_id", "day")
+
+
+def _morton_sql(xe: str, ye: str, bits: int = 8) -> str:
+    """Bit-interleave SQL for two small ints -> Morton/Z key.  The SAME
+    generated arithmetic feeds the Spark expression and the DuckDB oracle,
+    so cross-engine equality is by construction."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xe} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ye} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_Z_X = "(o_custkey % 256)"
+_Z_Y = "(CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) % 256)"
+_Z_Y_SPARK = "(CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT) % 256)"
+
+
+@query(
+    "q_ext_zorder_layout",
+    oracle=f"""
+WITH z AS (
+  SELECT o_orderkey, {_Z_X} AS xk, {_Z_Y} AS yk,
+         {_morton_sql(_Z_X, _Z_Y)} AS zkey
+  FROM orders
+)
+SELECT CAST(zkey >> 8 AS BIGINT) AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(xk) AS BIGINT) AS min_x, CAST(MAX(xk) AS BIGINT) AS max_x,
+       CAST(MIN(yk) AS BIGINT) AS min_y, CAST(MAX(yk) AS BIGINT) AS max_y
+FROM z GROUP BY zkey >> 8 ORDER BY zbucket
+""",
+    group="E",
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E (ext): Z-order (Morton) clustering key over two dimensions of
+    ``orders`` — the Delta/Iceberg OPTIMIZE ZORDER layout primitive.  The
+    report groups rows by Z-bucket (zkey >> 8) and shows each bucket's
+    min/max in BOTH dimensions: every bucket is a 16x16 tile, so a
+    range-partitioned write on zkey gives files whose footer min/max prune
+    on EITHER dimension's predicate (the property pytest asserts).
+
+    At 100 TB this is the sort key you hand to the range-sorted writer
+    (sources/writers.py): one global range shuffle at write time buys
+    multi-dimensional file skipping on every later scan — no index
+    structure, just layout.  Pure integer arithmetic, map-side except the
+    one aggregation."""
+    o = load_tables(spark, sf_dir)["orders"]
+    zexpr = _morton_sql(_Z_X, _Z_Y_SPARK)
+    z = o.selectExpr(
+        "o_orderkey",
+        f"{_Z_X} AS xk",
+        f"{_Z_Y_SPARK} AS yk",
+        f"{zexpr} AS zkey",
+    )
+    return (
+        z.groupBy(F.shiftright("zkey", 8).cast("bigint").alias("zbucket"))
+        .agg(
+            bcount().alias("n_rows"),
+            F.min("xk").cast("bigint").alias("min_x"),
+            F.max("xk").cast("bigint").alias("max_x"),
+            F.min("yk").cast("bigint").alias("min_y"),
+            F.max("yk").cast("bigint").alias("max_y"),
+        )
+        .orderBy("zbucket")
+    )

@@ -197,3 +197,16 @@ def test_ivf_trained_recall_not_worse(spark, sf_dir):
     assert len(trained) == len(seed) == 100
     assert trained["recall_at_k"].between(0, 1).all()
     assert trained["recall_at_k"].mean() >= seed["recall_at_k"].mean() - 0.05
+
+
+def test_zorder_buckets_are_tiles(spark, sf_dir):
+    """The Z-order pruning property: each zbucket bounds BOTH dimensions
+    to a 16-wide tile, so files range-partitioned on zkey skip on either
+    dimension's predicate."""
+    df = _Q["q_ext_zorder_layout"].fn(spark, sf_dir).toPandas()
+    assert len(df) > 1
+    assert (df["max_x"] - df["min_x"] <= 15).all()
+    assert (df["max_y"] - df["min_y"] <= 15).all()
+    # tiles align to the 16-grid
+    assert (df["min_x"] // 16 == df["max_x"] // 16).all()
+    assert (df["min_y"] // 16 == df["max_y"] // 16).all()
