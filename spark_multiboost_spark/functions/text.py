@@ -939,3 +939,37 @@ def pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seq_id")
     )
+
+
+@query(
+    "q_d5_stratified_sample",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY MD5(CONCAT(text, '|', CAST(doc_id AS VARCHAR))), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 5 ORDER BY source, rk
+""",
+    group="D",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): deterministic stratified sampling — k docs per source,
+    chosen by ranking on a content hash (md5 of text + doc_id).  Unlike
+    ``TABLESAMPLE``/``rand()``, the pick is reproducible across engines,
+    runs, and partitionings (the eval-set sampler a curation pipeline
+    audits against).  Per-group top-k over a hash order compiles to the
+    map-side WindowGroupLimit shape — no full sort of any stratum."""
+    d = load_tables(spark, sf_dir)["documents"]
+    h = F.md5(F.concat(F.col("text"), F.lit("|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "source", "rk")
+        .orderBy("source", "rk")
+    )

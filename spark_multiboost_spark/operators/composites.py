@@ -1134,3 +1134,58 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+@query(
+    "q_ext_upsert_scd1",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+), upd AS (
+  SELECT o_orderkey, ROUND(o_totalprice * 1.1, 2) AS new_price
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+       ROUND(COALESCE(u.new_price, b.o_totalprice), 2) AS price,
+       CASE WHEN u.o_orderkey IS NULL THEN 'kept'
+            WHEN b.o_orderkey IS NULL THEN 'inserted'
+            ELSE 'updated' END AS change
+FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+ORDER BY o_orderkey
+""",
+    group="E",
+)
+def upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E (ext): MERGE INTO semantics (SCD type 1) in plain DataFrame ops —
+    a CDC batch applied onto a warehouse state: matched keys take the new
+    value, unmatched CDC keys insert, untouched base rows persist.  The
+    full-outer equi-join on the key is the engine-agnostic MERGE shape;
+    Delta/Iceberg MERGE compiles to exactly this join plus file rewrite.
+
+    At 100 TB: both sides shuffle once on the (uniform) key — or zero
+    shuffle when base and CDC are bucketed on it (sources/writers.py
+    bucketed layout); AQE handles the CDC side being orders of magnitude
+    smaller (broadcast if it fits)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    base = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    upd = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.col("o_orderkey").alias("u_orderkey"),
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("new_price"),
+        )
+    )
+    j = base.join(upd, base["o_orderkey"] == upd["u_orderkey"], "full")
+    return (
+        j.select(
+            F.coalesce("o_orderkey", "u_orderkey").alias("o_orderkey"),
+            F.round(F.coalesce("new_price", "o_totalprice"), 2).alias("price"),
+            F.when(F.col("u_orderkey").isNull(), "kept")
+            .when(F.col("o_orderkey").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("change"),
+        )
+        .orderBy("o_orderkey")
+    )
