@@ -33,7 +33,14 @@ ORDER BY tf DESC, token LIMIT 20
     group="D",
 )
 def token_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D4: corpus term frequency, top-20 (explode -> hash agg -> top-k)."""
+    """D4: corpus term frequency, top-20 (explode -> hash agg -> top-k).
+
+    limit-FIRST: ``orderBy().limit(20)`` plans a ``TakeOrderedAndProject``
+    (per-partition heap + driver merge), so the 10^8-distinct-token table a
+    100 TB corpus produces never funnels through one task.  Only the 20
+    surviving rows see the rank window; its ``partitionBy(lit(1))`` keeps the
+    partition defined (20 rows, no WindowExec single-partition warning).
+    """
     d = load_tables(spark, sf_dir)["documents"]
     counts = (
         d.select(F.explode(F.split("text", " ")).alias("token"))
@@ -41,11 +48,12 @@ def token_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(bcount().alias("tf"))
     )
-    w = Window.orderBy(F.col("tf").desc(), "token")
+    top = counts.orderBy(F.col("tf").desc(), "token").limit(20)
+    w = Window.partitionBy(F.lit(1)).orderBy(F.col("tf").desc(), "token")
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .select("token", "tf", "rank")
         .orderBy(F.col("tf").desc(), "token")
-        .limit(20)
     )
 
 

@@ -1142,11 +1142,11 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH base AS (
   SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
 ), upd AS (
-  SELECT o_orderkey, ROUND(o_totalprice * 1.1, 2) AS new_price
+  SELECT o_orderkey, FLOOR(o_totalprice * 1.1 * 100 + 0.5) / 100 AS new_price
   FROM orders WHERE o_orderkey % 3 = 0
 )
 SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
-       ROUND(COALESCE(u.new_price, b.o_totalprice), 2) AS price,
+       COALESCE(u.new_price, b.o_totalprice) AS price,
        CASE WHEN u.o_orderkey IS NULL THEN 'kept'
             WHEN b.o_orderkey IS NULL THEN 'inserted'
             ELSE 'updated' END AS change
@@ -1165,7 +1165,13 @@ def upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: both sides shuffle once on the (uniform) key — or zero
     shuffle when base and CDC are bucketed on it (sources/writers.py
     bucketed layout); AQE handles the CDC side being orders of magnitude
-    smaller (broadcast if it fits)."""
+    smaller (broadcast if it fits).
+
+    Rounding parity: the 2-dec price is ``floor(x*100 + 0.5)/100`` on BOTH
+    engines (IEEE-identical), never ROUND — Spark's ROUND goes through
+    BigDecimal.valueOf (shortest decimal repr, HALF_UP) while DuckDB rounds
+    the raw binary double; they disagree one cent on half-way doubles (8
+    rows at sf0.01)."""
     o = load_tables(spark, sf_dir)["orders"]
     base = o.filter(F.col("o_orderkey") % 7 != 0).select(
         "o_orderkey", "o_totalprice"
@@ -1174,14 +1180,16 @@ def upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.filter(F.col("o_orderkey") % 3 == 0)
         .select(
             F.col("o_orderkey").alias("u_orderkey"),
-            F.round(F.col("o_totalprice") * 1.1, 2).alias("new_price"),
+            (F.floor(F.col("o_totalprice") * 1.1 * 100 + 0.5) / 100).alias(
+                "new_price"
+            ),
         )
     )
     j = base.join(upd, base["o_orderkey"] == upd["u_orderkey"], "full")
     return (
         j.select(
             F.coalesce("o_orderkey", "u_orderkey").alias("o_orderkey"),
-            F.round(F.coalesce("new_price", "o_totalprice"), 2).alias("price"),
+            F.coalesce("new_price", "o_totalprice").alias("price"),
             F.when(F.col("u_orderkey").isNull(), "kept")
             .when(F.col("o_orderkey").isNull(), "inserted")
             .otherwise("updated")
