@@ -721,9 +721,7 @@ SEM_N_CELLS = 16
 SEM_TAU = 0.30
 
 
-@query(
-    "q_d2_semantic_dedup",
-    oracle=f"""
+_SEM_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
 ), cent AS (
@@ -743,9 +741,10 @@ WITH e AS (
 SELECT a.vec_id, a.cent_id AS cell, (r.vec_id IS NULL) AS is_kept
 FROM a LEFT JOIN removed r USING (vec_id)
 ORDER BY a.vec_id
-""",
-    group="D",
-)
+"""
+
+
+@query("q_d2_semantic_dedup", oracle=_SEM_ORACLE, group="D")
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 (cont.): SemDeDup-style semantic deduplication — cluster the
     embedding corpus into IVF cells (centroids = vec_id < SEM_N_CELLS,
@@ -797,5 +796,85 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cent_id").alias("cell"),
             F.col("rm").isNull().alias("is_kept"),
         )
+        .orderBy("vec_id")
+    )
+
+
+@query("q_d2_semantic_dedup_arrow", oracle=_SEM_ORACLE, group="D")
+def semantic_dedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 (cont.): the SAME SemDeDup pass as :func:`semantic_dedup` —
+    identical output, same DuckDB oracle — with the physical plan rebuilt
+    around Arrow, mirroring the q_d3_ivf_ann -> q_d3_ivf_ann_arrow rebuild:
+
+    1. cell assignment runs INSIDE ``mapInPandas`` with the centroid matrix
+       shipped in the task closure (blocked numpy L2, sequential
+       accumulation, ties to the lowest cent_id) — the N_CELLS x corpus
+       crossJoin + per-vector window of the Catalyst twin disappears;
+    2. the within-cell pairwise screen is ONE ``applyInPandas`` over
+       ``groupBy(cell)``: each cell's (g x g) cosine block is computed with
+       the similarity module's sequential-accumulation kernels (bit-parity
+       with the Catalyst fold and DuckDB's list_cosine_similarity), and a
+       vector survives iff no lower-id cell-mate reaches SEM_TAU.
+
+    Plan shape: corpus scanned once, ONE shuffle (the groupBy(cell)
+    exchange) — versus the twin's assignment shuffle plus two self-join
+    exchanges.  At 100 TB the per-task block is a cell, and SemDeDup picks
+    k so cells stay task-sized (n/k vectors); skewed cells are a k-choice
+    defect, not a plan defect.  The Catalyst twin stays registered as the
+    no-Python counterpoint and cross-check.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import _seq_dot_block, _seq_l2_sq, _seq_sq_norm
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cpd = (
+        emb.filter(F.col("vec_id") < SEM_N_CELLS)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")  # ascending cent_id => argmin ties pick lowest
+    )
+    cent = np.array([np.asarray(e, dtype=np.float64) for e in cpd["embedding"]])
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            cell = np.argmin(_seq_l2_sq(C, cent), axis=1)  # first min = low id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "cell": cell.astype(np.int64),
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id bigint, cell bigint, embedding array<double>"
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        C = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+        nrm = np.sqrt(_seq_sq_norm(C))
+        denom = nrm[:, None] * nrm[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = _seq_dot_block(C, C) / denom
+        S[denom == 0.0] = -np.inf  # zero vectors never match (NULL cosine)
+        # x strictly above y in id order -> strict upper triangle, column y
+        removed = np.triu(S >= SEM_TAU, k=1).any(axis=0)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                "cell": pdf["cell"].to_numpy(np.int64),
+                "is_kept": ~removed,
+            }
+        )
+
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(dedup_cell, "vec_id bigint, cell bigint, is_kept boolean")
         .orderBy("vec_id")
     )

@@ -189,3 +189,17 @@ def test_dedup_no_cartesian(spark, sf_dir):
     plan = _plan(spark, "q_d2_semantic_dedup", sf_dir)
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin (") <= 2
+
+
+def test_semantic_dedup_arrow_single_shuffle(spark, sf_dir):
+    """The Arrow SemDeDup rebuild: cell assignment inside mapInPandas
+    (centroids in the closure) + ONE groupBy(cell) exchange feeding the
+    within-cell applyInPandas screen — no crossJoin, no self-join, and no
+    exchange before the cell grouping."""
+    plan = _plan(spark, "q_d2_semantic_dedup_arrow", sf_dir)
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+    # one exchange for groupBy(cell) + one range partition for the
+    # presentation ORDER BY
+    assert plan.count("Exchange (") <= 2
