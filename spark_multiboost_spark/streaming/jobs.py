@@ -339,18 +339,10 @@ def _replay_docs_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     return path
 
 
-@query("q_c10_streaming_curation", oracle=None, group="C")
-def streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C10 (beyond SURVEY's C1-C9): the pretraining curation gates applied
-    to a LIVE document stream — the ingest-time shape of
-    q_comp_pretrain_pipeline.  Stateless gates (language, token-length
-    band, trigram repetition) are per-row expressions that run unchanged
-    on a stream; the near-dup gate joins the stream against the STATIC
-    LSH-removed set (stream-static join: the dedup index is a periodically
-    rebuilt batch artifact at 100 TB — the stream checks membership, it
-    does not rebuild the index).  Per-(lang) kept/total counts in complete
-    mode; tests assert exact equality with the batch gates on the same
-    corpus."""
+def _curation_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared gate stage for the streaming curation jobs: per-doc kept/drop
+    decisions on a live document stream (stateless expressions + one
+    stream-static near-dup membership join)."""
     from ..functions.dedup import minhash_lsh
     from ..operators.composites import PIPE_LANG_DROP, PIPE_MAX_TOK, PIPE_MIN_TOK
 
@@ -395,8 +387,64 @@ def streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("is_near_dup").isNull(),
         )
     )
+    return gated.select("doc_id", "lang", "n_tokens", "dup_frac", "kept")
+
+
+@query("q_c10_streaming_curation", oracle=None, group="C")
+def streaming_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 (beyond SURVEY's C1-C9): the pretraining curation gates applied
+    to a LIVE document stream — the ingest-time shape of
+    q_comp_pretrain_pipeline.  Stateless gates (language, token-length
+    band, trigram repetition) are per-row expressions that run unchanged
+    on a stream; the near-dup gate joins the stream against the STATIC
+    LSH-removed set (stream-static join: the dedup index is a periodically
+    rebuilt batch artifact at 100 TB — the stream checks membership, it
+    does not rebuild the index).  Per-(lang) kept/total counts in complete
+    mode; tests assert exact equality with the batch gates on the same
+    corpus."""
+    gated = _curation_gated(spark, sf_dir)
     counted = gated.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("kept").cast("int")).alias("n_kept"),
     )
     return _run_to_memory(counted, mode="complete")
+
+
+@query("q_c11_streaming_curation_sink", oracle=None, group="C")
+def streaming_curation_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11: the SAME curation gates as q_c10, landed the way a production
+    ingest actually lands them — an APPEND-mode streaming parquet sink,
+    checkpointed, partitioned by ``lang`` (B3's partitioned layout under
+    streaming).  The file sink's manifest log + the checkpoint give
+    exactly-once appends across restarts; partitioning by the read-side
+    filter key means downstream per-language jobs prune whole directories.
+
+    Per-doc decisions append (no watermark needed: the gate stage is
+    stateless plus one stream-static join); the rollup happens at READ time
+    from the landed lake — at 100 TB the sink is the data lake and every
+    consumer aggregates from it, not from the stream.  Returns the same
+    per-lang kept/total shape as q_c10; tests assert the landed lake
+    reproduces the batch gates exactly and the lang=... directories exist."""
+    gated = _curation_gated(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="smb_sink_")
+    lake = os.path.join(out_dir, "lake")
+    q = (
+        gated.writeStream.format("parquet")
+        .partitionBy("lang")
+        .option("path", lake)
+        .option("checkpointLocation", os.path.join(out_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_curation_sink did not finish within 300s")
+    landed = spark.read.parquet(lake)
+    return (
+        landed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("lang")
+    )

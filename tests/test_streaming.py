@@ -210,3 +210,33 @@ def test_streaming_curation_matches_batch_gates(spark, sf_dir):
     assert streamed.equals(batch)
     assert streamed["n_kept"].sum() > 0
     assert (streamed["n_kept"] < streamed["n_docs"]).any()
+
+
+def test_streaming_curation_sink_lands_partitioned_lake(spark, sf_dir):
+    """C11: the append-mode parquet sink must land per-doc decisions under
+    lang=... partition directories, and the landed lake's rollup must equal
+    the memory-sink rollup (q_c10) on the same corpus."""
+    import glob
+
+    from spark_multiboost_spark.registry import all_queries
+
+    sink = (
+        all_queries()["q_c11_streaming_curation_sink"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    mem = (
+        all_queries()["q_c10_streaming_curation"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    assert list(sink["lang"]) == list(mem["lang"])
+    assert list(sink["n_docs"]) == [int(x) for x in mem["n_docs"]]
+    assert list(sink["n_kept"]) == [int(x) for x in mem["n_kept"]]
+    # the lake really is lang-partitioned on disk
+    lakes = sorted(glob.glob("/tmp/smb_sink_*/lake/lang=*"))
+    assert lakes, "no lang=... partition directories found under the sink"
