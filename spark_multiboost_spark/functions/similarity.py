@@ -389,6 +389,23 @@ def _ivf_search(emb: DataFrame, cent_df: DataFrame) -> DataFrame:
         d = side.crossJoin(cent).withColumn(
             "dist", l2_distance(F.col("embedding"), F.col("cent_emb"))
         )
+        if n == 1:
+            # corpus-side argmin as a HASH-AGG, not a window: min over
+            # (dist, cent_id, payload) structs compares lexicographically —
+            # identical tie semantics to ORDER BY dist, cent_id — but the
+            # map-side partial aggregation collapses the N_CELLS-per-row
+            # expansion BEFORE the exchange and nothing ever sorts.  The
+            # window form shuffles N_CELLS x corpus rows with payload and
+            # sorts every group; this shuffles ~corpus rows and doesn't.
+            payload = [c for c in side.columns if c != idc]
+            g = d.groupBy(idc).agg(
+                F.min(F.struct("dist", "cent_id", *payload)).alias("m")
+            )
+            return g.select(
+                idc,
+                F.col("m.cent_id").alias("cent_id"),
+                *[F.col(f"m.{c}").alias(c) for c in payload],
+            )
         w = Window.partitionBy(idc).orderBy("dist", "cent_id")
         return (
             d.withColumn("cell_rank", F.row_number().over(w))
