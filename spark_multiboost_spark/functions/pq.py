@@ -1,0 +1,226 @@
+"""D3 (cont.) — product quantization (PQ) for ANN at the 100 TB tier.
+
+IVF prunes *which* vectors a query scores; PQ shrinks *how much data* each
+scored vector costs: a 64-dim float64 vector (512 B) becomes M=4 one-byte
+codes, so the scan side of similarity search drops ~128x and the distance
+computation becomes table lookups (ADC — asymmetric distance computation).
+At 100 TB the un-quantized corpus cannot be rescanned per query batch; the
+PQ-coded corpus fits in a fraction of the cluster's memory.
+
+Codebooks here are deterministic seed slices (sub-vectors of the first
+PQ_K corpus vectors), standing in for per-subspace k-means exactly like the
+IVF seed centroids (`similarity.py` N_CELLS) — swapping trained codebooks
+changes only the codebook table, not the plan.
+
+Float discipline: every per-subspace distance is a full ``l2_distance``
+(sqrt form) so each term bit-matches DuckDB's ``list_distance``; the ADC
+score adds the M per-subspace terms in explicit left-to-right order on BOTH
+engines (d0+d1+d2+d3), keeping the sum IEEE-identical — no list_sum /
+SUM-over-group whose association order an engine could pick freely.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..session import load_tables
+
+PQ_M = 4  # subspaces
+SUB_D = 16  # dims per subspace (fixture embeddings are 64-dim)
+PQ_K = 16  # codes per subspace (codebook = sub-slices of vec_id < PQ_K)
+PQ_TOPK = 5
+PQ_N_QUERIES = 100
+
+_CB_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), ms AS (
+  SELECT * FROM (VALUES (0), (1), (2), (3)) t(m)
+), cb AS (
+  SELECT ms.m, vec_id AS code,
+         list_slice(emb, ms.m * {SUB_D} + 1, (ms.m + 1) * {SUB_D}) AS cemb
+  FROM e CROSS JOIN ms WHERE vec_id < {PQ_K}
+), sub AS (
+  SELECT vec_id, ms.m,
+         list_slice(emb, ms.m * {SUB_D} + 1, (ms.m + 1) * {SUB_D}) AS semb
+  FROM e CROSS JOIN ms
+), assign AS (
+  SELECT vec_id, sub.m, code,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id, sub.m
+           ORDER BY list_distance(semb, cemb), code) AS rk
+  FROM sub JOIN cb ON sub.m = cb.m
+), enc AS (
+  SELECT vec_id,
+         MAX(CASE WHEN m = 0 THEN code END) AS code_0,
+         MAX(CASE WHEN m = 1 THEN code END) AS code_1,
+         MAX(CASE WHEN m = 2 THEN code END) AS code_2,
+         MAX(CASE WHEN m = 3 THEN code END) AS code_3
+  FROM assign WHERE rk = 1 GROUP BY vec_id
+)
+"""
+
+_ENCODE_ORACLE = _CB_SQL + "SELECT * FROM enc ORDER BY vec_id"
+
+
+@query("q_d3_pq_encode", oracle=_ENCODE_ORACLE, group="D")
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode, pure Catalyst: every corpus vector -> M one-byte codes.
+
+    Plan shape (ZERO corpus shuffles): the PQ_M x PQ_K codebook is packed
+    into ONE broadcast row (collect_list over a model-sized table — built
+    inside the plan, no driver collect), and all M argmins are per-row
+    EXPRESSIONS: ``array_min`` over struct(dist, code) arrays compares
+    lexicographically, giving the exact ORDER BY dist, code tie rule.  The
+    corpus is never expanded, never joined row-per-code, never aggregated
+    — encode is scan -> broadcast -> project.  At 100 TB that is the ideal
+    shape: the only data movement is the output itself."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    sl = lambda c: F.slice(F.col(c), F.col("m") * SUB_D + 1, SUB_D)  # noqa: E731
+    cbrow = F.broadcast(
+        e.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("code"), "emb", ms)
+        .select("m", "code", sl("emb").alias("cemb"))
+        .groupBy()
+        .agg(F.collect_list(F.struct("m", "code", "cemb")).alias("cbs"))
+    )
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def code_for(i: int):
+        sub = F.slice(F.col("emb"), i * SUB_D + 1, SUB_D)
+        scored = F.transform(
+            F.filter("cbs", lambda c: c["m"] == F.lit(i)),
+            lambda c: F.struct(
+                F.sqrt(d2(sub, c["cemb"])).alias("dist"), c["code"].alias("code")
+            ),
+        )
+        return F.array_min(scored)["code"].alias(f"code_{i}")
+
+    return (
+        e.crossJoin(cbrow)
+        .select("vec_id", *[code_for(i) for i in range(PQ_M)])
+        .orderBy("vec_id")
+    )
+
+
+_ADC_ORACLE = _CB_SQL + f""", q AS (
+  SELECT vec_id AS qid, emb FROM e WHERE vec_id < {PQ_N_QUERIES}
+), qd AS (
+  SELECT qid, cb.m, code,
+         list_distance(list_slice(emb, cb.m * {SUB_D} + 1, (cb.m + 1) * {SUB_D}),
+                       cemb) AS d
+  FROM q CROSS JOIN cb
+), pairs AS (
+  SELECT q.qid, enc.vec_id AS cid,
+         ((d0.d + d1.d) + d2.d) + d3.d AS adc
+  FROM q JOIN enc ON enc.vec_id <> q.qid
+  JOIN qd d0 ON d0.qid = q.qid AND d0.m = 0 AND d0.code = enc.code_0
+  JOIN qd d1 ON d1.qid = q.qid AND d1.m = 1 AND d1.code = enc.code_1
+  JOIN qd d2 ON d2.qid = q.qid AND d2.m = 2 AND d2.code = enc.code_2
+  JOIN qd d3 ON d3.qid = q.qid AND d3.m = 3 AND d3.code = enc.code_3
+), ranked AS (
+  SELECT qid, cid, adc,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS rank
+  FROM pairs
+)
+SELECT qid, cid, CAST(rank AS BIGINT) AS rank, ROUND(adc, 6) AS adc_dist
+FROM ranked WHERE rank <= {PQ_TOPK} ORDER BY qid, rank
+"""
+
+
+@query("q_d3_pq_adc_topk", oracle=_ADC_ORACLE, group="D")
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-k, Arrow path: approximate nearest neighbors where the
+    corpus side is touched only through its PQ codes.
+
+    The codebook and the per-query distance tables (PQ_N_QUERIES x PQ_K
+    per subspace — KBs) ship in the task closure; each Arrow batch
+
+    1. encodes its rows in-batch (per-subspace blocked argmin — identical
+       tie rule to the encode query: lowest code wins),
+    2. scores every row against every query by table lookup: the ADC score
+       is dt[0][code0] + dt[1][code1] + dt[2][code2] + dt[3][code3],
+       accumulated in fixed subspace order on both engines,
+    3. emits a partial top-k per query via the shared tie-expanding
+       selector.
+
+    One corpus pass, zero pre-candidate shuffles, and the only per-pair
+    work is M additions — no d-dim dot product ever happens against the
+    corpus.  That lookup-table trick is what makes 100 TB ANN affordable:
+    the scan cost is proportional to CODE bytes, not vector bytes.  The
+    sqrt-form per-subspace distances keep every term bit-identical to
+    DuckDB's list_distance, so even this approximate search is
+    exact-oracle-checked."""
+    from .similarity import _partial_topk_frame, _seq_l2_sq
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cpd = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")  # ascending code => argmin ties pick lowest
+    )
+    cb_full = np.array([np.asarray(e, dtype=np.float64) for e in cpd["embedding"]])
+    cbs = [cb_full[:, m * SUB_D : (m + 1) * SUB_D] for m in range(PQ_M)]
+
+    qpd = (
+        emb.filter(F.col("vec_id") < PQ_N_QUERIES)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    Q = np.array([np.asarray(e, dtype=np.float64) for e in qpd["embedding"]])
+    q_ids = qpd["vec_id"].to_numpy(np.int64)
+    # per-subspace ADC lookup tables: dt[m][j, k] = ||sub_m(q_j) - cb_m[k]||
+    dt = [
+        np.sqrt(_seq_l2_sq(Q[:, m * SUB_D : (m + 1) * SUB_D], cbs[m]))
+        for m in range(PQ_M)
+    ]
+    q_zeros = np.zeros(Q.shape[0], dtype=np.int64)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            cid = pdf["vec_id"].to_numpy(np.int64)
+            # in-batch encode: argmin on squared distances == argmin on
+            # rooted (monotone), first-min == lowest code
+            codes = [
+                np.argmin(_seq_l2_sq(C[:, m * SUB_D : (m + 1) * SUB_D], cbs[m]), axis=1)
+                for m in range(PQ_M)
+            ]
+            # ADC by lookup, fixed m order => ((d0+d1)+d2)+d3 both engines
+            S = dt[0][:, codes[0]].T.copy()
+            for m in range(1, PQ_M):
+                S += dt[m][:, codes[m]].T
+            S = -S  # shared selector ranks DESCENDING; negate distances
+            S[cid[:, None] == q_ids[None, :]] = -np.inf  # exclude self
+            c_zeros = np.zeros(len(cid), dtype=np.int64)
+            yield _partial_topk_frame(S, cid, c_zeros, q_ids, q_zeros, PQ_TOPK)
+
+    from .similarity import CAND_SCHEMA
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(score, CAND_SCHEMA)
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("qid", "cid", "rank", F.round(-F.col("cos_raw"), 6).alias("adc_dist"))
+        .orderBy("qid", "rank")
+    )

@@ -383,34 +383,45 @@ def _ivf_search(emb: DataFrame, cent_df: DataFrame) -> DataFrame:
     trained k-means output) — assignment, probe equi-join, global top-k."""
     from ..functions.vector import l2_distance
 
-    cent = F.broadcast(cent_df)
+    # The whole centroid table packed into ONE broadcast row (collect_list
+    # over a model-sized table — still fully inside the plan, no driver
+    # collect), so nearest-cell search becomes a per-row EXPRESSION:
+    # array_min / array_sort over struct(dist, cent_id) compares
+    # lexicographically — identical tie semantics to ORDER BY dist,
+    # cent_id — and the corpus is never expanded N_CELLS-fold, never
+    # shuffled, never aggregated, never sorted for assignment.  (The
+    # earlier crossJoin + row_number window shuffled N_CELLS x corpus rows
+    # and sorted every group; a min(struct) hash-agg variant still fell
+    # back to SortAggregate because struct buffers aren't hash-mutable.)
+    cbrow = F.broadcast(
+        cent_df.groupBy().agg(
+            F.collect_list(F.struct("cent_id", "cent_emb")).alias("cents")
+        )
+    )
 
     def nearest_cells(side: DataFrame, idc: str, n: int) -> DataFrame:
-        d = side.crossJoin(cent).withColumn(
-            "dist", l2_distance(F.col("embedding"), F.col("cent_emb"))
+        scored = F.transform(
+            "cents",
+            lambda c: F.struct(
+                l2_distance(F.col("embedding"), c["cent_emb"]).alias("dist"),
+                c["cent_id"].alias("cent_id"),
+            ),
         )
+        d = side.crossJoin(cbrow)
         if n == 1:
-            # corpus-side argmin as a HASH-AGG, not a window: min over
-            # (dist, cent_id, payload) structs compares lexicographically —
-            # identical tie semantics to ORDER BY dist, cent_id — but the
-            # map-side partial aggregation collapses the N_CELLS-per-row
-            # expansion BEFORE the exchange and nothing ever sorts.  The
-            # window form shuffles N_CELLS x corpus rows with payload and
-            # sorts every group; this shuffles ~corpus rows and doesn't.
-            payload = [c for c in side.columns if c != idc]
-            g = d.groupBy(idc).agg(
-                F.min(F.struct("dist", "cent_id", *payload)).alias("m")
-            )
-            return g.select(
-                idc,
-                F.col("m.cent_id").alias("cent_id"),
-                *[F.col(f"m.{c}").alias(c) for c in payload],
-            )
-        w = Window.partitionBy(idc).orderBy("dist", "cent_id")
+            return d.withColumn(
+                "cent_id", F.array_min(scored)["cent_id"]
+            ).drop("cents")
         return (
-            d.withColumn("cell_rank", F.row_number().over(w))
-            .filter(F.col("cell_rank") <= n)
-            .drop("cent_emb", "dist", "cell_rank")
+            d.withColumn(
+                "cent_id",
+                F.explode(
+                    F.transform(
+                        F.slice(F.array_sort(scored), 1, n), lambda s: s["cent_id"]
+                    )
+                ),
+            )
+            .drop("cents")
         )
 
     c = nearest_cells(

@@ -59,6 +59,7 @@ _QUERY_MODULES = [
     "spark_multiboost_spark.operators.udfs",
     "spark_multiboost_spark.sources.readers",
     "spark_multiboost_spark.sources.writers",
+    "spark_multiboost_spark.functions.pq",
 ]
 
 #: query-level window rotation.  The driver's correctness gate checks the

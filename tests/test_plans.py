@@ -203,3 +203,26 @@ def test_semantic_dedup_arrow_single_shuffle(spark, sf_dir):
     # one exchange for groupBy(cell) + one range partition for the
     # presentation ORDER BY
     assert plan.count("Exchange (") <= 2
+
+
+def test_pq_encode_zero_corpus_shuffle(spark, sf_dir):
+    """PQ encode: the codebook packs into ONE broadcast row and all M
+    argmins are array_min expressions — the corpus is never expanded,
+    aggregated, windowed, or sort-aggregated.  The only exchanges are the
+    model-sized codebook build and the presentation ORDER BY."""
+    plan = _plan(spark, "q_d3_pq_encode", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan  # single-row codebook join
+    assert "Window" not in plan
+    assert "SortAggregate" not in plan
+    assert plan.count("Exchange (") <= 3
+
+
+def test_pq_adc_single_scan(spark, sf_dir):
+    """PQ-ADC top-k: codebook + query distance tables ship in the closure;
+    the corpus is touched once through mapInPandas with zero pre-candidate
+    shuffles, then one exchange merges partial top-ks."""
+    plan = _plan(spark, "q_d3_pq_adc_topk", sf_dir)
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange (") <= 2
+    assert "WindowGroupLimit" in plan
