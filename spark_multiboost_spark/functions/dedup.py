@@ -762,17 +762,26 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    cent = F.broadcast(
-        e.filter(F.col("vec_id") < SEM_N_CELLS).select(
-            F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb")
-        )
+    # centroid table packed into ONE broadcast row; cell assignment is a
+    # per-row array_min expression (lexicographic struct compare == ORDER
+    # BY dist, cent_id) — no SEM_N_CELLS expansion, no assignment shuffle,
+    # no window (the same zero-shuffle argmin as _ivf_search / pq_encode)
+    cbrow = F.broadcast(
+        e.filter(F.col("vec_id") < SEM_N_CELLS)
+        .select(F.col("vec_id").alias("cent_id"), F.col("emb").alias("cemb"))
+        .groupBy()
+        .agg(F.collect_list(F.struct("cent_id", "cemb")).alias("cents"))
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cent_id")
+    scored = F.transform(
+        "cents",
+        lambda c: F.struct(
+            l2_distance(F.col("emb"), c["cemb"]).alias("dist"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
     a = (
-        e.crossJoin(cent)
-        .withColumn("dist", l2_distance(F.col("emb"), F.col("cemb")))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        e.crossJoin(cbrow)
+        .withColumn("cent_id", F.array_min(scored)["cent_id"])
         .select("vec_id", "emb", "cent_id")
     )
     x = a.select(

@@ -650,10 +650,9 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (the boosting-loop recipe applied to clustering):
 
-    - centroid table is tiny -> BROADCAST into the assignment crossJoin;
-      the corpus never shuffles for assignment.
-    - argmin via ``min(struct(d2, cent_id, embedding))`` — one hash-agg
-      on vec_id (uniform key), no window.
+    - centroid table is tiny -> packed into ONE broadcast row; the argmin
+      is a per-row ``array_min`` over struct(d2, cent_id) EXPRESSIONS, so
+      assignment never expands, shuffles, or aggregates the corpus at all.
     - centroid update via posexplode -> groupBy (cell, pos): at most
       N_CELLS x dim rows leave the partial aggregation, so the shuffle is
       map-side-combined down to KBs regardless of corpus size.
@@ -685,21 +684,31 @@ def _lloyd(
     history = []
     try:
         for it in range(iters if iters is not None else N_KMEANS_ITERS):
-            cent_df = F.broadcast(
-                spark.createDataFrame(
-                    cent, "cent_id int, cent_emb array<double>"
-                )
+            # centroids as ONE broadcast row; assignment is a per-row
+            # array_min expression (no crossJoin expansion, no shuffle, no
+            # SortAggregate fallback — min(struct) aggregates aren't
+            # hash-mutable).  Same lexicographic (d2, cent_id) tie rule.
+            cbrow = F.broadcast(
+                spark.createDataFrame(cent, "cent_id int, cent_emb array<double>")
+                .groupBy()
+                .agg(F.collect_list(F.struct("cent_id", "cent_emb")).alias("cents"))
             )
-            d2 = F.aggregate(
-                F.zip_with("embedding", "cent_emb", lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+            scored = F.transform(
+                "cents",
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            "embedding", c["cent_emb"], lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d2"),
+                    c["cent_id"].alias("cent_id"),
+                ),
             )
             assigned = (
-                corpus.crossJoin(cent_df)
-                .select("vec_id", "embedding", F.struct(d2.alias("d2"), "cent_id").alias("s"))
-                .groupBy("vec_id", "embedding")
-                .agg(F.min("s").alias("best"))
+                corpus.crossJoin(cbrow)
+                .withColumn("best", F.array_min(scored))
                 .select(
                     "vec_id",
                     "embedding",
