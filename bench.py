@@ -58,6 +58,10 @@ SHOWCASE = [
     "q_d3_ivf_ann_arrow",
     "q_d4_sequence_pack",
     "q_ext_gapfill_locf",
+    # round-4 flagships: PQ/IVF-PQ ANN + the Arrow SemDeDup twin
+    "q_d3_pq_adc_topk",
+    "q_d3_ivfpq_topk",
+    "q_d2_semantic_dedup_arrow",
 ]
 
 

@@ -224,3 +224,124 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", "rank", F.round(-F.col("cos_raw"), 6).alias("adc_dist"))
         .orderBy("qid", "rank")
     )
+
+
+_IVFPQ_ORACLE = _CB_SQL + f""", cent AS (
+  SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id < 16
+), cassign AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id ORDER BY list_distance(emb, cemb), cent_id) AS rk
+  FROM e CROSS JOIN cent
+), cells AS (
+  SELECT vec_id, cent_id AS cell FROM cassign WHERE rk = 1
+), q AS (
+  SELECT vec_id AS qid, emb FROM e WHERE vec_id < {PQ_N_QUERIES}
+), probes AS (
+  SELECT qid, cent_id AS cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY list_distance(emb, cemb), cent_id) AS prk
+  FROM q CROSS JOIN cent
+), qd AS (
+  SELECT qid, cb.m, code,
+         list_distance(list_slice(emb, cb.m * {SUB_D} + 1, (cb.m + 1) * {SUB_D}),
+                       cemb) AS d
+  FROM q CROSS JOIN cb
+), pairs AS (
+  SELECT q.qid, enc.vec_id AS cid,
+         ((d0.d + d1.d) + d2.d) + d3.d AS adc
+  FROM q JOIN enc ON enc.vec_id <> q.qid
+  JOIN cells ON cells.vec_id = enc.vec_id
+  JOIN probes ON probes.qid = q.qid AND probes.cell = cells.cell
+             AND probes.prk <= {{n_probe}}
+  JOIN qd d0 ON d0.qid = q.qid AND d0.m = 0 AND d0.code = enc.code_0
+  JOIN qd d1 ON d1.qid = q.qid AND d1.m = 1 AND d1.code = enc.code_1
+  JOIN qd d2 ON d2.qid = q.qid AND d2.m = 2 AND d2.code = enc.code_2
+  JOIN qd d3 ON d3.qid = q.qid AND d3.m = 3 AND d3.code = enc.code_3
+), ranked AS (
+  SELECT qid, cid, adc,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS rank
+  FROM pairs
+)
+SELECT qid, cid, CAST(rank AS BIGINT) AS rank, ROUND(adc, 6) AS adc_dist
+FROM ranked WHERE rank <= {PQ_TOPK} ORDER BY qid, rank
+""".format(n_probe=2)
+
+
+@query("q_d3_ivfpq_topk", oracle=_IVFPQ_ORACLE, group="D")
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the production ANN index shape (FAISS ``IVFx,PQy`` with
+    ``by_residual=false``) — IVF decides WHICH vectors each query scores
+    (N_PROBE=2 of 16 cells), PQ decides WHAT each scored vector costs
+    (M=4 code lookups instead of a 64-dim dot product).  Composition of
+    the two registered primitives, still exact-oracle-checked.
+
+    One Arrow corpus pass, zero pre-candidate shuffles: centroids, PQ
+    codebooks, per-query probe masks, and per-query ADC tables all ship in
+    the task closure (KBs — they are the "index"); each batch assigns its
+    rows to cells, encodes them, looks up ADC distances, masks rows whose
+    cell the query doesn't probe, and emits partial top-k.  At 100 TB the
+    probe mask removes (1 - N_PROBE/N_CELLS) of the scan and PQ removes
+    ~128x of the remaining bytes — multiplicative savings, which is why
+    this shape IS large-scale vector search."""
+    from .similarity import CAND_SCHEMA, N_PROBE, _partial_topk_frame, _seq_l2_sq
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cpd = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    cb_full = np.array([np.asarray(e, dtype=np.float64) for e in cpd["embedding"]])
+    cbs = [cb_full[:, m * SUB_D : (m + 1) * SUB_D] for m in range(PQ_M)]
+    cent = cb_full  # first 16 vectors double as the IVF centroids
+
+    qpd = (
+        emb.filter(F.col("vec_id") < PQ_N_QUERIES)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    Q = np.array([np.asarray(e, dtype=np.float64) for e in qpd["embedding"]])
+    q_ids = qpd["vec_id"].to_numpy(np.int64)
+    dt = [
+        np.sqrt(_seq_l2_sq(Q[:, m * SUB_D : (m + 1) * SUB_D], cbs[m]))
+        for m in range(PQ_M)
+    ]
+    # probe mask: allowed[cell, j] = "query j probes cell" (ties -> low id)
+    qdist = _seq_l2_sq(Q, cent)
+    allowed = np.zeros((cent.shape[0], Q.shape[0]), dtype=bool)
+    for j in range(Q.shape[0]):
+        order = np.lexsort((np.arange(cent.shape[0]), qdist[j]))
+        allowed[order[:N_PROBE], j] = True
+    q_zeros = np.zeros(Q.shape[0], dtype=np.int64)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            cid = pdf["vec_id"].to_numpy(np.int64)
+            cell = np.argmin(_seq_l2_sq(C, cent), axis=1)
+            codes = [
+                np.argmin(_seq_l2_sq(C[:, m * SUB_D : (m + 1) * SUB_D], cbs[m]), axis=1)
+                for m in range(PQ_M)
+            ]
+            S = dt[0][:, codes[0]].T.copy()
+            for m in range(1, PQ_M):
+                S += dt[m][:, codes[m]].T
+            S = -S
+            S[~allowed[cell, :]] = -np.inf  # probe mask == the cell equi-join
+            S[cid[:, None] == q_ids[None, :]] = -np.inf
+            c_zeros = np.zeros(len(cid), dtype=np.int64)
+            yield _partial_topk_frame(S, cid, c_zeros, q_ids, q_zeros, PQ_TOPK)
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(score, CAND_SCHEMA)
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("qid", "cid", "rank", F.round(-F.col("cos_raw"), 6).alias("adc_dist"))
+        .orderBy("qid", "rank")
+    )

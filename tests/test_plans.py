@@ -226,3 +226,14 @@ def test_pq_adc_single_scan(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Exchange (") <= 2
     assert "WindowGroupLimit" in plan
+
+
+def test_ivfpq_single_scan(spark, sf_dir):
+    """IVF-PQ: the full index (centroids + codebooks + probe masks + ADC
+    tables) ships in the closure; the corpus is touched once, zero
+    pre-candidate shuffles, one merge exchange."""
+    plan = _plan(spark, "q_d3_ivfpq_topk", sf_dir)
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange (") <= 2
+    assert "WindowGroupLimit" in plan
