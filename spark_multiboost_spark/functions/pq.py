@@ -345,3 +345,72 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", "rank", F.round(-F.col("cos_raw"), 6).alias("adc_dist"))
         .orderBy("qid", "rank")
     )
+
+
+_PQ_RECALL_ORACLE = _ADC_ORACLE.replace(
+    f"SELECT qid, cid, CAST(rank AS BIGINT) AS rank, ROUND(adc, 6) AS adc_dist\nFROM ranked WHERE rank <= {PQ_TOPK} ORDER BY qid, rank",
+    f""", adc_top AS (
+  SELECT qid, cid FROM ranked WHERE rank <= {PQ_TOPK}
+), exact AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, e2.vec_id AS cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_distance(q.emb, e2.emb), e2.vec_id) AS rank
+    FROM q JOIN e e2 ON e2.vec_id <> q.qid
+  ) WHERE rank <= {PQ_TOPK}
+)
+SELECT x.qid,
+       CAST(COUNT(a.cid) AS BIGINT) AS n_hits,
+       ROUND(CAST(COUNT(a.cid) AS DOUBLE) / {PQ_TOPK}, 6) AS recall_at_k
+FROM exact x LEFT JOIN adc_top a ON x.qid = a.qid AND x.cid = a.cid
+GROUP BY x.qid ORDER BY x.qid
+""",
+)
+
+
+@query("q_d3_pq_recall", oracle=_PQ_RECALL_ORACLE, group="D")
+def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of PQ-ADC against the exact L2 top-k — the tuning gauge
+    for M/PQ_K, mirroring :func:`..functions.similarity.ivf_recall` for
+    the quantized path (every approximate index ships with its recall
+    measurement).  The exact side is a broadcast-queries brute-force with
+    the same WindowGroupLimit partial top-k shape as the cosine flagship;
+    the comparison join touches two k-row-per-query result sets only."""
+    from ..functions.vector import l2_distance
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < PQ_N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("dist", "cid")
+    exact = (
+        e.select(F.col("vec_id").alias("cid"), "emb")
+        .crossJoin(q)
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("dist", l2_distance(F.col("qemb"), F.col("emb")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("qid", "cid")
+    )
+    adc = pq_adc_topk(spark, sf_dir).select(
+        F.col("qid").alias("a_qid"), F.col("cid").alias("a_cid")
+    )
+    return (
+        exact.join(
+            adc,
+            (exact["qid"] == adc["a_qid"]) & (exact["cid"] == adc["a_cid"]),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("a_cid").cast("bigint").alias("n_hits"))
+        .select(
+            "qid",
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / PQ_TOPK, 6).alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )
