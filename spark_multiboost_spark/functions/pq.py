@@ -414,3 +414,216 @@ def pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+PQ_TRAIN_ITERS = 4
+
+
+def _pq_lloyd(
+    spark: SparkSession, sf_dir: str, iters: int = PQ_TRAIN_ITERS
+) -> tuple[list, dict]:
+    """Per-subspace Lloyd's k-means for PQ codebooks — all PQ_M subspaces
+    train in the SAME pass over the corpus each iteration (one assignment
+    projection + one update aggregation), not PQ_M separate jobs.
+
+    Scale shape mirrors the IVF trainer (`similarity._lloyd`), with the
+    round-4 argmin pattern: codebooks ride ONE broadcast row, per-subspace
+    assignment is an array_min expression (zero corpus shuffle), and the
+    update explodes each row into (m, code, pos, value) — at most
+    PQ_M x PQ_K x SUB_D groups leave the map-side partial agg, so the only
+    shuffle is KBs regardless of corpus size.  Means and inertia
+    accumulate in DECIMAL (parity.py discipline) for partition-order
+    independence."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    e = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).persist()
+    seed = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    full = [
+        [float(x) for x in v] for v in seed["embedding"]
+    ]
+    cb = {
+        (m, k): full[k][m * SUB_D : (m + 1) * SUB_D]
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+    }
+    history = []
+    try:
+        for it in range(iters):
+            cbrow = F.broadcast(
+                spark.createDataFrame(
+                    [(m, k, v) for (m, k), v in sorted(cb.items())],
+                    "m int, code int, cemb array<double>",
+                )
+                .groupBy()
+                .agg(F.collect_list(F.struct("m", "code", "cemb")).alias("cbs"))
+            )
+
+            def d2(a, b):
+                return F.aggregate(
+                    F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+
+            def best(i):
+                sub = F.slice(F.col("emb"), i * SUB_D + 1, SUB_D)
+                return F.array_min(
+                    F.transform(
+                        F.filter("cbs", lambda c: c["m"] == F.lit(i)),
+                        lambda c: F.struct(
+                            d2(sub, c["cemb"]).alias("d2"), c["code"].alias("code")
+                        ),
+                    )
+                ).alias(f"b{i}")
+
+            assigned = e.crossJoin(cbrow).select(
+                "vec_id", "emb", *[best(i) for i in range(PQ_M)]
+            )
+            total_d2 = sum(F.col(f"b{i}.d2") for i in range(PQ_M))
+            inertia = float(
+                assigned.agg(
+                    F.sum(total_d2.cast("decimal(30,12)")).alias("x")
+                ).collect()[0]["x"]
+            )
+            subs = F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("m"),
+                            F.col(f"b{i}.code").alias("code"),
+                            F.slice(F.col("emb"), i * SUB_D + 1, SUB_D).alias("sub"),
+                        )
+                        for i in range(PQ_M)
+                    ]
+                )
+            ).alias("a")
+            upd = (
+                assigned.select(subs)
+                .select("a.m", "a.code", F.posexplode("a.sub").alias("pos", "v"))
+                .groupBy("m", "code", "pos")
+                .agg(
+                    (F.sum(F.col("v").cast("decimal(30,15)")) / F.count(F.lit(1)))
+                    .cast("double")
+                    .alias("mean_v")
+                )
+                .collect()
+            )
+            acc: dict = {}
+            for r in upd:
+                acc.setdefault((r["m"], r["code"]), [0.0] * SUB_D)[r["pos"]] = r[
+                    "mean_v"
+                ]
+            n_active = len(acc)
+            cb.update(acc)  # codes with no members keep their old center
+            history.append((it, round(inertia, 6), n_active))
+    finally:
+        e.unpersist()
+    return history, cb
+
+
+@query("q_d3_pq_train", oracle=None, group="D")
+def pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook trainer — per-iteration inertia history (rows-only, like
+    the A10 boosting loop and q_d3_kmeans_train; pytest asserts the
+    inertia curve never rises and that trained codebooks beat the seed
+    codebooks on recall)."""
+    history, _ = _pq_lloyd(spark, sf_dir)
+    return spark.createDataFrame(
+        history, "iter int, inertia double, n_active_codes bigint"
+    )
+
+
+@query("q_d3_pq_trained_recall", oracle=None, group="D")
+def pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train -> index -> measure for PQ (the q_d3_ivf_trained_recall
+    counterpart): run per-subspace Lloyd's, rebuild the ADC tables on the
+    trained codebooks, and report recall@k against the exact L2 top-k.
+    Rows-only (iterative trainer upstream); the seed-codebook recall gauge
+    (q_d3_pq_recall) stays the oracle-checked twin."""
+    from .similarity import CAND_SCHEMA, _partial_topk_frame, _seq_l2_sq
+    from ..functions.vector import l2_distance
+
+    _, cb = _pq_lloyd(spark, sf_dir)
+    cbs = [
+        np.array([cb[(m, k)] for k in range(PQ_K)], dtype=np.float64)
+        for m in range(PQ_M)
+    ]
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qpd = (
+        emb.filter(F.col("vec_id") < PQ_N_QUERIES)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    Q = np.array([np.asarray(x, dtype=np.float64) for x in qpd["embedding"]])
+    q_ids = qpd["vec_id"].to_numpy(np.int64)
+    dt = [
+        np.sqrt(_seq_l2_sq(Q[:, m * SUB_D : (m + 1) * SUB_D], cbs[m]))
+        for m in range(PQ_M)
+    ]
+    q_zeros = np.zeros(Q.shape[0], dtype=np.int64)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array([np.asarray(x, dtype=np.float64) for x in pdf["embedding"]])
+            cid = pdf["vec_id"].to_numpy(np.int64)
+            codes = [
+                np.argmin(_seq_l2_sq(C[:, m * SUB_D : (m + 1) * SUB_D], cbs[m]), axis=1)
+                for m in range(PQ_M)
+            ]
+            S = dt[0][:, codes[0]].T.copy()
+            for m in range(1, PQ_M):
+                S += dt[m][:, codes[m]].T
+            S = -S
+            S[cid[:, None] == q_ids[None, :]] = -np.inf
+            c_zeros = np.zeros(len(cid), dtype=np.int64)
+            yield _partial_topk_frame(S, cid, c_zeros, q_ids, q_zeros, PQ_TOPK)
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(score, CAND_SCHEMA)
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
+    adc = (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("qid", F.col("cid").alias("a_cid"))
+    )
+
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    qb = F.broadcast(
+        e.filter(F.col("vec_id") < PQ_N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+        )
+    )
+    we = Window.partitionBy("qid").orderBy("dist", "cid")
+    exact = (
+        e.select(F.col("vec_id").alias("cid"), "emb")
+        .crossJoin(qb)
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("dist", l2_distance(F.col("qemb"), F.col("emb")))
+        .withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("qid", "cid")
+    )
+    return (
+        exact.join(
+            adc,
+            (exact["qid"] == adc["qid"]) & (exact["cid"] == adc["a_cid"]),
+            "left",
+        )
+        .select(exact["qid"].alias("qid"), "a_cid")
+        .groupBy("qid")
+        .agg(F.count("a_cid").cast("bigint").alias("n_hits"))
+        .select(
+            "qid",
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / PQ_TOPK, 6).alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )

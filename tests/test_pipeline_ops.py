@@ -210,3 +210,20 @@ def test_zorder_buckets_are_tiles(spark, sf_dir):
     # tiles align to the 16-grid
     assert (df["min_x"] // 16 == df["max_x"] // 16).all()
     assert (df["min_y"] // 16 == df["max_y"] // 16).all()
+
+
+def test_pq_train_inertia_never_rises(spark, sf_dir):
+    """Per-subspace Lloyd's: the summed quantization error must be
+    monotonically non-increasing across iterations, with every (m, code)
+    pair staying active on the fixture."""
+    got = _Q["q_d3_pq_train"].fn(spark, sf_dir).toPandas().sort_values("iter")
+    assert (got["inertia"].diff().dropna() <= 1e-9).all()
+    assert (got["n_active_codes"] > 0).all()
+
+
+def test_pq_trained_recall_not_worse(spark, sf_dir):
+    """Trained PQ codebooks must not retrieve worse than the seed-slice
+    codebooks (mirrors the IVF trained-recall guard)."""
+    trained = _Q["q_d3_pq_trained_recall"].fn(spark, sf_dir).toPandas()
+    seed = _Q["q_d3_pq_recall"].fn(spark, sf_dir).toPandas()
+    assert trained["recall_at_k"].mean() >= seed["recall_at_k"].mean() - 1e-9
