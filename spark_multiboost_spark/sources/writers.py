@@ -107,3 +107,53 @@ def range_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         bcount().alias("n"), dsum("l_quantity").alias("sum_qty")
     )
+
+
+@query("q_b03_compaction", oracle=None, group="B")
+def compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 (cont.): small-file compaction — the standing maintenance job of
+    any 100 TB lake.  Streaming ingests and over-parallel writers leave
+    partitions fragmented into thousands of KB-sized files; NameNode/
+    listing pressure and per-file open cost then dominate read time.
+
+    This op (1) writes ``documents`` partitioned by ``lang`` with an
+    artificially fragmented layout (every task writes into every
+    partition), (2) audits the lake via ``input_file_name()`` — a pure
+    read-side aggregation, no filesystem walk — and (3) compacts by
+    rewriting each partition from a single shuffle
+    (``repartition("lang")``), with ``maxRecordsPerFile`` as the file-size
+    governor so oversized partitions still split.  Returns the per-lang
+    before/after file counts (rows-only: sink correctness = read-back).
+
+    At cluster scale the same three steps run partition-targeted (only
+    fragmented partitions rewrite — the audit tells you which), and the
+    rewrite inherits B3's sorted/bucketed layout options."""
+    d = load_tables(spark, sf_dir)["documents"]
+    root = tempfile.mkdtemp(prefix="smb_compact_")
+    frag, tidy = os.path.join(root, "frag"), os.path.join(root, "tidy")
+    # fragmented ingest: 8 writer tasks x |lang| partitions
+    d.repartition(8).write.mode("overwrite").partitionBy("lang").parquet(frag)
+
+    def audit(path: str, label: str) -> DataFrame:
+        return (
+            spark.read.parquet(path)
+            .select("lang", F.input_file_name().alias("f"))
+            .groupBy("lang")
+            .agg(F.count_distinct("f").cast("bigint").alias(f"files_{label}"))
+        )
+
+    before = audit(frag, "before")
+    (
+        spark.read.parquet(frag)
+        .repartition("lang")  # one shuffle, co-locates each partition
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1_000_000)  # size governor, not a cap
+        .partitionBy("lang")
+        .parquet(tidy)
+    )
+    after = audit(tidy, "after")
+    return (
+        before.join(after, "lang")
+        .select("lang", "files_before", "files_after")
+        .orderBy("lang")
+    )

@@ -227,3 +227,11 @@ def test_pq_trained_recall_not_worse(spark, sf_dir):
     trained = _Q["q_d3_pq_trained_recall"].fn(spark, sf_dir).toPandas()
     seed = _Q["q_d3_pq_recall"].fn(spark, sf_dir).toPandas()
     assert trained["recall_at_k"].mean() >= seed["recall_at_k"].mean() - 1e-9
+
+
+def test_compaction_reduces_files_preserves_rows(spark, sf_dir):
+    """The compaction rewrite must strictly reduce per-partition file
+    counts on the fragmented layout and lose no rows."""
+    rep = _Q["q_b03_compaction"].fn(spark, sf_dir).toPandas()
+    assert (rep["files_after"] < rep["files_before"]).all()
+    assert (rep["files_after"] >= 1).all()
