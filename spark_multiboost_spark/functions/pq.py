@@ -627,3 +627,171 @@ def pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+_RESIDUAL_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), cent AS (
+  SELECT vec_id AS cent_id, emb AS cemb FROM e WHERE vec_id < 16
+), cassign AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id ORDER BY list_distance(emb, cemb), cent_id) AS rk
+  FROM e CROSS JOIN cent
+), cells AS (
+  SELECT vec_id, cent_id AS cell FROM cassign WHERE rk = 1
+), resid AS (
+  SELECT e.vec_id, cells.cell,
+         list_transform(list_zip(e.emb, cent.cemb), x -> x[1] - x[2]) AS remb
+  FROM e JOIN cells ON cells.vec_id = e.vec_id
+  JOIN cent ON cent.cent_id = cells.cell
+), ms AS (
+  SELECT * FROM (VALUES (0), (1), (2), (3)) t(m)
+), cb AS (
+  SELECT ms.m, r.vec_id - {PQ_K} AS code,
+         list_slice(r.remb, ms.m * {SUB_D} + 1, (ms.m + 1) * {SUB_D}) AS cbemb
+  FROM resid r CROSS JOIN ms
+  WHERE r.vec_id >= {PQ_K} AND r.vec_id < {2 * PQ_K}
+), rsub AS (
+  SELECT r.vec_id, r.cell, ms.m,
+         list_slice(r.remb, ms.m * {SUB_D} + 1, (ms.m + 1) * {SUB_D}) AS semb
+  FROM resid r CROSS JOIN ms
+), rassign AS (
+  SELECT vec_id, cell, rsub.m, code,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id, rsub.m
+           ORDER BY list_distance(semb, cbemb), code) AS rk
+  FROM rsub JOIN cb ON rsub.m = cb.m
+), enc AS (
+  SELECT vec_id, cell,
+         MAX(CASE WHEN m = 0 THEN code END) AS code_0,
+         MAX(CASE WHEN m = 1 THEN code END) AS code_1,
+         MAX(CASE WHEN m = 2 THEN code END) AS code_2,
+         MAX(CASE WHEN m = 3 THEN code END) AS code_3
+  FROM rassign WHERE rk = 1 GROUP BY vec_id, cell
+), q AS (
+  SELECT vec_id AS qid, emb FROM e WHERE vec_id < {PQ_N_QUERIES}
+), probes AS (
+  SELECT qid, cent_id AS cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY list_distance(emb, cemb), cent_id) AS prk
+  FROM q CROSS JOIN cent
+), qres AS (
+  SELECT q.qid, p.cell,
+         list_transform(list_zip(q.emb, cent.cemb), x -> x[1] - x[2]) AS qremb
+  FROM q JOIN probes p ON p.qid = q.qid AND p.prk <= 2
+  JOIN cent ON cent.cent_id = p.cell
+), qd AS (
+  SELECT qid, qres.cell, cb.m, code,
+         list_distance(list_slice(qremb, cb.m * {SUB_D} + 1, (cb.m + 1) * {SUB_D}),
+                       cbemb) AS d
+  FROM qres CROSS JOIN cb
+), pairs AS (
+  SELECT qr.qid, enc.vec_id AS cid,
+         ((d0.d + d1.d) + d2.d) + d3.d AS adc
+  FROM qres qr
+  JOIN enc ON enc.cell = qr.cell AND enc.vec_id <> qr.qid
+  JOIN qd d0 ON d0.qid = qr.qid AND d0.cell = qr.cell AND d0.m = 0 AND d0.code = enc.code_0
+  JOIN qd d1 ON d1.qid = qr.qid AND d1.cell = qr.cell AND d1.m = 1 AND d1.code = enc.code_1
+  JOIN qd d2 ON d2.qid = qr.qid AND d2.cell = qr.cell AND d2.m = 2 AND d2.code = enc.code_2
+  JOIN qd d3 ON d3.qid = qr.qid AND d3.cell = qr.cell AND d3.m = 3 AND d3.code = enc.code_3
+), ranked AS (
+  SELECT qid, cid, adc,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS rank
+  FROM pairs
+)
+SELECT qid, cid, CAST(rank AS BIGINT) AS rank, ROUND(adc, 6) AS adc_dist
+FROM ranked WHERE rank <= {PQ_TOPK} ORDER BY qid, rank
+"""
+
+
+@query("q_d3_ivfpq_residual_topk", oracle=_RESIDUAL_ORACLE, group="D")
+def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (FAISS's ``by_residual=true`` DEFAULT): vectors are
+    PQ-coded on their residual v - centroid(cell(v)), which concentrates
+    the codebook's dynamic range on within-cell variation — the reason
+    FAISS defaults to it.  The cost: the query's ADC tables become
+    per-(probed cell, query) — the query residual q - centroid(cell)
+    differs per cell — so the closure ships N_CELLS x Q x PQ_K lookup
+    entries per subspace instead of Q x PQ_K (still KBs; recomputed per
+    centroid refresh, never per corpus row).
+
+    Codebooks are residuals of vectors PQ_K..2*PQ_K-1 (the first PQ_K ARE
+    the centroids — their residuals are zero and would degenerate).  Same
+    single-corpus-pass / zero-pre-candidate-shuffle plan as q_d3_ivfpq_topk;
+    every distance term and the fixed-order ADC sum stay bit-identical to
+    the DuckDB oracle, so the FAISS-default index form is ALSO
+    exact-oracle-checked."""
+    from .similarity import CAND_SCHEMA, N_PROBE, _partial_topk_frame, _seq_l2_sq
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    spd = (
+        emb.filter(F.col("vec_id") < 2 * PQ_K)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    seed = np.array([np.asarray(x, dtype=np.float64) for x in spd["embedding"]])
+    cent = seed[:PQ_K]
+    # codebook source vectors: residuals of vec_id in [PQ_K, 2*PQ_K)
+    src = seed[PQ_K:]
+    src_cell = np.argmin(_seq_l2_sq(src, cent), axis=1)
+    src_resid = src - cent[src_cell]
+    cbs = [src_resid[:, m * SUB_D : (m + 1) * SUB_D] for m in range(PQ_M)]
+
+    qpd = (
+        emb.filter(F.col("vec_id") < PQ_N_QUERIES)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    Q = np.array([np.asarray(x, dtype=np.float64) for x in qpd["embedding"]])
+    q_ids = qpd["vec_id"].to_numpy(np.int64)
+    # per-(cell, query) ADC tables on the QUERY residual for that cell
+    dt = []
+    for m in range(PQ_M):
+        t = np.zeros((cent.shape[0], Q.shape[0], PQ_K), dtype=np.float64)
+        for c in range(cent.shape[0]):
+            qres = Q - cent[c]
+            t[c] = np.sqrt(
+                _seq_l2_sq(qres[:, m * SUB_D : (m + 1) * SUB_D], cbs[m])
+            )
+        dt.append(t)
+    qdist = _seq_l2_sq(Q, cent)
+    allowed = np.zeros((cent.shape[0], Q.shape[0]), dtype=bool)
+    for j in range(Q.shape[0]):
+        order = np.lexsort((np.arange(cent.shape[0]), qdist[j]))
+        allowed[order[:N_PROBE], j] = True
+    q_zeros = np.zeros(Q.shape[0], dtype=np.int64)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array([np.asarray(x, dtype=np.float64) for x in pdf["embedding"]])
+            cid = pdf["vec_id"].to_numpy(np.int64)
+            cell = np.argmin(_seq_l2_sq(C, cent), axis=1)
+            R = C - cent[cell]
+            codes = [
+                np.argmin(_seq_l2_sq(R[:, m * SUB_D : (m + 1) * SUB_D], cbs[m]), axis=1)
+                for m in range(PQ_M)
+            ]
+            # ADC with per-(cell, query) tables, fixed m order
+            S = dt[0][cell, :, codes[0]].copy()  # advanced indexing -> (b, Q)
+            for m in range(1, PQ_M):
+                S += dt[m][cell, :, codes[m]]
+            S = -S
+            S[~allowed[cell, :]] = -np.inf
+            S[cid[:, None] == q_ids[None, :]] = -np.inf
+            c_zeros = np.zeros(len(cid), dtype=np.int64)
+            yield _partial_topk_frame(S, cid, c_zeros, q_ids, q_zeros, PQ_TOPK)
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(score, CAND_SCHEMA)
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("qid", "cid", "rank", F.round(-F.col("cos_raw"), 6).alias("adc_dist"))
+        .orderBy("qid", "rank")
+    )
