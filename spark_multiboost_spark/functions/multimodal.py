@@ -253,3 +253,71 @@ def binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_d6_cas_report",
+    oracle="""
+WITH blobs AS (
+  -- DuckDB md5() is VARCHAR-only; the payload IS the UTF-8 encoding of
+  -- text, so MD5(text) equals Spark's md5 over the binary payload
+  SELECT doc_id, source, MD5(text) AS payload_hash,
+         OCTET_LENGTH(ENCODE(text)) AS n_bytes
+  FROM documents
+), canon AS (
+  SELECT source, n_bytes,
+         ROW_NUMBER() OVER (PARTITION BY payload_hash ORDER BY doc_id) AS rn
+  FROM blobs
+)
+SELECT source,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(CASE WHEN rn = 1 THEN n_bytes ELSE 0 END) AS BIGINT)
+           AS stored_bytes,
+       ROUND(1.0 - CAST(SUM(CASE WHEN rn = 1 THEN n_bytes ELSE 0 END) AS DOUBLE)
+             / SUM(n_bytes), 6) AS dedup_ratio
+FROM canon GROUP BY source ORDER BY source
+""",
+    group="D",
+)
+def cas_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 (cont.): content-addressable-storage accounting for binary
+    payloads — what a blob store saves by keying media on its digest
+    (images/audio repeat heavily in crawled corpora: same logo, same
+    stock photo, same intro jingle).  The CAS is GLOBAL (a digest stores
+    once, canonical copy = lowest doc_id, the D1 keep rule); the report
+    attributes raw vs stored bytes to each source.
+
+    Scale shape: digest+length are per-row projections (the payload never
+    leaves its task — only the 16-byte digest shuffles); one hash shuffle
+    on the digest for the canonical window (uniform key, the D1 plan),
+    then a tiny per-source rollup.  The multimodal counterpart of D1
+    exact dedup, on BINARY instead of text."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir)["documents"]
+    blobs = _with_payload(d).join(d.select("doc_id", "source"), "doc_id").select(
+        "doc_id",
+        "source",
+        F.md5("payload").alias("payload_hash"),
+        F.length("payload").cast("bigint").alias("n_bytes"),
+    )
+    w = Window.partitionBy("payload_hash").orderBy("doc_id")
+    canon = blobs.withColumn("rn", F.row_number().over(w))
+    stored = F.sum(F.when(F.col("rn") == 1, F.col("n_bytes")).otherwise(0))
+    return (
+        canon.groupBy("source")
+        .agg(
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            stored.cast("bigint").alias("stored_bytes"),
+        )
+        .select(
+            "source",
+            "total_bytes",
+            "stored_bytes",
+            F.round(
+                F.lit(1.0) - F.col("stored_bytes").cast("double") / F.col("total_bytes"),
+                6,
+            ).alias("dedup_ratio"),
+        )
+        .orderBy("source")
+    )
