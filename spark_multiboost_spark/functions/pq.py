@@ -795,3 +795,107 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", "rank", F.round(-F.col("cos_raw"), 6).alias("adc_dist"))
         .orderBy("qid", "rank")
     )
+
+
+_SQ8_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), dims AS (
+  SELECT i.i AS pos, MIN(emb[i.i]) AS mn, MAX(emb[i.i]) AS mx
+  FROM e CROSS JOIN generate_series(1, {PQ_M * SUB_D}) i(i)
+  GROUP BY i.i
+), stats AS (
+  SELECT LIST(mn ORDER BY pos) AS mn, LIST(mx ORDER BY pos) AS mx FROM dims
+), coded AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, {PQ_M * SUB_D}),
+           i -> CASE WHEN mx[i] = mn[i] THEN 0.0
+                ELSE FLOOR((emb[i] - mn[i]) * 255 / (mx[i] - mn[i]) + 0.5) END)
+           AS code
+  FROM e CROSS JOIN stats
+), deq AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, {PQ_M * SUB_D}),
+           i -> mn[i] + code[i] * (mx[i] - mn[i]) / 255) AS demb
+  FROM coded CROSS JOIN stats
+), q AS (
+  SELECT vec_id AS qid, emb FROM e WHERE vec_id < {PQ_N_QUERIES}
+), ranked AS (
+  SELECT q.qid, d.vec_id AS cid, list_distance(q.emb, d.demb) AS dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_distance(q.emb, d.demb), d.vec_id) AS rank
+  FROM q JOIN deq d ON d.vec_id <> q.qid
+)
+SELECT qid, cid, CAST(rank AS BIGINT) AS rank, ROUND(dist, 6) AS sq_dist
+FROM ranked WHERE rank <= {PQ_TOPK} ORDER BY qid, rank
+"""
+
+
+@query("q_d3_sq8_topk", oracle=_SQ8_ORACLE, group="D")
+def sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization (SQ8) top-k — the third member of the
+    quantization family (SQ8 / PQ / IVF-PQ): every dimension is linearly
+    mapped to a uint8 against per-dimension corpus min/max, cutting the
+    float64 corpus 8x with no codebook at all.  Queries stay full
+    precision and score against the DEQUANTIZED corpus (asymmetric, like
+    ADC) — the standard FAISS SQ8 search.
+
+    Plan: per-dim min/max is ONE aggregation whose output is a single
+    broadcast stats row (model-sized); encode, dequantize, and distance
+    are per-row expressions; top-k is the broadcast-queries
+    WindowGroupLimit shape shared with the exact flagship.  Quantize /
+    dequantize expressions are written with identical operation order in
+    Spark and the oracle, so even the lossy path hash-matches exactly."""
+    from ..functions.vector import l2_distance
+
+    D = PQ_M * SUB_D
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    dims = (
+        e.select(F.posexplode("emb").alias("pos0", "v"))
+        .groupBy("pos0")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    stats = F.broadcast(
+        dims.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("pos0", "mn", "mx"))).alias("s")
+        ).select(
+            F.transform("s", lambda x: x["mn"]).alias("mn"),
+            F.transform("s", lambda x: x["mx"]).alias("mx"),
+        )
+    )
+
+    def el(c, i):
+        return F.element_at(F.col(c), i)
+
+    idx = F.sequence(F.lit(1), F.lit(D))
+    code = F.transform(
+        idx,
+        lambda i: F.when(el("mx", i) == el("mn", i), F.lit(0.0)).otherwise(
+            F.floor((el("emb", i) - el("mn", i)) * 255 / (el("mx", i) - el("mn", i)) + 0.5)
+        ),
+    )
+    deq = e.crossJoin(stats).withColumn("code", code).select(
+        "vec_id",
+        F.transform(
+            idx,
+            lambda i: el("mn", i) + el("code", i) * (el("mx", i) - el("mn", i)) / 255,
+        ).alias("demb"),
+    )
+    qb = F.broadcast(
+        e.filter(F.col("vec_id") < PQ_N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("dist", "cid")
+    return (
+        deq.select(F.col("vec_id").alias("cid"), "demb")
+        .crossJoin(qb)
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("dist", l2_distance(F.col("qemb"), F.col("demb")))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("qid", "cid", "rank", F.round("dist", 6).alias("sq_dist"))
+        .orderBy("qid", "rank")
+    )
