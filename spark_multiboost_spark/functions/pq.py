@@ -899,3 +899,68 @@ def sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", "rank", F.round("dist", 6).alias("sq_dist"))
         .orderBy("qid", "rank")
     )
+
+
+_BQ_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < {PQ_N_QUERIES}
+), ranked AS (
+  SELECT q.qid, e.vec_id AS cid,
+         list_sum(list_transform(generate_series(1, {PQ_M * SUB_D}),
+           i -> CASE WHEN (qemb[i] >= 0) <> (emb[i] >= 0) THEN 1 ELSE 0 END))
+           AS hamming,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_sum(list_transform(generate_series(1, {PQ_M * SUB_D}),
+             i -> CASE WHEN (qemb[i] >= 0) <> (emb[i] >= 0) THEN 1 ELSE 0 END)),
+             e.vec_id) AS rank
+  FROM q JOIN e ON e.vec_id <> q.qid
+)
+SELECT qid, cid, CAST(rank AS BIGINT) AS rank, CAST(hamming AS BIGINT) AS hamming
+FROM ranked WHERE rank <= {PQ_TOPK} ORDER BY qid, rank
+"""
+
+
+@query("q_d3_binary_hamming_topk", oracle=_BQ_ORACLE, group="D")
+def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization (1 bit/dim) + Hamming top-k — the cheapest end
+    of the quantization spectrum (1-bit BQ / 8-bit SQ / PQ / IVF-PQ):
+    each vector collapses to its sign bits (512x vs float64) and distance
+    is a popcount-of-xor, which modern vector stores use as the
+    first-stage filter before exact re-rank.  Integer distances are exact
+    in any engine, so even ranking (ties broken by cid — Hamming ties are
+    common at d=64) hash-matches the oracle.
+
+    Plan: the broadcast-queries WindowGroupLimit shape of the exact
+    flagship with an integer fold instead of a float dot product; at
+    100 TB the corpus side would be a packed-bitmap column and the fold a
+    handful of 64-bit XOR+popcounts per pair."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    qb = F.broadcast(
+        e.filter(F.col("vec_id") < PQ_N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+        )
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            "qemb",
+            "emb",
+            lambda x, y: ((x >= 0) != (y >= 0)).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("qid").orderBy("hamming", "cid")
+    return (
+        e.select(F.col("vec_id").alias("cid"), "emb")
+        .crossJoin(qb)
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("hamming", hamming.cast("bigint"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("qid", "cid", "rank", "hamming")
+        .orderBy("qid", "rank")
+    )
