@@ -964,3 +964,79 @@ def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", "rank", "hamming")
         .orderBy("qid", "rank")
     )
+
+
+BQ_SHORTLIST = 50
+
+
+_BQ_RERANK_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < {PQ_N_QUERIES}
+), shortlist AS (
+  SELECT qid, cid, qemb, cemb FROM (
+    SELECT q.qid, e.vec_id AS cid, q.qemb, e.emb AS cemb,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_sum(list_transform(generate_series(1, {PQ_M * SUB_D}),
+               i -> CASE WHEN (qemb[i] >= 0) <> (emb[i] >= 0) THEN 1 ELSE 0 END)),
+               e.vec_id) AS hrank
+    FROM q JOIN e ON e.vec_id <> q.qid
+  ) WHERE hrank <= {BQ_SHORTLIST}
+), ranked AS (
+  SELECT qid, cid, list_cosine_similarity(qemb, cemb) AS cos_raw,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid
+           ORDER BY list_cosine_similarity(qemb, cemb) DESC, cid) AS rank
+  FROM shortlist
+)
+SELECT qid, cid, CAST(rank AS BIGINT) AS rank, ROUND(cos_raw, 6) AS cos_sim
+FROM ranked WHERE rank <= {PQ_TOPK} ORDER BY qid, rank
+"""
+
+
+@query("q_d3_bq_rerank_topk", oracle=_BQ_RERANK_ORACLE, group="D")
+def bq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the shape every production vector store ships:
+    a cheap 1-bit Hamming filter shortlists BQ_SHORTLIST candidates per
+    query, then exact cosine re-ranks ONLY the shortlist.  The expensive
+    distance touches corpus*(K'/corpus) pairs instead of the whole corpus;
+    at 100 TB the filter stage runs on packed bitmaps (XOR+popcount) and
+    the re-rank fetches full vectors for ~50 rows per query.
+
+    Both stages keep unique tie-breaking (hamming, cid / cos DESC, cid),
+    so the whole cascade stays exact-oracle-checked."""
+    from ..functions.vector import cosine
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    qb = F.broadcast(
+        e.filter(F.col("vec_id") < PQ_N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+        )
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            "qemb", "emb", lambda x, y: ((x >= 0) != (y >= 0)).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    wh = Window.partitionBy("qid").orderBy("hamming", "cid")
+    shortlist = (
+        e.select(F.col("vec_id").alias("cid"), "emb")
+        .crossJoin(qb)
+        .filter(F.col("cid") != F.col("qid"))
+        .withColumn("hamming", hamming)
+        .withColumn("hrank", F.row_number().over(wh))
+        .filter(F.col("hrank") <= BQ_SHORTLIST)
+    )
+    wc = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
+    return (
+        shortlist.withColumn("cos_raw", cosine(F.col("qemb"), F.col("emb")))
+        .withColumn("rank", F.row_number().over(wc).cast("bigint"))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("qid", "cid", "rank", F.round("cos_raw", 6).alias("cos_sim"))
+        .orderBy("qid", "rank")
+    )
