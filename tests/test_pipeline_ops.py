@@ -235,3 +235,15 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir):
     rep = _Q["q_b03_compaction"].fn(spark, sf_dir).toPandas()
     assert (rep["files_after"] < rep["files_before"]).all()
     assert (rep["files_after"] >= 1).all()
+
+
+def test_opq_rotated_recall_runs_and_bounded(spark, sf_dir):
+    """OPQ-P: distributed moments -> eigh -> rotated PQ. The fixture is
+    near-isotropic so rotation isn't asserted to beat plain PQ (documented
+    in the query); assert the gauge itself: full query coverage, recall in
+    [0, 1], deterministic across runs."""
+    a = _Q["q_d3_opq_rotated_recall"].fn(spark, sf_dir).toPandas()
+    b = _Q["q_d3_opq_rotated_recall"].fn(spark, sf_dir).toPandas()
+    assert len(a) == 100
+    assert a["recall_at_k"].between(0, 1).all()
+    assert a.equals(b)
