@@ -1197,3 +1197,65 @@ def upsert_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "q_comp_dataset_card",
+    oracle="""
+WITH t AS (
+  SELECT COUNT(*) AS n_docs,
+         SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS DECIMAL(18,6))) AS n_tokens,
+         COUNT(DISTINCT lang) AS n_langs,
+         COUNT(DISTINCT source) AS n_sources,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+         COUNT(DISTINCT MD5(text)) AS n_unique
+  FROM documents
+)
+SELECT metric, ROUND(value, 6) AS value FROM (
+  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM t
+  UNION ALL SELECT 'n_tokens', CAST(n_tokens AS DOUBLE) FROM t
+  UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM t
+  UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM t
+  UNION ALL SELECT 'en_frac', CAST(n_en AS DOUBLE) / n_docs FROM t
+  UNION ALL SELECT 'exact_dup_rate', 1.0 - CAST(n_unique AS DOUBLE) / n_docs FROM t
+  UNION ALL SELECT 'mean_doc_tokens', CAST(n_tokens AS DOUBLE) / n_docs FROM t
+) ORDER BY metric
+""",
+    group="E",
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E (ext): the DATASET CARD — the datasheet summary a training corpus
+    ships with (docs, tokens, language/source spread, duplication) as one
+    tidy (metric, value) table.
+
+    Plan shape: ONE aggregation pass over the corpus computes every
+    ingredient (count, decimal token sum, distincts, conditional counts);
+    the seven card rows then project from that single-row result — the
+    per-metric UNION is over 1-row locals, never re-scanning the corpus.
+    At 100 TB the only heavy operators are the two count-distincts, which
+    Spark executes as partial-agg expand (or swap in approx_count_distinct
+    when exactness isn't contractual)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("decimal(18,6)")).alias("n_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+        F.count_distinct(F.md5("text")).alias("n_unique"),
+    )
+    nd = F.col("n_docs").cast("double")
+    rows = [
+        ("n_docs", nd),
+        ("n_tokens", F.col("n_tokens").cast("double")),
+        ("n_langs", F.col("n_langs").cast("double")),
+        ("n_sources", F.col("n_sources").cast("double")),
+        ("en_frac", F.col("n_en").cast("double") / F.col("n_docs")),
+        ("exact_dup_rate", F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs")),
+        ("mean_doc_tokens", F.col("n_tokens").cast("double") / F.col("n_docs")),
+    ]
+    out = None
+    for name, expr in rows:
+        piece = t.select(F.lit(name).alias("metric"), F.round(expr, 6).alias("value"))
+        out = piece if out is None else out.unionAll(piece)
+    return out.orderBy("metric")
