@@ -1259,3 +1259,84 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         piece = t.select(F.lit(name).alias("metric"), F.round(expr, 6).alias("value"))
         out = piece if out is None else out.unionAll(piece)
     return out.orderBy("metric")
+
+
+@query(
+    "q_ext_upsert_scd2",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+), upd AS (
+  SELECT o_orderkey, FLOOR(o_totalprice * 1.1 * 100 + 0.5) / 100 AS new_price
+  FROM orders WHERE o_orderkey % 3 = 0
+), old_rows AS (
+  SELECT b.o_orderkey, b.o_totalprice AS price,
+         '2020-01-01' AS valid_from,
+         CASE WHEN u.o_orderkey IS NULL THEN '9999-12-31' ELSE '2024-01-01' END
+             AS valid_to,
+         (u.o_orderkey IS NULL) AS is_current,
+         CAST(1 AS BIGINT) AS version
+  FROM base b LEFT JOIN upd u ON b.o_orderkey = u.o_orderkey
+), new_rows AS (
+  SELECT u.o_orderkey, u.new_price AS price,
+         '2024-01-01' AS valid_from, '9999-12-31' AS valid_to,
+         TRUE AS is_current,
+         CAST(CASE WHEN b.o_orderkey IS NULL THEN 1 ELSE 2 END AS BIGINT)
+             AS version
+  FROM upd u LEFT JOIN base b ON u.o_orderkey = b.o_orderkey
+)
+SELECT * FROM (
+  SELECT * FROM old_rows UNION ALL SELECT * FROM new_rows
+) ORDER BY o_orderkey, version
+""",
+    group="E",
+)
+def upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E (ext): MERGE with SCD TYPE-2 semantics — history-preserving CDC:
+    matched keys CLOSE the old row (valid_to = effective date) and append
+    a new current version; unmatched CDC keys insert as version 1;
+    untouched base rows stay open.  The complement of q_ext_upsert_scd1
+    (which overwrites) — together they cover both warehouse merge modes.
+
+    Plan: ONE key-equi join evaluated from both sides (base-left for row
+    closing, cdc-left for versioning) + UNION ALL — Spark reuses the
+    shuffle-ready sides; at 100 TB both joins broadcast the CDC batch or
+    ride bucketed layouts, and the union is append-only (the Delta/Iceberg
+    MERGE file-rewrite shape).  Open rows carry the 9999-12-31 sentinel,
+    not NULL, so partition pruning on valid_to stays sargable."""
+    o = load_tables(spark, sf_dir)["orders"]
+    base = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("u_orderkey"),
+        (F.floor(F.col("o_totalprice") * 1.1 * 100 + 0.5) / 100).alias("new_price"),
+    )
+    old_rows = (
+        base.join(upd, base["o_orderkey"] == upd["u_orderkey"], "left")
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.lit("2020-01-01").alias("valid_from"),
+            F.when(F.col("u_orderkey").isNull(), "9999-12-31")
+            .otherwise("2024-01-01")
+            .alias("valid_to"),
+            F.col("u_orderkey").isNull().alias("is_current"),
+            F.lit(1).cast("bigint").alias("version"),
+        )
+    )
+    new_rows = (
+        upd.join(base, upd["u_orderkey"] == base["o_orderkey"], "left")
+        .select(
+            F.col("u_orderkey").alias("o_orderkey"),
+            F.col("new_price").alias("price"),
+            F.lit("2024-01-01").alias("valid_from"),
+            F.lit("9999-12-31").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+            F.when(F.col("o_orderkey").isNull(), 1)
+            .otherwise(2)
+            .cast("bigint")
+            .alias("version"),
+        )
+    )
+    return old_rows.unionAll(new_rows).orderBy("o_orderkey", "version")
