@@ -448,3 +448,94 @@ def streaming_curation_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query("q_c12_streaming_cdc_merge", oracle=None, group="C")
+def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: CDC MERGE under streaming — the ingestion shape of a lakehouse
+    table: a change stream applies onto a parquet warehouse snapshot via
+    ``foreachBatch``, each micro-batch running the SAME full-outer merge
+    as the batch SCD1 operator and committing a NEW snapshot directory
+    (copy-on-write, exactly the Delta/Iceberg commit model — readers of
+    the old snapshot are never disturbed, and a failed batch simply never
+    advances the pointer).
+
+    The warehouse is read, merged, and rewritten DISTRIBUTED in every
+    batch — no driver materialization.  CDC batches partition the update
+    set across micro-batches, so the final snapshot must equal the
+    single-shot batch merge: tests assert row-for-row equality with
+    q_ext_upsert_scd1 (prices and change classification).
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    root = tempfile.mkdtemp(prefix="smb_cdc_")
+    base = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    snap0 = os.path.join(root, "snap_0")
+    base.write.mode("overwrite").parquet(snap0)
+    state = {"path": snap0}
+
+    # CDC replay files: the %3 update set split across micro-batches
+    upd = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            "o_orderkey",
+            (F.floor(F.col("o_totalprice") * 1.1 * 100 + 0.5) / 100).alias(
+                "new_price"
+            ),
+        )
+        .orderBy("o_orderkey")
+    )
+    cdc_dir = os.path.join(root, "cdc")
+    os.makedirs(cdc_dir, exist_ok=True)
+    updf = upd.toPandas()  # fixture replay scaffolding only (CDC is small)
+    per = max(1, len(updf) // 4)
+    for i in range(4):
+        chunk = updf.iloc[i * per : (i + 1) * per if i < 3 else len(updf)]
+        if len(chunk):
+            chunk.to_parquet(os.path.join(cdc_dir, f"part-{i:04d}.parquet"))
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        wh = spark.read.parquet(state["path"])
+        cdc = batch_df.select(
+            F.col("o_orderkey").alias("u_orderkey"), "new_price"
+        )
+        merged = (
+            wh.join(cdc, wh["o_orderkey"] == cdc["u_orderkey"], "full")
+            .select(
+                F.coalesce("o_orderkey", "u_orderkey").alias("o_orderkey"),
+                F.coalesce("new_price", "price").alias("price"),
+            )
+        )
+        nxt = os.path.join(root, f"snap_{batch_id + 1}")
+        merged.write.mode("overwrite").parquet(nxt)
+        state["path"] = nxt  # atomic pointer advance == the commit
+
+    stream = (
+        spark.readStream.schema("o_orderkey BIGINT, new_price DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdc_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_cdc_merge did not finish within 300s")
+
+    final = spark.read.parquet(state["path"])
+    ub = base.select(F.col("o_orderkey").alias("b_key"), F.col("price").alias("b_price"))
+    return (
+        final.join(ub, final["o_orderkey"] == ub["b_key"], "left")
+        .select(
+            "o_orderkey",
+            "price",
+            F.when(F.col("b_key").isNull(), "inserted")
+            .when(F.col("price") != F.col("b_price"), "updated")
+            .otherwise("kept")
+            .alias("change"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -240,3 +240,25 @@ def test_streaming_curation_sink_lands_partitioned_lake(spark, sf_dir):
     # the lake really is lang-partitioned on disk
     lakes = sorted(glob.glob("/tmp/smb_sink_*/lake/lang=*"))
     assert lakes, "no lang=... partition directories found under the sink"
+
+
+def test_streaming_cdc_merge_equals_batch_scd1(spark, sf_dir):
+    """The micro-batched copy-on-write merge must converge to exactly the
+    single-shot batch SCD1 result — keys, prices, and change labels."""
+    from spark_multiboost_spark.registry import all_queries
+
+    stream = (
+        all_queries()["q_c12_streaming_cdc_merge"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    batch = (
+        all_queries()["q_ext_upsert_scd1"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    assert stream.equals(batch)
