@@ -1340,3 +1340,152 @@ def upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return old_rows.unionAll(new_rows).orderBy("o_orderkey", "version")
+
+
+@query(
+    "q_comp_order_count_distribution",
+    oracle="""
+WITH per_cust AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    group="B",
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customers BY how many (non-urgent) orders they
+    placed — the outer-join-then-histogram double aggregation.  The LEFT
+    join keeps zero-order customers (the c_count = 0 bucket TPC-H exists
+    to test); the join predicate filters orders INSIDE the join, not
+    after it (a WHERE would silently turn the outer join inner).
+
+    At 100 TB: one custkey shuffle for the join+first agg (orders side
+    filtered before the exchange), then the histogram agg's input is one
+    row per customer — and the second groupBy key (c_count) is tiny, so
+    the final agg broadcasts down to nothing."""
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(bcount().alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q_comp_promo_revenue",
+    oracle=f"""
+SELECT FLOOR(100.00 * {dsum_sql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+       / {dsum_sql('l_extendedprice * (1 - l_discount)')} * 1e6 + 0.5) / 1e6 AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+""",
+    group="B",
+)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional aggregation as a
+    RATIO in one pass (no self-join, no two queries): both the PROMO
+    numerator and the total denominator come from the same scan+join.
+    The date filter pushes to the lineitem scan; part broadcasts.
+    Decimal discipline on both sums keeps the ratio cross-engine exact."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo.cast("decimal(18,6)")).cast("double").alias("pnum"),
+            F.sum(rev.cast("decimal(18,6)")).cast("double").alias("pden"),
+        )
+        .select(
+            (
+                F.floor(F.lit(100.00) * F.col("pnum") / F.col("pden") * 1e6 + 0.5)
+                / 1e6
+            ).alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "q_comp_min_cost_supplier",
+    oracle="""
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS min_unit
+  FROM lineitem WHERE l_quantity > 0 GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT l_partkey, MIN(min_unit) AS best_unit FROM unit GROUP BY l_partkey
+)
+SELECT p.p_partkey, p.p_brand, u.l_suppkey AS s_suppkey,
+       FLOOR(u.min_unit * 1e6 + 0.5) / 1e6 AS unit_price
+FROM unit u
+JOIN best b ON u.l_partkey = b.l_partkey AND u.min_unit = b.best_unit
+JOIN part p ON p.p_partkey = u.l_partkey
+WHERE p.p_size < 15
+QUALIFY ROW_NUMBER() OVER (PARTITION BY p.p_partkey ORDER BY u.l_suppkey) = 1
+ORDER BY p.p_partkey
+""",
+    group="B",
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: the fixture has no partsupp, so unit price
+    observed in lineitem plays supply cost): for each small part, the
+    supplier offering the minimum unit price — the correlated-min pattern
+    decorrelated into agg + join-back-on-equality (what Catalyst itself
+    does to a correlated scalar subquery), with a deterministic lowest-
+    suppkey tie-break.
+
+    At 100 TB: two hash-aggs on (partkey, suppkey) then partkey — both
+    map-side combined — and an equi-join back on (partkey, min); the
+    selective p_size filter prunes before the final join.  No window over
+    corpus-sized data: the tie-break window runs on one-row-per-(part,
+    supplier) minima, already reduced."""
+    t = load_tables(spark, sf_dir)
+    unit = (
+        t["lineitem"]
+        .filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("min_unit"))
+    )
+    best = unit.groupBy("l_partkey").agg(F.min("min_unit").alias("best_unit"))
+    w = Window.partitionBy("p_partkey").orderBy("l_suppkey")
+    return (
+        unit.join(
+            best,
+            (unit["l_partkey"] == best["l_partkey"])
+            & (unit["min_unit"] == best["best_unit"]),
+        )
+        .drop(best["l_partkey"])
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_size") < 15)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("l_suppkey").alias("s_suppkey"),
+            (F.floor(F.col("min_unit") * 1e6 + 0.5) / 1e6).alias("unit_price"),
+        )
+        .orderBy("p_partkey")
+    )
