@@ -1489,3 +1489,41 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "q_comp_important_brands",
+    oracle=f"""
+WITH brand_rev AS (
+  SELECT p_brand, {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, revenue FROM brand_rev
+WHERE revenue > (SELECT SUM(revenue) FROM brand_rev) * 0.04
+ORDER BY revenue DESC, p_brand
+""",
+    group="B",
+)
+def important_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: a HAVING whose threshold is a GLOBAL scalar over
+    the same aggregate (brands above 4% of total revenue) — the
+    fraction-of-total pattern.  The aggregate computes once; the scalar
+    total re-aggregates the (tiny) per-brand result and broadcasts back
+    as a literal-like single row, so the corpus is scanned exactly once.
+    Decimal sums keep both the per-brand values and their total exact, so
+    the float threshold compare is cross-engine identical."""
+    t = load_tables(spark, sf_dir)
+    brand_rev = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(dsum("l_extendedprice * (1 - l_discount)").alias("revenue"))
+    )
+    total = brand_rev.agg(F.sum("revenue").alias("total"))
+    return (
+        brand_rev.crossJoin(F.broadcast(total))
+        .filter(F.col("revenue") > F.col("total") * 0.04)
+        .select("p_brand", "revenue")
+        .orderBy(F.col("revenue").desc(), "p_brand")
+    )
