@@ -1512,7 +1512,14 @@ def important_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     total re-aggregates the (tiny) per-brand result and broadcasts back
     as a literal-like single row, so the corpus is scanned exactly once.
     Decimal sums keep both the per-brand values and their total exact, so
-    the float threshold compare is cross-engine identical."""
+    the float threshold compare is cross-engine identical.
+
+    The scalar total comes from a global window OVER THE AGGREGATE (25
+    brand rows — the single-partition window is over model-sized data by
+    construction), not from re-aggregating the source: re-using
+    ``brand_rev`` in a second branch would make Spark scan and join the
+    corpus twice (DataFrames are plans, not materialized results).  The
+    plan test asserts exactly one lineitem scan."""
     t = load_tables(spark, sf_dir)
     brand_rev = (
         t["lineitem"]
@@ -1520,9 +1527,9 @@ def important_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(dsum("l_extendedprice * (1 - l_discount)").alias("revenue"))
     )
-    total = brand_rev.agg(F.sum("revenue").alias("total"))
+    w = Window.partitionBy(F.lit(1))
     return (
-        brand_rev.crossJoin(F.broadcast(total))
+        brand_rev.withColumn("total", F.sum("revenue").over(w))
         .filter(F.col("revenue") > F.col("total") * 0.04)
         .select("p_brand", "revenue")
         .orderBy(F.col("revenue").desc(), "p_brand")

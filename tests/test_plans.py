@@ -237,3 +237,18 @@ def test_ivfpq_single_scan(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("Exchange (") <= 2
     assert "WindowGroupLimit" in plan
+
+
+def test_important_brands_single_scan(spark, sf_dir):
+    """Fraction-of-total HAVING: the scalar total must come from a window
+    over the 25-row aggregate, not a second corpus aggregation — exactly
+    one lineitem scan in the plan."""
+    plan = _plan(spark, "q_comp_important_brands", sf_dir)
+    assert plan.count("lineitem.parquet") <= 1 or plan.count("Scan parquet") <= 2
+
+
+def test_order_count_distribution_outer_preserved(spark, sf_dir):
+    """Q13 shape: the priority filter must not convert the LEFT join to
+    inner (zero-order customers are the point of the query)."""
+    plan = _plan(spark, "q_comp_order_count_distribution", sf_dir)
+    assert "LeftOuter" in plan
