@@ -661,10 +661,14 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk seen in >1 distinct doc is "shared", and the per-doc output is
     the fraction of its chunks that are shared (the removal signal).
 
-    Scale shape: explode -> two hash-aggs (chunk stats, then per-doc
-    rollup) joined on chash.  Both aggs get map-side partial aggregation;
-    nothing is ever pairwise.  The chunk-stat table is the only shuffle of
-    corpus-sized data, on an md5 key — uniform by construction, no skew."""
+    Scale shape (round-4 single-scan rewrite): explode -> ONE hash-agg on
+    (chash, doc_id) — the only corpus-sized shuffle, on a uniform md5 key
+    — then the shared-chunk count is a window over the REDUCED pair table
+    (rows per chash = distinct docs holding it, so ``count over
+    (partition by chash)`` IS the distinct-doc count), then the per-doc
+    rollup.  The previous form materialized the exploded chunk table in
+    two branches (chunk-stat agg + join-back), which Spark planned as TWO
+    full corpus scans — DataFrames are plans, not materialized results."""
     d = load_tables(spark, sf_dir)["documents"]
     toks = F.split("text", " ")
     ch = (
@@ -692,15 +696,16 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chash"),
         )
     )
-    cstat = ch.groupBy("chash").agg(
-        F.count_distinct("doc_id").cast("bigint").alias("nd")
+    pairs = ch.groupBy("chash", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
     )
-    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("bigint")
+    nd = F.count(F.lit(1)).over(Window.partitionBy("chash"))
+    shared = F.sum(F.when(F.col("nd") > 1, F.col("cnt")).otherwise(0)).cast("bigint")
     return (
-        ch.join(cstat, "chash")
+        pairs.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("cnt").cast("bigint").alias("n_chunks"),
             shared.alias("n_shared"),
         )
         .select(

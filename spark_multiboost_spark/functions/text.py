@@ -460,10 +460,12 @@ ORDER BY doc_id, tfidf DESC, token
 )
 def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 (cont.): TF-IDF with top-3 terms per document — term frequency
-    (hash agg), document frequency (distinct-count agg), one broadcast of
-    the scalar corpus size, score projection (per-row IEEE math, no float
-    aggregation), window top-k. The full relevance-scoring pipeline in one
-    declarative plan."""
+    (hash agg), document frequency via a WINDOW over the tf table (its
+    rows are distinct (doc, token) pairs, so ``count over (partition by
+    token)`` IS the distinct-doc count — no second corpus scan, no
+    join-back; the round-4 single-scan rewrite), one broadcast of the
+    scalar corpus size (a doc_id-column-only scan, KBs), score projection
+    (per-row IEEE math, no float aggregation), window top-k."""
     d = load_tables(spark, sf_dir)["documents"]
     n_docs = d.select(F.countDistinct("doc_id").cast("double").alias("n"))
     tf = (
@@ -472,11 +474,9 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(bcount().alias("tf"))
     )
-    df = tf.groupBy("token").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("df")
-    )
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("token")).cast("bigint")
     scored = (
-        tf.join(df, "token")
+        tf.withColumn("df", df_w)
         .crossJoin(F.broadcast(n_docs))
         .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6))
     )
