@@ -788,6 +788,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(cbrow)
         .withColumn("cent_id", F.array_min(scored)["cent_id"])
         .select("vec_id", "emb", "cent_id")
+        .persist()  # read by both self-join sides AND the output projection
+        # — unmarked, the argmin assignment would run three times
     )
     x = a.select(
         F.col("vec_id").alias("va"), F.col("emb").alias("ea"), "cent_id"

@@ -685,7 +685,10 @@ def perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation-order-independent and cross-engine exact."""
     d = load_tables(spark, sf_dir)["documents"]
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    freq = toks.groupBy("token").agg(bcount().alias("n"))
+    # the unigram model is materialized once (vocabulary-sized): the scalar
+    # total and the broadcast scoring join both read it — unmarked, Spark
+    # would re-run the corpus token count for each
+    freq = toks.groupBy("token").agg(bcount().alias("n")).persist()
     tot = freq.agg(F.sum("n").cast("double").alias("total"))
     nlp = -F.log(F.col("n").cast("double") / F.col("total"))
     return (
@@ -756,7 +759,8 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
         F.floor(F.col("doc_id") / PACK_BUCKET).alias("bucket"),
-    )
+    ).persist()  # narrow (3 ints/doc); both prefix-sum stages read it —
+    # without this mark Spark re-tokenizes the corpus for each branch
     per_bucket = t.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
     wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = per_bucket.select(

@@ -912,15 +912,17 @@ ORDER BY cohort_week, week_offset
 )
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen week, counted per
-    week-offset of later activity — first-touch agg, self-join on user_id
-    (both sides already partitioned by the key), distinct, count. The
-    warehouse classic for activity data."""
+    week-offset of later activity.  The first-touch timestamp comes from a
+    ``min over (partition by user_id)`` WINDOW, not an agg + self-join —
+    one events scan and one user_id shuffle instead of two of each (the
+    round-4 single-scan rewrite).  The warehouse classic for activity
+    data."""
     ev = load_tables(spark, sf_dir)["events"]
-    firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
+    wu = Window.partitionBy("user_id")
     activity = (
-        ev.join(firsts, "user_id")
+        ev.withColumn(
+            "cohort_week", F.date_trunc("week", F.min("ts").over(wu))
+        )
         .select(
             "user_id",
             "cohort_week",
