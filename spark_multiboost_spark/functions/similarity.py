@@ -792,3 +792,77 @@ def ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+_FILTERED_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings
+), pairs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         list_cosine_similarity(q.embedding, c.embedding) AS cos_raw
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id AND q.label = c.label
+  WHERE q.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT qid, cid, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rank
+  FROM pairs
+)
+SELECT qid, cid, CAST(rank AS BIGINT) AS rank, ROUND(cos_raw, 6) AS cos_sim
+FROM ranked WHERE rank <= {K} ORDER BY qid, rank
+"""
+
+
+@query("q_d3_filtered_topk_cosine", oracle=_FILTERED_ORACLE, group="D")
+def filtered_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered (hybrid) vector search: top-k cosine neighbors SUBJECT TO a
+    metadata predicate — here same-label, the archetype of "search within
+    this tenant / language / license bucket".  The selling point of real
+    vector stores, and the thing post-hoc filtering gets WRONG: filtering
+    the top-k after an unfiltered search returns fewer than k (or zero)
+    matches for queries whose neighbors are mostly other labels.  The
+    predicate must live INSIDE candidate generation.
+
+    Plan: same one-pass Arrow shape as the flagship, with the label
+    predicate applied to the score matrix before the per-batch partial
+    top-k (mask to -inf == the equi-predicate in the oracle's join).  At
+    100 TB a selective predicate also prunes at the scan (partition/
+    z-order on the filter column); the in-batch mask handles the general
+    per-query-varying case."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qpd = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding", "label")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    Q = np.array([np.asarray(e, dtype=np.float64) for e in qpd["embedding"]])
+    q_ids = qpd["vec_id"].to_numpy(np.int64)
+    q_labels = qpd["label"].to_numpy(np.int64)
+    q_norm = np.sqrt(_seq_sq_norm(Q))
+    q_zeros = np.zeros(Q.shape[0], dtype=np.int64)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            cid = pdf["vec_id"].to_numpy(np.int64)
+            c_label = pdf["label"].to_numpy(np.int64)
+            c_norm = np.sqrt(_seq_sq_norm(C))
+            denom = c_norm[:, None] * q_norm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = _seq_dot_block(C, Q) / denom
+            S[c_label[:, None] != q_labels[None, :]] = -np.inf  # the predicate
+            S[cid[:, None] == q_ids[None, :]] = -np.inf
+            S[denom == 0.0] = -np.inf
+            c_zeros = np.zeros(len(cid), dtype=np.int64)
+            yield _partial_topk_frame(S, cid, c_zeros, q_ids, q_zeros, K)
+
+    cand = emb.select("vec_id", "embedding", "label").mapInPandas(score, CAND_SCHEMA)
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= K)
+        .select("qid", "cid", "rank", F.round("cos_raw", 6).alias("cos_sim"))
+        .orderBy("qid", "rank")
+    )
