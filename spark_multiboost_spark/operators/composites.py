@@ -1536,3 +1536,97 @@ def important_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "revenue")
         .orderBy(F.col("revenue").desc(), "p_brand")
     )
+
+
+@query(
+    "q_comp_dq_report",
+    oracle="""
+SELECT check_name, n_violations FROM (
+  SELECT 'orders_orphan_customer' AS check_name,
+         CAST(COUNT(*) AS BIGINT) AS n_violations
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+  UNION ALL
+  SELECT 'lineitem_nonpositive_qty',
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem WHERE l_quantity <= 0
+  UNION ALL
+  SELECT 'lineitem_discount_range',
+         CAST(COUNT(*) AS BIGINT)
+  FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+  UNION ALL
+  SELECT 'documents_empty_text',
+         CAST(COUNT(*) AS BIGINT)
+  FROM documents WHERE text IS NULL OR LENGTH(text) = 0
+  UNION ALL
+  SELECT 'documents_dup_ids',
+         CAST(COUNT(*) AS BIGINT)
+  FROM (SELECT doc_id FROM documents GROUP BY doc_id HAVING COUNT(*) > 1)
+  UNION ALL
+  SELECT 'events_null_user',
+         CAST(COUNT(*) AS BIGINT)
+  FROM events WHERE user_id IS NULL
+) ORDER BY check_name
+""",
+    group="E",
+)
+def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E (ext): the data-quality constraint suite every warehouse runs
+    before publishing a table (dbt tests / Deequ checks as one query):
+    referential integrity (orders -> customer orphans via anti-join),
+    domain ranges (quantity, discount), non-emptiness, key uniqueness,
+    NOT NULL — one (check, n_violations) row each.
+
+    Plan: each check is an independent scan+filter+count (the orphan check
+    is a broadcast anti-join; the uniqueness check a keyed agg) unioned at
+    the END — checks are scalar aggregates, so the union moves six rows.
+    At 100 TB you run exactly this shape per table per load, and any
+    check can be partition-scoped (WHERE load_date = ...) for free
+    because the filter sits directly over the scan."""
+    return _dq_checks(load_tables(spark, sf_dir))
+
+
+def _dq_checks(t: dict) -> DataFrame:
+    """The constraint battery over any {name: DataFrame} table set —
+    separated from the fixture loader so tests can prove every check FIRES
+    on corrupted tables (the fixtures are clean; an all-zero report alone
+    would be vacuous evidence the checks work)."""
+    one = F.count(F.lit(1)).cast("bigint").alias("n_violations")
+
+    def row(name, df):
+        return df.agg(one).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    orphans = t["orders"].join(
+        F.broadcast(t["customer"].select("c_custkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_anti",
+    )
+    dup_ids = (
+        t["documents"].groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    checks = [
+        ("orders_orphan_customer", orphans),
+        ("lineitem_nonpositive_qty", t["lineitem"].filter(F.col("l_quantity") <= 0)),
+        (
+            "lineitem_discount_range",
+            t["lineitem"].filter(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+            ),
+        ),
+        (
+            "documents_empty_text",
+            t["documents"].filter(
+                F.col("text").isNull() | (F.length("text") == 0)
+            ),
+        ),
+        ("documents_dup_ids", dup_ids),
+        ("events_null_user", t["events"].filter(F.col("user_id").isNull())),
+    ]
+    out = None
+    for name, df in checks:
+        piece = row(name, df)
+        out = piece if out is None else out.unionAll(piece)
+    return out.orderBy("check_name")

@@ -247,3 +247,32 @@ def test_opq_rotated_recall_runs_and_bounded(spark, sf_dir):
     assert len(a) == 100
     assert a["recall_at_k"].between(0, 1).all()
     assert a.equals(b)
+
+
+def test_dq_checks_fire_on_corruption(spark, sf_dir):
+    """The fixtures are clean (all-zero report), so prove each constraint
+    actually detects: inject one violation of every class and assert every
+    check goes non-zero."""
+    from pyspark.sql import functions as F
+
+    from spark_multiboost_spark.operators.composites import _dq_checks
+    from spark_multiboost_spark.session import load_tables
+
+    t = dict(load_tables(spark, sf_dir))
+    bad_order = t["orders"].limit(1).withColumn("o_custkey", F.lit(-999999))
+    t["orders"] = t["orders"].unionAll(bad_order)
+    bad_li = (
+        t["lineitem"].limit(1)
+        .withColumn("l_quantity", F.lit(-1.0))
+        .withColumn("l_discount", F.lit(2.0))
+    )
+    t["lineitem"] = t["lineitem"].unionAll(bad_li)
+    bad_doc = t["documents"].limit(1).withColumn("text", F.lit(""))
+    t["documents"] = t["documents"].unionAll(bad_doc)  # also duplicates doc_id
+    bad_ev = t["events"].limit(1).withColumn(
+        "user_id", F.lit(None).cast("bigint")
+    )
+    t["events"] = t["events"].unionAll(bad_ev)
+
+    rep = {r["check_name"]: r["n_violations"] for r in _dq_checks(t).collect()}
+    assert all(v > 0 for v in rep.values()), rep
