@@ -1630,3 +1630,65 @@ def _dq_checks(t: dict) -> DataFrame:
         piece = row(name, df)
         out = piece if out is None else out.unionAll(piece)
     return out.orderBy("check_name")
+
+
+_LN2 = "0.6931471805599453"
+_DECAY_HALFLIFE_DAYS = 7.0
+
+
+@query(
+    "q_ext_decayed_engagement",
+    oracle=f"""
+WITH ref AS (
+  SELECT MAX(CAST(ts AS TIMESTAMP)) AS ref_ts FROM events
+), wtd AS (
+  SELECT user_id,
+         value * EXP(-{_LN2} * (EPOCH(ref.ref_ts) - EPOCH(CAST(ts AS TIMESTAMP)))
+                     / 86400.0 / {_DECAY_HALFLIFE_DAYS}) AS wv,
+         value
+  FROM events CROSS JOIN ref
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(wv AS DECIMAL(18,6))) AS DOUBLE) AS decayed_value,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS raw_value
+FROM wtd GROUP BY user_id ORDER BY user_id
+""",
+    group="E",
+)
+def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E (ext): exponentially time-decayed engagement score — recency
+    weighting with a 7-day half-life against the corpus's newest event
+    (recommendation/ranking freshness, churn scoring).  Next to the raw
+    sum so the decay's effect is visible in one row.
+
+    Plan: the reference time is a scalar MAX over ONE timestamp column
+    (with parquet aggregate pushdown this is footer statistics, no data
+    read); the weight is per-row IEEE math inside codegen; the sums
+    quantize to decimal before aggregating so the result is
+    partition-order independent.  One uniform user_id shuffle — the decay
+    adds zero data movement over a plain per-user rollup.  Cross-engine
+    note: EXP agrees between the JVM and DuckDB on these inputs (both
+    correctly-rounded libm-style); the decimal quantization then makes
+    the aggregation order-proof, and the 3-SF hash-match is the evidence."""
+    ev = load_tables(spark, sf_dir)["events"]
+    ref = ev.agg(F.max("ts").alias("ref_ts"))
+    # cast("double") = fractional epoch seconds, matching DuckDB's EPOCH();
+    # unix_timestamp() truncates to whole seconds and diverges
+    age_days = (
+        F.col("ref_ts").cast("double") - F.col("ts").cast("double")
+    ) / 86400.0
+    wv = F.col("value") * F.exp(
+        F.lit(-0.6931471805599453) * age_days / _DECAY_HALFLIFE_DAYS
+    )
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .select("user_id", wv.alias("wv"), "value")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("wv").cast("decimal(18,6)")).cast("double").alias("decayed_value"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("raw_value"),
+        )
+        .orderBy("user_id")
+    )
