@@ -1205,3 +1205,30 @@ def opq_rotated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+_PACKED_ORACLE = _CB_SQL + """
+SELECT vec_id,
+       CAST(code_0 + code_1 * 16 + code_2 * 256 + code_3 * 4096 AS BIGINT)
+           AS packed
+FROM enc ORDER BY vec_id
+"""
+
+
+@query("q_d3_pq_packed_codes", oracle=_PACKED_ORACLE, group="D")
+def pq_packed_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ code PACKING: with PQ_K=16 each code is 4 bits, so all M=4 codes
+    pack into one 16-bit integer — the physical storage form (a 512-byte
+    float64 vector becomes 2 bytes; the scan side of ADC reads a single
+    short column).  Pure bit arithmetic over the encode query:
+    ``c0 | c1<<4 | c2<<8 | c3<<12``, written as exact integer
+    multiply-adds so both engines agree trivially.  Unpacking in ADC is
+    shift+mask per subspace — free next to the lookup itself."""
+    enc = pq_encode(spark, sf_dir)
+    packed = (
+        F.col("code_0")
+        + F.col("code_1") * 16
+        + F.col("code_2") * 256
+        + F.col("code_3") * 4096
+    ).cast("bigint")
+    return enc.select("vec_id", packed.alias("packed")).orderBy("vec_id")
