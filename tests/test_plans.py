@@ -252,3 +252,47 @@ def test_order_count_distribution_outer_preserved(spark, sf_dir):
     inner (zero-order customers are the point of the query)."""
     plan = _plan(spark, "q_comp_order_count_distribution", sf_dir)
     assert "LeftOuter" in plan
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Runtime filtering: with a selective dim predicate and a shuffle
+    join, Spark injects a Bloom filter built from the dim keys and applies
+    it to the fact scan — at 100 TB this prunes most fact rows before the
+    exchange. Thresholds are tuned for fixture sizes (creation side must
+    be UNDER creationSideThreshold, application side OVER the scan-size
+    threshold); semantics are unchanged — only the plan is asserted."""
+    import pyspark.sql.functions as F
+
+    from spark_multiboost_spark.session import load_tables
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        t = load_tables(spark, sf_dir)
+        j = (
+            t["lineitem"]
+            .join(
+                t["part"].filter(F.col("p_size") == 1),
+                F.col("l_partkey") == F.col("p_partkey"),
+            )
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan  # the filter applied on the fact side
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
