@@ -716,9 +716,7 @@ SEQ_LEN = 128  # tokens per packed training sequence
 PACK_BUCKET = 100  # doc_ids per prefix-sum bucket (see scale note below)
 
 
-@query(
-    "q_d4_sequence_pack",
-    oracle=f"""
+_PACK_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
   FROM documents
@@ -735,9 +733,10 @@ SELECT doc_id, n_tokens, CAST(start_off AS BIGINT) AS start_off,
        CAST((start_off + n_tokens - 1) // {SEQ_LEN}
             - start_off // {SEQ_LEN} + 1 AS BIGINT) AS n_seqs
 FROM c ORDER BY doc_id
-""",
-    group="D",
-)
+"""
+
+
+@query("q_d4_sequence_pack", oracle=_PACK_ORACLE, group="D")
 def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 (cont.): concat-and-chunk sequence packing — the GPT-style
     pretraining layout (concatenate the token stream in doc_id order, cut
@@ -985,3 +984,71 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "rk")
         .orderBy("source", "rk")
     )
+
+
+PACK_SUPER = 10  # level-1 buckets per level-2 superbucket
+
+
+@query("q_d4_sequence_pack_3level", oracle=_PACK_ORACLE, group="D")
+def sequence_pack_3level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): the SAME packing placement as q_d4_sequence_pack — same
+    DuckDB oracle — computed with a THREE-level prefix sum, proving the
+    recipe q_d4_sequence_pack's docstring promises ("add a level when the
+    totals outgrow one task") actually nests:
+
+    - level 0: per-bucket cumulative sums, partitioned on bucket;
+    - level 1: per-SUPERbucket cumulative sums over the bucket totals,
+      partitioned on superbucket (corpus/PACK_BUCKET rows, never global);
+    - level 2: the global window runs over SUPERBUCKET totals only —
+      corpus/(PACK_BUCKET*PACK_SUPER) rows.
+
+    Each level shrinks the windowed row count by its fan-out, so the
+    single-partition stage can be driven arbitrarily small at any corpus
+    size (10^12 docs / (10^5 * 10^3) = 10^4 rows through the global
+    window).  Offsets compose additively: start = super_base + bucket_base
+    + in-bucket prefix — integer-exact at any depth."""
+    d = load_tables(spark, sf_dir)["documents"]
+    t = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.floor(F.col("doc_id") / PACK_BUCKET).alias("bucket"),
+        F.floor(F.col("doc_id") / (PACK_BUCKET * PACK_SUPER)).alias("sbucket"),
+    ).persist()
+    per_bucket = t.groupBy("sbucket", "bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    per_super = per_bucket.groupBy("sbucket").agg(
+        F.sum("bucket_tokens").alias("super_tokens")
+    )
+    ws = Window.orderBy("sbucket").rowsBetween(Window.unboundedPreceding, -1)
+    super_off = per_super.select(
+        "sbucket",
+        F.coalesce(F.sum("super_tokens").over(ws), F.lit(0)).alias("super_base"),
+    )
+    wb = Window.partitionBy("sbucket").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bucket_off = per_bucket.withColumn(
+        "bucket_base", F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0))
+    ).select("bucket", "sbucket", "bucket_base")
+    offsets = bucket_off.join(F.broadcast(super_off), "sbucket").select(
+        "bucket", (F.col("super_base") + F.col("bucket_base")).alias("base")
+    )
+    wi = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    placed = (
+        t.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum", F.sum("n_tokens").over(wi))
+        .withColumn("start_off", (F.col("base") + F.col("cum") - F.col("n_tokens")))
+    )
+    first = F.floor(F.col("start_off") / SEQ_LEN)
+    last = F.floor((F.col("start_off") + F.col("n_tokens") - 1) / SEQ_LEN)
+    return placed.select(
+        "doc_id",
+        "n_tokens",
+        F.col("start_off").cast("bigint").alias("start_off"),
+        first.cast("bigint").alias("first_seq"),
+        last.cast("bigint").alias("last_seq"),
+        (last - first + 1).cast("bigint").alias("n_seqs"),
+    ).orderBy("doc_id")
