@@ -122,3 +122,44 @@ def text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         bcount().alias("n"),
         F.round(dsum(F.element_at("features", 1)), 6).alias("sum_f0"),
     ).orderBy("label")
+
+
+@query("q_b02_schema_evolution", oracle=None, group="B")
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 (cont.): parquet schema EVOLUTION — the lake reality that columns
+    arrive over time: an early file batch lacks a column a later batch
+    has.  ``mergeSchema`` unifies the footers at read time; rows from the
+    old files surface NULL for the new column, and downstream aggregates
+    must stay NULL-correct.
+
+    At 100 TB: schema merging lists every footer, so production tables
+    pin the merged schema in a catalog instead of re-deriving it per read
+    — the read-side semantics exercised here (late columns NULL-fill) are
+    identical either way.  Returns per-batch row counts and
+    new-column coverage, read back from the unified view."""
+    d = load_tables(spark, sf_dir)["documents"]
+    root = tempfile.mkdtemp(prefix="smb_evolve_")
+    # batch 0: early files, no quality_score column
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang", "text").withColumn(
+        "batch", F.lit(0)
+    ).write.mode("overwrite").parquet(os.path.join(root, "b0"))
+    # batch 1: later files gained quality_score
+    d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "text").withColumn(
+        "batch", F.lit(1)
+    ).withColumn(
+        "quality_score", (F.col("doc_id") % 100).cast("double") / 100
+    ).write.mode("overwrite").parquet(os.path.join(root, "b1"))
+    unified = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "b0"), os.path.join(root, "b1")
+    )
+    return (
+        unified.groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count("quality_score").cast("bigint").alias("n_scored"),
+            F.sum(F.col("quality_score").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_null_score"),
+        )
+        .orderBy("batch")
+    )
