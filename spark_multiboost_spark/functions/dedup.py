@@ -894,3 +894,92 @@ def semantic_dedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(dedup_cell, "vec_id bigint, cell bigint, is_kept boolean")
         .orderBy("vec_id")
     )
+
+
+SEG_LEN = 10  # tokens per segment (the "line" granularity of the fixture)
+
+_SEG_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+), segs AS (
+  SELECT doc_id, (u.i - 1) // {SEG_LEN} AS seg_no,
+         STRING_AGG(u.tok, ' ' ORDER BY u.i) AS seg
+  FROM toks,
+       LATERAL (SELECT UNNEST(t) AS tok,
+                       UNNEST(GENERATE_SERIES(1, LEN(t))) AS i) u
+  GROUP BY doc_id, (u.i - 1) // {SEG_LEN}
+), flagged AS (
+  SELECT doc_id, seg_no, seg,
+         (ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) = 1)
+           AS kept
+  FROM segs
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       MD5(COALESCE(
+           STRING_AGG(CASE WHEN kept THEN seg END, ' ' ORDER BY seg_no),
+           '')) AS clean_hash
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("q_d2_segment_dedup", oracle=_SEG_ORACLE, group="D")
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 (cont.): segment-level exact dedup with DOCUMENT RECONSTRUCTION —
+    the RefinedWeb/CCNet "line dedup" pass.  Documents are cut into
+    non-overlapping SEG_LEN-token segments; a segment seen anywhere earlier
+    in the corpus (first occurrence by (doc_id, seg_no)) is dropped, and
+    each document is re-assembled from its surviving segments in order.
+
+    This differs from q_d1 (whole-doc) and q_d2_chunk_dedup (overlapping
+    chunk REPORTING): here the dedup edits the documents and emits the
+    cleaned text's digest — the actual corpus-mutation shape of a
+    boilerplate-removal pass.
+
+    Scale shape: segments shuffle ONCE on their content (hash partition);
+    the keep/drop flag is a row_number per segment group, then one
+    groupBy(doc_id) rebuilds each document — both keys are high-cardinality
+    and skew-free.  The reconstruction aggregates (seg_no, seg) structs via
+    array_sort(collect_list(...)) — order-independent of partition layout,
+    so the output is deterministic at any parallelism.  At 100 TB nothing
+    holds more than one document's segments in memory.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    segs = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.expr(f"(size(toks) - 1) div {SEG_LEN}"))
+        ).alias("seg_no"),
+        "toks",
+    ).select(
+        "doc_id",
+        "seg_no",
+        F.array_join(
+            F.expr(f"slice(toks, seg_no * {SEG_LEN} + 1, {SEG_LEN})"), " "
+        ).alias("seg"),
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_no")
+    flagged = segs.withColumn("kept", F.row_number().over(w) == 1)
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("kept"), F.struct("seg_no", "seg"))
+                            )
+                        ),
+                        lambda x: x["seg"],
+                    ),
+                    " ",
+                )
+            ).alias("clean_hash"),
+        )
+        .orderBy("doc_id")
+    )

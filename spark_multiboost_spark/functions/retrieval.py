@@ -1,0 +1,292 @@
+"""Lexical retrieval over ``documents`` (SURVEY.md §2 Group D north-star ops):
+BM25 scoring, a blocked inverted index, and PMI co-occurrence mining.
+
+These are the keyword-search half of a training-data pipeline (the embedding
+half lives in ``similarity.py``/``pq.py``): BM25 is the standard lexical
+ranking function, the inverted index is the structure every search engine
+builds over a corpus, and PMI surfaces collocations for tokenizer/phrase
+vocabulary induction.
+
+All three are pure Catalyst dataflow — explode → hash-agg → equi-join —
+with no Python in the hot path.  Scale shapes (100 TB):
+
+- BM25: the corpus is tokenized ONCE; only tokens matching the (tiny,
+  broadcast) query-term list survive the filter, so the per-term tf table
+  is ~|terms| × |matching docs|, not corpus-sized.  Document lengths ride
+  the same scan via a pre-aggregation; ``avgdl`` and ``N`` are one-row
+  aggregates broadcast into the scoring expression.
+- inverted index: one distinct (token, doc_id) shuffle, then postings are
+  chunked into fixed-size blocks (the Lucene/ES layout) so no single row
+  carries an unbounded posting list — the block id derives from a
+  per-token ``row_number``, which at production scale would be a bucketed
+  sort within the token's hash partition.
+- PMI: the token-pair self-join is restricted to a top-V vocabulary
+  (V picked by global tf, TakeOrderedAndProject), bounding candidate pairs
+  at V² per document — never an unbounded token × token blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.parity import bcount, dsum, dsum_sql
+from ..registry import query
+from ..session import load_tables
+
+# fixed query-term list for the BM25 demo (all present in the fixture vocab)
+BM25_TERMS = ["spark", "window", "merge", "vector", "stream"]
+_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in BM25_TERMS) + ")"
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+POSTING_BLOCK = 128  # doc ids per posting block (Lucene-style skip blocks)
+PMI_VOCAB = 30  # PMI pair mining restricted to the top-V vocabulary
+PMI_MIN_PAIRS = 5
+
+
+@query(
+    "q_d3_bm25_topk",
+    oracle=f"""
+WITH doclen AS (
+  SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+), corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM doclen
+), toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token IN {_TERMS_SQL}
+  GROUP BY doc_id, token
+), df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+), scored AS (
+  SELECT tf.doc_id,
+         LN(1 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1))
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * doclen.dl / corpus.avgdl))
+           AS s
+  FROM tf
+  JOIN df ON tf.token = df.token
+  JOIN doclen ON tf.doc_id = doclen.doc_id
+  CROSS JOIN corpus
+)
+SELECT doc_id, {dsum_sql('s')} AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20
+""",
+    group="D",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (lexical): BM25 top-20 documents for a fixed query-term set.
+
+    Okapi BM25 (Robertson et al.): idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)),
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+
+    Plan shape: ONE corpus tokenize; the term filter keeps only query-term
+    hits, so everything downstream is query-sized not corpus-sized.  ``df``
+    (≤ |terms| rows) broadcasts into the tf join; N/avgdl are a one-row
+    aggregate cross-joined (broadcast) into the scoring expression.  The
+    per-term scores go through the decimal ``dsum`` path so the sum is
+    accumulation-order-independent (bit-stable across engines and runs).
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    doclen = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
+    )
+    corpus = doclen.agg(
+        bcount().alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms = F.array(*[F.lit(t) for t in BM25_TERMS])
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.array_contains(terms, F.col("token")))
+        .groupBy("doc_id", "token")
+        .agg(bcount().alias("tf"))
+    )
+    df = tf.groupBy("token").agg(bcount().alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            (
+                F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(dsum("s").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "q_d4_inverted_index",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+  GROUP BY token ORDER BY tf DESC, token LIMIT 15
+), posts AS (
+  SELECT t.token, t.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY t.token ORDER BY t.doc_id) AS rn
+  FROM toks t JOIN vocab v ON t.token = v.token
+)
+SELECT token,
+       CAST((rn - 1) // {POSTING_BLOCK} AS BIGINT) AS block,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+       STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids_csv
+FROM posts
+GROUP BY token, (rn - 1) // {POSTING_BLOCK}
+ORDER BY token, block
+""",
+    group="D",
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): blocked inverted index over the top-15 vocabulary.
+
+    Posting lists are chunked into {POSTING_BLOCK}-doc blocks (the
+    Lucene/Elasticsearch skip-block layout) so no output row carries an
+    unbounded list — at 100 TB a stopword's posting list is billions of ids
+    and MUST be blocked.  Plan: one distinct (token, doc_id) shuffle; the
+    vocabulary is a TakeOrderedAndProject (top-15 by tf) broadcast into a
+    semi-join; block ids come from a per-token row_number (partition-defined
+    window, never global).
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    toks_all = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = (
+        toks_all.groupBy("token")
+        .agg(bcount().alias("tf"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(15)
+    )
+    posts = (
+        toks_all.distinct()
+        .join(F.broadcast(vocab.select("token")), "token", "left_semi")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("token").orderBy("doc_id")),
+        )
+        .withColumn("block", ((F.col("rn") - 1) / POSTING_BLOCK).cast("bigint"))
+    )
+    return (
+        posts.groupBy("token", "block")
+        .agg(
+            bcount().alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("ids_csv"),
+        )
+        .orderBy("token", "block")
+    )
+
+
+@query(
+    "q_d4_pmi_cooccur",
+    oracle=f"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token
+  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+  GROUP BY token ORDER BY COUNT(*) DESC, token LIMIT {PMI_VOCAB}
+), dv AS (
+  SELECT dt.doc_id, dt.token FROM dt JOIN vocab USING (token)
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+), nt AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM dv GROUP BY token
+), pairs AS (
+  SELECT a.token AS token_a, b.token AS token_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+  HAVING COUNT(*) >= {PMI_MIN_PAIRS}
+)
+SELECT token_a, token_b, n_ab,
+       FLOOR(LN(CAST(n_ab AS DOUBLE) * n.n_docs / (na.n * nb.n)) * 1e6 + 0.5) / 1e6
+         AS pmi
+FROM pairs
+JOIN nt na ON pairs.token_a = na.token
+JOIN nt nb ON pairs.token_b = nb.token
+CROSS JOIN n
+ORDER BY pmi DESC, token_a, token_b LIMIT 20
+""",
+    group="D",
+)
+def pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): top-20 token pairs by document-level PMI.
+
+    PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) ) with document-level probabilities
+    — the standard collocation score used to induce phrase/merge vocabulary.
+
+    Scale shape: the pair self-join runs over the DISTINCT (doc, token)
+    table restricted to a top-{PMI_VOCAB} vocabulary (TakeOrderedAndProject
+    + broadcast semi-join), so candidates per document are ≤ V·(V−1)/2, not
+    |doc|².  The join key is doc_id — one shuffle, co-partitioned both
+    sides.  The ln() output is quantized with the floor(x·1e6 + 0.5)/1e6
+    formula (never ROUND on doubles — half-way divergence across engines).
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    toks_all = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = (
+        toks_all.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(PMI_VOCAB)
+        .select("token")
+    )
+    dv = toks_all.distinct().join(F.broadcast(vocab), "token", "left_semi")
+    n = d.agg(bcount().alias("n_docs"))
+    nt = dv.groupBy("token").agg(bcount().alias("n"))
+    a = dv.select("doc_id", F.col("token").alias("token_a"))
+    b = dv.select("doc_id", F.col("token").alias("token_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b")
+        .agg(bcount().alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_PAIRS)
+    )
+    na = nt.select(F.col("token").alias("token_a"), F.col("n").alias("n_a"))
+    nb = nt.select(F.col("token").alias("token_b"), F.col("n").alias("n_b"))
+    pmi = F.floor(
+        F.log(F.col("n_ab").cast("double") * F.col("n_docs") / (F.col("n_a") * F.col("n_b")))
+        * 1e6
+        + 0.5
+    ) / 1e6
+    return (
+        pairs.join(F.broadcast(na), "token_a")
+        .join(F.broadcast(nb), "token_b")
+        .crossJoin(F.broadcast(n))
+        .select("token_a", "token_b", "n_ab", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "token_a", "token_b")
+        .limit(20)
+    )

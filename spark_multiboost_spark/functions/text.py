@@ -1052,3 +1052,85 @@ def sequence_pack_3level(spark: SparkSession, sf_dir: str) -> DataFrame:
         last.cast("bigint").alias("last_seq"),
         (last - first + 1).cast("bigint").alias("n_seqs"),
     ).orderBy("doc_id")
+
+
+_HEX = "0123456789abcdef"
+# uniform u in [0,1) from the first 6 hex chars of md5 — digit-decoded with
+# strpos/instr so BOTH engines compute the identical exact 2^-24 multiple
+_U_SQL = (
+    "("
+    + " + ".join(
+        f"(STRPOS('{_HEX}', SUBSTR(MD5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) "
+        f"* {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    + ") / 16777216.0"
+)
+
+
+def _u_col() -> "F.Column":
+    h = F.md5(F.col("doc_id").cast("string"))
+    total = None
+    for i in range(6):
+        d = F.expr(
+            f"instr('{_HEX}', substring(md5(cast(doc_id as string)), {i + 1}, 1)) - 1"
+        ) * (16 ** (5 - i))
+        total = d if total is None else total + d
+    return total / 16777216.0
+
+
+@query(
+    "q_d5_dsir_resample",
+    oracle=f"""
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), m AS (
+  SELECT MIN(n_docs) AS mn FROM counts
+), u AS (
+  SELECT doc_id, lang, {_U_SQL} AS u FROM documents
+)
+SELECT u.lang, counts.n_docs,
+       CAST(SUM(CASE WHEN u.u < CAST(m.mn AS DOUBLE) / counts.n_docs
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+       FLOOR(CAST(m.mn AS DOUBLE) / counts.n_docs * 1e6 + 0.5) / 1e6
+         AS accept_rate
+FROM u JOIN counts USING (lang) CROSS JOIN m
+GROUP BY u.lang, counts.n_docs, m.mn
+ORDER BY u.lang
+""",
+    group="D",
+)
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): importance resampling toward a UNIFORM language mix —
+    the DSIR/DoReMi-style "reshape the corpus by sampling" op (vs
+    q_d5_mix_weights, which only REPORTS the weights).
+
+    Acceptance is a deterministic per-document coin: u(doc) is the first 6
+    hex chars of md5(doc_id) decoded to an exact multiple of 2^-24, accepted
+    when u < rate(lang) = min_lang_count / lang_count.  Hash-keyed sampling
+    (rather than rand()) is what production pipelines use so reruns and
+    backfills select the SAME documents — and it makes the op
+    oracle-checkable.
+
+    Scale shape: one narrow agg for per-language counts (broadcast back),
+    the coin is a map-side expression over the scan, and the report is one
+    more narrow agg.  No shuffle touches document payloads.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    counts = d.groupBy("lang").agg(bcount().alias("n_docs"))
+    m = counts.agg(F.min("n_docs").alias("mn"))
+    rate = F.col("mn").cast("double") / F.col("n_docs")
+    u = d.select("doc_id", "lang", _u_col().alias("u"))
+    return (
+        u.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(m))
+        .groupBy("lang", "n_docs", "mn")
+        .agg(
+            F.sum(F.when(F.col("u") < rate, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_accepted"),
+            (F.floor(rate * 1e6 + 0.5) / 1e6).alias("accept_rate"),
+        )
+        .select("lang", "n_docs", "n_accepted", "accept_rate")
+        .orderBy("lang")
+    )

@@ -1692,3 +1692,68 @@ def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+N_EQUIDEPTH_BINS = 10
+
+
+@query(
+    "q_ext_equidepth_hist",
+    oracle=f"""
+WITH bounds AS (
+  SELECT QUANTILE_CONT(l_extendedprice,
+           [x / {N_EQUIDEPTH_BINS}.0 FOR x IN RANGE(1, {N_EQUIDEPTH_BINS})])
+         AS bs
+  FROM lineitem
+)
+SELECT CAST(LEN(LIST_FILTER(bounds.bs, b -> b <= l_extendedprice)) AS BIGINT)
+         AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(l_extendedprice) AS min_price,
+       MAX(l_extendedprice) AS max_price,
+       {dsum_sql('l_extendedprice')} AS sum_price
+FROM lineitem CROSS JOIN bounds
+GROUP BY 1 ORDER BY bucket
+""",
+)
+def equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext: EQUI-DEPTH histogram (the optimizer-statistics shape) without a
+    global sort.  q_ext_histogram is equi-WIDTH (fixed bucket size); the
+    equi-depth form needs data-dependent boundaries — the naive plan is
+    ntile() over a global ORDER BY, a single-partition scale-killer.
+
+    Scalable form used here: ONE exact-percentile aggregate computes the 9
+    interior decile boundaries (partial_agg -> merge, no row shuffle), the
+    1-row boundary array broadcasts back, and each row's bucket is a
+    map-side expression ``size(filter(bounds, b -> b <= price))``.  Two
+    narrow aggregates total; at 100 TB the only data movement is the
+    per-bucket rollup.  Boundary floats are bit-identical across engines
+    (same order statistics, interpolation strictly interior to adjacent
+    2dp data values), so bucket assignment is exact.
+    """
+    li = load_tables(spark, sf_dir)["lineitem"]
+    qs = [i / N_EQUIDEPTH_BINS for i in range(1, N_EQUIDEPTH_BINS)]
+    bounds = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array("
+            + ", ".join(str(q) for q in qs)
+            + "))"
+        ).alias("bs")
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .select(
+            F.size(
+                F.filter("bs", lambda b: b <= F.col("l_extendedprice"))
+            ).cast("bigint").alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            bcount().alias("n_rows"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .orderBy("bucket")
+    )

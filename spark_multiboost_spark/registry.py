@@ -60,6 +60,7 @@ _QUERY_MODULES = [
     "spark_multiboost_spark.sources.readers",
     "spark_multiboost_spark.sources.writers",
     "spark_multiboost_spark.functions.pq",
+    "spark_multiboost_spark.functions.retrieval",
 ]
 
 #: query-level window rotation.  The driver's correctness gate checks the

@@ -539,3 +539,53 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query("q_c13_stream_stream_left_join", oracle=None, group="C")
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13 (beyond C8): watermarked stream-stream LEFT OUTER join —
+    purchases that did NOT follow a click surface with NULL click columns.
+    Outer stream-stream joins are strictly harder than inner (C8): Spark
+    can only emit the null-padded side once the watermark proves no match
+    can still arrive, so results trail the watermark by the join range.
+    The abandoned-cart / attribution report every event pipeline runs.
+
+    Scale shape: both sides watermarked (state eviction at watermark +
+    range); the time-range predicate rides the user_id equi-key so state
+    is hash-partitioned by user — same bounded-state story as C8.  The
+    final count-by-matched aggregation proves the null-padded rows arrive.
+    """
+    path = _replay_dir(spark, sf_dir)
+    clicks = (
+        _read_stream(spark, path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        _read_stream(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "c_user = p_user AND c_ts >= p_ts - INTERVAL 30 MINUTES AND c_ts < p_ts"
+        ),
+        "leftOuter",
+    ).select("purchase_id", "p_user", "click_id")
+    out = _run_to_memory(joined, mode="append")
+    return (
+        out.groupBy(F.col("click_id").isNotNull().alias("matched"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+        .orderBy("matched")
+    )
