@@ -15,7 +15,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -320,4 +320,77 @@ def cas_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dedup_ratio"),
         )
         .orderBy("source")
+    )
+
+
+SHARD_BYTES = 32768  # target shard size (WebDataset-style tar shards)
+SHARD_BUCKET = 100  # doc_ids per prefix-sum bucket (see q_d4_sequence_pack)
+
+
+@query(
+    "q_d6_shard_manifest",
+    oracle=f"""
+WITH blobs AS (
+  SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n_bytes FROM documents
+), placed AS (
+  SELECT doc_id, n_bytes,
+         COALESCE(SUM(n_bytes) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+  FROM blobs
+)
+SELECT CAST(start_off // {SHARD_BYTES} AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_blobs,
+       CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM placed GROUP BY start_off // {SHARD_BYTES} ORDER BY shard
+""",
+    group="D",
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 (cont.): WebDataset-style SHARD MANIFEST — assign every binary
+    payload to a ~SHARD_BYTES tar shard by its byte offset in the
+    deterministic doc_id stream, and emit the per-shard packing list.
+    This is the layout step of multimodal training-data prep: samples are
+    grouped into fixed-size shards so dataloaders stream sequential reads.
+
+    Scale shape: the byte-offset prefix sum is the two-stage bucketed form
+    (per-bucket cumsums partitioned on bucket, only bucket TOTALS through
+    the tiny global window — same recipe as q_d4_sequence_pack, which also
+    proves a 3-level nesting for 100 TB).  The oracle states the naive
+    single-window spec; the Spark plan never funnels rows through one task.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    blobs = d.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+        F.floor(F.col("doc_id") / SHARD_BUCKET).alias("bucket"),
+    ).persist()  # narrow (3 ints/blob); both prefix-sum stages read it
+    per_bucket = blobs.groupBy("bucket").agg(F.sum("n_bytes").alias("bucket_bytes"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "bucket", F.coalesce(F.sum("bucket_bytes").over(wb), F.lit(0)).alias("base")
+    )
+    wi = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    placed = (
+        blobs.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum", F.sum("n_bytes").over(wi))
+        .withColumn("start_off", F.col("base") + F.col("cum") - F.col("n_bytes"))
+    )
+    return (
+        placed.select(
+            F.floor(F.col("start_off") / SHARD_BYTES).cast("bigint").alias("shard"),
+            "n_bytes",
+            "doc_id",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blobs"),
+            F.sum("n_bytes").cast("bigint").alias("shard_bytes"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("shard")
     )

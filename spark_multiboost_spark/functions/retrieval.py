@@ -290,3 +290,162 @@ def pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "token_a", "token_b")
         .limit(20)
     )
+
+
+@query(
+    "q_d4_bpe_pair_counts",
+    oracle="""
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+  WHERE LENGTH(word) > 0 GROUP BY word
+), pairs AS (
+  SELECT u.pair, words.wc
+  FROM words,
+       LATERAL (SELECT UNNEST(LIST_TRANSFORM(
+                  GENERATE_SERIES(1, LEN(word) - 1),
+                  i -> SUBSTR(word, i, 2))) AS pair) u
+  WHERE LENGTH(word) >= 2
+)
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT 20
+""",
+    group="D",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): the counting step of one BPE-training merge iteration —
+    adjacent symbol-pair frequencies over the corpus, weighted by word
+    frequency (Sennrich et al.: the argmax of this table IS the next merge).
+
+    Scale shape: pair generation runs over the DISTINCT word table (the
+    standard BPE-training trick — corpora have billions of tokens but only
+    millions of distinct words), so the explode is dictionary-sized, not
+    corpus-sized; word counts ride along as weights.  One token hash-agg +
+    one pair hash-agg + TakeOrderedAndProject.  Subsequent merge iterations
+    re-run this over the re-segmented dictionary — each iteration is this
+    same one-shuffle shape.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(bcount().alias("wc"))
+    )
+    pairs = words.filter(F.length("word") >= 2).select(
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+@query(
+    "q_d5_bigram_lm_ppl",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+), bg AS (
+  SELECT doc_id,
+         u.w1, u.w2
+  FROM toks,
+       LATERAL (SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
+                                             i -> t[i])) AS w1,
+                       UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
+                                             i -> t[i + 1])) AS w2) u
+), cb AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY w1, w2
+), cu AS (
+  SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY w1
+), v AS (
+  SELECT CAST(COUNT(DISTINCT u.tok) AS BIGINT) AS v
+  FROM toks, LATERAL (SELECT UNNEST(t) AS tok) u
+), nll AS (
+  SELECT bg.doc_id,
+         FLOOR(-LN(CAST(cb.cb + 1 AS DOUBLE) / (cu.cu + v.v)) * 1e6 + 0.5) / 1e6
+           AS nll
+  FROM bg JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
+          JOIN cu ON bg.w1 = cu.w1
+          CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       FLOOR(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 1e6
+             + 0.5) / 1e6 AS xent
+FROM nll GROUP BY doc_id ORDER BY doc_id
+""",
+    group="D",
+)
+def bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): per-document cross-entropy under a REAL bigram language
+    model trained on the corpus itself (add-one smoothing) — the KenLM-style
+    quality gate, upgraded from q_d5_perplexity_proxy's unigram heuristic.
+    xent(d) = mean over bigrams of −ln p(w₂|w₁), p = (c(w₁,w₂)+1)/(c(w₁)+V).
+
+    Scale shape: the bigram-count model (vocab² realized pairs — tiny next
+    to the corpus) broadcasts into the scoring join; document bigrams
+    stream map-side through it.  Per-bigram NLLs are quantized to 6dp then
+    decimal-summed, so the per-doc mean is accumulation-order-independent.
+    Training (cb/cu/V) and scoring share ONE tokenize of the corpus.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    cb = bg.groupBy("w1", "w2").agg(bcount().alias("cb"))
+    cu = cb.groupBy("w1").agg(F.sum("cb").cast("bigint").alias("cu"))
+    v = toks.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").cast("bigint").alias("v")
+    )
+    nll = (
+        bg.join(F.broadcast(cb), ["w1", "w2"])
+        .join(F.broadcast(cu), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            (
+                F.floor(
+                    -F.log((F.col("cb") + 1).cast("double") / (F.col("cu") + F.col("v")))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("nll"),
+        )
+    )
+    return (
+        nll.groupBy("doc_id")
+        .agg(
+            bcount().alias("n_bigrams"),
+            (
+                F.floor(
+                    F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("xent"),
+        )
+        .orderBy("doc_id")
+    )
