@@ -96,7 +96,8 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
     doclen = d.select(
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
-    )
+    ).persist()  # narrow (2 ints/doc); read by the avgdl agg AND the
+    # scoring join — without the mark each branch re-tokenizes the corpus
     corpus = doclen.agg(
         bcount().alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -263,7 +264,13 @@ def pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PMI_VOCAB)
         .select("token")
     )
-    dv = toks_all.distinct().join(F.broadcast(vocab), "token", "left_semi")
+    # narrow (doc_id, token) restricted to V tokens; read by nt + both join
+    # sides — persist so the corpus tokenize+distinct runs once
+    dv = (
+        toks_all.distinct()
+        .join(F.broadcast(vocab), "token", "left_semi")
+        .persist()
+    )
     n = d.agg(bcount().alias("n_docs"))
     nt = dv.groupBy("token").agg(bcount().alias("n"))
     a = dv.select("doc_id", F.col("token").alias("token_a"))
@@ -399,7 +406,9 @@ def bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     Training (cb/cu/V) and scoring share ONE tokenize of the corpus.
     """
     d = load_tables(spark, sf_dir)["documents"]
-    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    # token arrays are read by the bigram explode AND the vocab count;
+    # persist marks the tokenize computed-once (MEMORY_AND_DISK, spills)
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).persist()
     bg = toks.select(
         "doc_id",
         F.explode(

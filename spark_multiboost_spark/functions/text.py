@@ -1117,7 +1117,7 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     more narrow agg.  No shuffle touches document payloads.
     """
     d = load_tables(spark, sf_dir)["documents"]
-    counts = d.groupBy("lang").agg(bcount().alias("n_docs"))
+    counts = d.groupBy("lang").agg(bcount().alias("n_docs")).persist()
     m = counts.agg(F.min("n_docs").alias("mn"))
     rate = F.col("mn").cast("double") / F.col("n_docs")
     u = d.select("doc_id", "lang", _u_col().alias("u"))

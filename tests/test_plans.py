@@ -296,3 +296,53 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_retrieval_plans(spark, sf_dir):
+    # BM25: the df join must broadcast, the top-k must be a per-partition
+    # heap, the doc-length intermediate must be computed once (cached), and
+    # the only nested-loop is the 1-row corpus-stats broadcast
+    plan = _plan(spark, "q_d3_bm25_topk", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+    # PMI: the token-pair self-join must be an equi-join on doc_id, never
+    # an all-pairs product; vocabulary selection is a per-partition heap
+    plan = _plan(spark, "q_d4_pmi_cooccur", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+    # inverted index: vocab = TakeOrderedAndProject, postings window is
+    # partition-defined (by token), and the vocab filter is a broadcast
+    # semi-join — never a shuffle of the full distinct token table
+    plan = _plan(spark, "q_d4_inverted_index", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_segment_dedup_single_scan(spark, sf_dir):
+    # one corpus tokenize feeds both the segment shuffle and the rebuild
+    plan = _plan(spark, "q_d2_segment_dedup", sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_equidepth_hist_no_global_sort(spark, sf_dir):
+    # the scalable equi-depth form: percentile agg + broadcast boundaries;
+    # the naive ntile-over-global-ORDER-BY single-partition window must
+    # never appear (the final 10-row orderBy is the only range exchange)
+    plan = _plan(spark, "q_ext_equidepth_hist", sf_dir)
+    # NB: can't grep bare "ntile" — "percentile" (the agg we WANT) contains it
+    assert "Window" not in plan.split("\n\n")[0]
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_model_broadcast(spark, sf_dir):
+    # the LM tables (cb/cu/V) broadcast into the scoring join — the corpus
+    # bigram stream must never shuffle on (w1, w2) to meet the model
+    plan = _plan(spark, "q_d5_bigram_lm_ppl", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
