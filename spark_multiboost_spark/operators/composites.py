@@ -1757,3 +1757,259 @@ def equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_comp_order_priority_check",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: date-sliced EXISTS probe counted by priority.  The
+    correlated EXISTS decorrelates to a LEFT SEMI join on l_orderkey with
+    the extra l_shipdate > o_orderdate predicate riding the equi-key — one
+    keyed shuffle; the selective date filter pushes into the orders scan so
+    only the slice shuffles."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(bcount().alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q_comp_profit_by_nation",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+       {dsum_sql("l.l_extendedprice * (1 - l.l_discount) - 0.6 * p.p_retailprice * l.l_quantity")}
+         AS profit
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%a%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+ORDER BY nation, o_year
+""",
+)
+def profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-profit rollup by (nation, year).  The fixture
+    has no partsupp, so supply cost is proxied as 0.6 · p_retailprice ·
+    quantity (same join/agg skeleton).  Plan: part/supplier/nation are
+    broadcast dims (the LIKE filter prunes part BEFORE broadcast); the only
+    fact-fact shuffle is lineitem ⋈ orders on orderkey.  At 100 TB that one
+    keyed exchange dominates — everything else is map-side."""
+    t = load_tables(spark, sf_dir)
+    li, o = t["lineitem"], t["orders"]
+    p = t["part"].filter(F.col("p_name").like("%a%")).select("p_partkey", "p_retailprice")
+    s = t["supplier"].select("s_suppkey", "s_nationkey")
+    n = t["nation"].select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@query(
+    "q_comp_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {dsum_sql("l_extendedprice * (1 - l_discount)")} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+), ranked AS (
+  SELECT supplier_no, total_revenue,
+         MAX(total_revenue) OVER () AS max_rev
+  FROM revenue
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM ranked r JOIN supplier s ON r.supplier_no = s.s_suppkey
+WHERE r.total_revenue = r.max_rev
+ORDER BY s.s_suppkey
+""",
+)
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue VIEW + global-max scalar, decorrelated
+    as a window OVER the aggregate (the q_comp_important_brands pattern) so
+    the quarter's lineitems are scanned ONCE — the textbook form rescans the
+    view to compute max().  The max window runs over supplier-count rows
+    (already aggregated), and revenue equality is exact because the measure
+    takes the decimal dsum path in both engines."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum("l_extendedprice * (1 - l_discount)").alias("total_revenue")
+    )
+    w = Window.partitionBy()
+    ranked = revenue.withColumn("max_rev", F.max("total_revenue").over(w))
+    return (
+        ranked.filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(
+            F.broadcast(load_tables(spark, sf_dir)["supplier"]),
+            F.col("supplier_no") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_comp_parts_supplier_counts",
+    oracle="""
+WITH assoc AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT a.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM assoc a
+JOIN part p ON a.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND a.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p_size
+LIMIT 20
+""",
+)
+def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part group, with a
+    NOT IN exclusion list.  The fixture has no partsupp; the part-supplier
+    association is recovered as DISTINCT (l_partkey, l_suppkey) from
+    lineitem — one narrow distinct shuffle.  The complainy-supplier
+    exclusion is a broadcast ANTI join (NOT IN with non-null keys ≡ anti);
+    part is a broadcast dim with its filters applied pre-broadcast."""
+    t = load_tables(spark, sf_dir)
+    assoc = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = t["part"].filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+    )
+    return (
+        assoc.join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(20)
+    )
+
+
+@query(
+    "q_comp_small_quantity_revenue",
+    oracle=f"""
+WITH avgq AS (
+  SELECT l_partkey, AVG(l_quantity) AS aq FROM lineitem GROUP BY l_partkey
+)
+SELECT {dsum_sql("l.l_extendedprice")} / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#3'
+JOIN avgq  ON l.l_partkey = avgq.l_partkey
+WHERE l.l_quantity < 0.5 * avgq.aq
+""",
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated per-part AVG(quantity) subquery,
+    decorrelated into one per-part aggregate joined back on partkey — the
+    classic rewrite Spark's optimizer applies to Q17; written explicitly so
+    the plan is one lineitem shuffle on l_partkey feeding BOTH the average
+    and the probe (co-partitioned join, no second shuffle) plus a broadcast
+    of the filtered brand dim.  AVG(integer-valued doubles) is an exact
+    sum/count, so the 0.5·avg threshold is bit-identical in both engines."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_partkey", "l_quantity", "l_extendedprice")
+    avgq = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("aq"))
+    p = t["part"].filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    return (
+        li.join(avgq, "l_partkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("aq"))
+        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q_comp_disjunctive_revenue",
+    oracle=f"""
+SELECT {dsum_sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 20
+       AND l.l_quantity BETWEEN 10 AND 25)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 20 AND 35)
+""",
+)
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR-of-ANDs theta predicate over the join.  The
+    optimizer splits the disjunction: the part-only terms (brand ∈ {1,2,3})
+    and lineitem-only terms (quantity ∈ [1,35]) are implied disjunction
+    envelopes pushed to EACH scan, while the exact OR evaluates post-join —
+    so both scans prune even though no single conjunct applies globally.
+    part broadcasts; one map-side evaluation, one scalar aggregate."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    p = t["part"]
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 15)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(5, 20)
+        & F.col("l_quantity").between(10, 25)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(20, 35)
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            dsum("l_extendedprice * (1 - l_discount)").alias("revenue"),
+            bcount().alias("n_lines"),
+        )
+    )
