@@ -866,3 +866,98 @@ def filtered_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "cid", "rank", F.round("cos_raw", 6).alias("cos_sim"))
         .orderBy("qid", "rank")
     )
+
+
+MRL_DIMS = 16  # prefix length for the matryoshka gauge
+
+
+def _prefix_topk_ids(spark: SparkSession, sf_dir: str, dims: int | None):
+    """qid->cid top-K table over the full embedding (dims=None) or its
+    first-``dims`` prefix — the shared skeleton of the MRL recall gauge."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    e = F.col("embedding") if dims is None else F.slice("embedding", 1, dims)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        e.alias("q_emb"),
+        norm(e).alias("q_norm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        e.alias("c_emb"),
+        norm(e).alias("c_norm"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("qid") != F.col("cid")).withColumn(
+        "cos_raw",
+        dot(F.col("q_emb"), F.col("c_emb"))
+        / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0)),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("qid", "cid")
+    )
+
+
+_MRL_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), fullk AS (
+  SELECT qid, cid FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id) AS rank
+    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {N_QUERIES})
+  WHERE rank <= {K}
+), prefk AS (
+  SELECT qid, cid FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.emb[1:{MRL_DIMS}],
+                                             c.emb[1:{MRL_DIMS}]) DESC,
+                      c.vec_id) AS rank
+    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < {N_QUERIES})
+  WHERE rank <= {K}
+)
+SELECT f.qid,
+       CAST(COUNT(p.cid) AS BIGINT) AS n_hits,
+       ROUND(CAST(COUNT(p.cid) AS DOUBLE) / {K}, 6) AS recall_at_k
+FROM fullk f LEFT JOIN prefk p ON f.qid = p.qid AND f.cid = p.cid
+GROUP BY f.qid ORDER BY f.qid
+"""
+
+
+@query("q_d3_mrl_prefix_recall", oracle=_MRL_ORACLE, group="D")
+def mrl_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): MATRYOSHKA (MRL) prefix-dimension recall gauge —
+    recall@K of top-K retrieval using only the first MRL_DIMS embedding
+    dimensions against the full-dimension exact top-K.  This is the
+    measurement behind adaptive-dimension retrieval (Kusupati et al.,
+    Matryoshka Representation Learning): truncate stored vectors to a
+    prefix, retrieve cheaply, and know what recall that truncation costs.
+
+    Scale shape: both retrieval passes are the flagship's broadcast-query
+    map-side scoring (corpus never shuffles pre-candidate); the recall join
+    is K·|queries| rows a side.  On MRL-trained embeddings the prefix holds
+    most of the signal — the fixture's isotropic vectors give the honest
+    floor (prefix recall ≈ random), exactly what the gauge is for.
+    """
+    full = _prefix_topk_ids(spark, sf_dir, None)
+    pref = _prefix_topk_ids(spark, sf_dir, MRL_DIMS).withColumnRenamed(
+        "cid", "pcid"
+    ).withColumnRenamed("qid", "pqid")
+    return (
+        full.join(
+            pref,
+            (F.col("qid") == F.col("pqid")) & (F.col("cid") == F.col("pcid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("pcid").cast("bigint").alias("n_hits"),
+            F.round(F.count("pcid").cast("double") / K, 6).alias("recall_at_k"),
+        )
+        .orderBy("qid")
+    )

@@ -2013,3 +2013,54 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             bcount().alias("n_lines"),
         )
     )
+
+
+IVM_CUTOVER = "1999-01-01"
+
+
+@query(
+    "q_ext_ivm_merge",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {dsum_sql('o_totalprice')} AS total_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext: INCREMENTAL VIEW MAINTENANCE — merge a materialized aggregate
+    with a delta batch by combining PARTIAL STATES, never rescanning
+    history.  The "view" is the priority rollup over orders before
+    IVM_CUTOVER; the "delta" is everything after.  Merge = union the two
+    partial-state tables and re-aggregate their (count, decimal-sum)
+    states — the commutative-monoid property every streaming/IVM engine
+    relies on.  The oracle is the FULL recompute, so the hash-match proves
+    state-merge ≡ recompute exactly.
+
+    Float discipline: partial sums stay DECIMAL through the merge (decimal
+    addition is associative, so split-anywhere == single-pass, bit-exact);
+    only the final merged value casts to double.  At 100 TB only the delta
+    is scanned: the history side is the stored view state (here recomputed
+    from the date slice for the demo, with the cutover filter pushed to
+    the scan).
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    cut = F.lit(IVM_CUTOVER).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            bcount().alias("pn"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("psum"),
+        )
+
+    state = partial(o.filter(F.col("o_orderdate") < cut))
+    delta = partial(o.filter(F.col("o_orderdate") >= cut))
+    return (
+        state.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("pn").cast("bigint").alias("n_orders"),
+            F.sum("psum").cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -9,7 +9,7 @@ readStream for the rows-only C4-C6 checks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.parity import bcount, dsum, dsum_sql
@@ -134,4 +134,48 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "event_type")
         .agg(bcount().alias("n"), dsum("value").alias("sum_value"))
         .orderBy("c_mktsegment", "event_type")
+    )
+
+
+@query(
+    "q_c5_windowed_dedup_twin",
+    oracle="""
+WITH flagged AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))
+           ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM flagged GROUP BY event_type ORDER BY event_type
+""",
+    group="C",
+)
+def windowed_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5's exact-oracle batch twin: keep the FIRST event per
+    (user, type, 1h-window), count keeps/drops per type.  The streaming
+    form (q_c5_stream_dedup, dropDuplicatesWithinWatermark) is rows-only by
+    contract; this twin pins the dedup-key semantics against DuckDB so the
+    window+key grouping logic itself is hash-verified.
+
+    Scale shape: one shuffle on the dedup key (user, type, hour) — exactly
+    the state partitioning the streaming operator uses; the keep flag is a
+    row_number with a unique (ts, event_id) tiebreaker."""
+    e = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    flagged = e.withColumn("rn", F.row_number().over(w))
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            bcount().alias("n_events"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("event_type")
     )
