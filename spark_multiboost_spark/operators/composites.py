@@ -2064,3 +2064,173 @@ def ivm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_ext_rolling_zscore",
+    oracle="""
+WITH scored AS (
+  SELECT event_type, value,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           / COUNT(*) OVER w AS mu,
+         CAST(SUM(CAST(value * value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS ssq,
+         COUNT(*) OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+), z AS (
+  SELECT event_type,
+         (value - mu) / SQRT((ssq - n * mu * mu) / (n - 1)) AS z
+  FROM scored
+  WHERE n >= 5 AND (ssq - n * mu * mu) / (n - 1) > 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       CAST(SUM(CASE WHEN ABS(z) > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM z GROUP BY event_type ORDER BY event_type
+""",
+)
+def rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext: streaming-style ANOMALY DETECTION — each event's value z-scored
+    against that user's trailing 10-event window (strictly preceding, so no
+    self-leak), anomalies = |z| > 2 with at least 5 history rows.
+
+    Float discipline: the rolling mean and sum-of-squares go through
+    DECIMAL window sums (exact, frame-order-independent), so mu/ssq are
+    bit-identical across engines; the z expression is then per-row IEEE.
+    Scale shape: one shuffle on user_id; frames are ROWS-bounded so state
+    per key is 10 rows — the same bounded-state story as a streaming
+    stateful operator, expressed as a batch window."""
+    e = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    scored = e.select(
+        "event_type",
+        "value",
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("mu"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("ssq"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    var = (F.col("ssq") - F.col("n") * F.col("mu") * F.col("mu")) / (F.col("n") - 1)
+    z = (F.col("value") - F.col("mu")) / F.sqrt(var)
+    return (
+        scored.filter((F.col("n") >= 5) & (var > 0))
+        .select("event_type", z.alias("z"))
+        .groupBy("event_type")
+        .agg(
+            bcount().alias("n_scored"),
+            F.sum(F.when(F.abs(F.col("z")) > 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_ext_fuzzy_join",
+    oracle="""
+WITH pairs AS (
+  SELECT a.p_brand,
+         LEVENSHTEIN(a.p_name, b.p_name) AS dist
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand
+   AND CAST(FLOOR(LENGTH(a.p_name) / 3) AS BIGINT)
+       = CAST(FLOOR(LENGTH(b.p_name) / 3) AS BIGINT)
+   AND a.p_partkey < b.p_partkey
+)
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_blocked_pairs,
+       CAST(SUM(CASE WHEN dist <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_fuzzy_matches
+FROM pairs GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext: ENTITY-RESOLUTION fuzzy join — candidate pairs blocked on
+    (brand, name-length band), then verified with Levenshtein ≤ 2.  The
+    blocking turns the quadratic fuzzy match into an equi-join (the same
+    never-all-pairs discipline as the D2 near-dup family: cheap blocking
+    key first, expensive verifier only inside blocks); length banding is
+    sound because edit distance ≥ length difference.
+
+    Scale shape: one equi-join shuffle on (brand, length-band); Levenshtein
+    runs post-join inside codegen.  Both engines implement classical edit
+    distance, so counts hash-match exactly."""
+    p = load_tables(spark, sf_dir)["part"]
+    band = F.floor(F.length("p_name") / 3).cast("bigint")
+    a = p.select(
+        F.col("p_partkey").alias("ka"),
+        F.col("p_brand"),
+        F.col("p_name").alias("na"),
+        band.alias("band"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("kb"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_name").alias("nb"),
+        band.alias("band"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("p_brand") == F.col("brand_b"))
+            & (a["band"] == b["band"])
+            & (F.col("ka") < F.col("kb")),
+        )
+        .select("p_brand", F.levenshtein("na", "nb").alias("dist"))
+    )
+    return (
+        pairs.groupBy("p_brand")
+        .agg(
+            bcount().alias("n_blocked_pairs"),
+            F.sum(F.when(F.col("dist") <= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_fuzzy_matches"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query("q_ext_approx_quantile_gauge", oracle=None)
+def approx_quantile_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext: sketch-accuracy gauge — approx_percentile (Greenwald-Khanna,
+    accuracy 1000) vs the exact interpolated percentile at p50/p90/p99,
+    with the relative error.  Rows-only by contract (sketch internals are
+    engine-specific; the merge result depends on partition layout), but
+    tests/test_pipeline_ops.py asserts rel_err < 1% — the bound GK
+    guarantees at this accuracy.  At 100 TB the sketch is the only option:
+    exact percentile is a full sort-equivalent, GK is one narrow pass."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    qs = [0.5, 0.9, 0.99]
+    row = li.agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)"
+        ).alias("ap"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("ex"),
+    )
+    out = row.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in qs]).alias("quantile"),
+                F.col("ap").cast("array<double>").alias("approx"),
+                F.col("ex").alias("exact"),
+            )
+        ).alias("r")
+    ).select(
+        F.col("r.quantile").alias("quantile"),
+        F.col("r.approx").alias("approx"),
+        F.col("r.exact").alias("exact"),
+        (F.abs(F.col("r.approx") - F.col("r.exact")) / F.col("r.exact")).alias(
+            "rel_err"
+        ),
+    )
+    return out.orderBy("quantile")

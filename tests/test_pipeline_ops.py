@@ -276,3 +276,15 @@ def test_dq_checks_fire_on_corruption(spark, sf_dir):
 
     rep = {r["check_name"]: r["n_violations"] for r in _dq_checks(t).collect()}
     assert all(v > 0 for v in rep.values()), rep
+
+
+def test_approx_quantile_within_bound(spark, sf_dir):
+    # GK at accuracy=1000 guarantees rank error <= 1/1000; on this value
+    # distribution that bounds relative VALUE error well under 1%
+    from spark_multiboost_spark.registry import all_queries
+
+    pdf = (
+        all_queries()["q_ext_approx_quantile_gauge"].fn(spark, sf_dir).toPandas()
+    )
+    assert len(pdf) == 3
+    assert (pdf["rel_err"] < 0.01).all(), pdf.to_string()
