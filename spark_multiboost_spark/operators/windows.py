@@ -170,3 +170,59 @@ def dist_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@query(
+    "q_b18_range_interval_frame",
+    oracle="""
+WITH framed AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+         ) AS DOUBLE) AS hour_sum,
+         COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+         ) AS n_in_hour
+  FROM events
+)
+SELECT user_id,
+       CAST(MAX(n_in_hour) AS BIGINT) AS max_events_per_hour,
+       MAX(hour_sum) AS max_hour_sum
+FROM framed GROUP BY user_id ORDER BY user_id
+""",
+    group="B",
+)
+def range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18 (cont.): RANGE frames bounded by a TIME INTERVAL — each event's
+    trailing-1-hour sum/count per user (the sliding-window-join-free way to
+    ask "how much in the last hour", and the rate-limiter/alerting shape).
+    ROWS frames (q_b18_frames) count rows; RANGE-interval frames bound by
+    the ORDER BY value, so ties and gaps behave correctly.
+
+    Float discipline: the frame sum goes through DECIMAL (order-exact);
+    MAX over per-row exact values is engine-independent.  Scale: one
+    shuffle on user_id; frame state is bounded by events-per-hour."""
+    e = load_tables(spark, sf_dir)["events"]
+    e.createOrReplaceTempView("v_events_rif")
+    return spark.sql(
+        """
+WITH framed AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+         ) AS DOUBLE) AS hour_sum,
+         COUNT(1) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+         ) AS n_in_hour
+  FROM v_events_rif
+)
+SELECT user_id,
+       CAST(MAX(n_in_hour) AS BIGINT) AS max_events_per_hour,
+       MAX(hour_sum) AS max_hour_sum
+FROM framed GROUP BY user_id ORDER BY user_id
+"""
+    )
