@@ -163,3 +163,75 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch")
     )
+
+
+_PYDS_ROWS_PER_PART = 500
+_PYDS_PARTS = 8
+
+
+@query(
+    "q_b02_python_datasource",
+    oracle=f"""
+WITH gen AS (
+  SELECT p.part_id, r.range AS row_id,
+         p.part_id * {_PYDS_ROWS_PER_PART} + r.range AS uid,
+         (p.part_id * {_PYDS_ROWS_PER_PART} + r.range) % 7 AS bucket
+  FROM (SELECT UNNEST(GENERATE_SERIES(0, {_PYDS_PARTS - 1})) AS part_id) p,
+       RANGE({_PYDS_ROWS_PER_PART}) r
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(uid) AS BIGINT) AS sum_uid
+FROM gen GROUP BY bucket ORDER BY bucket
+""",
+    group="B",
+)
+def python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 (cont.): a CUSTOM PYTHON DATA SOURCE (Spark 4's DataSource API) —
+    the extension point for reading systems Spark has no built-in connector
+    for.  The source declares {_PYDS_PARTS} input partitions, each worker
+    generates its own deterministic slice (no driver materialization), and
+    the result is hash-verified against a DuckDB generator producing the
+    same rows — proving the partitioned read path delivers exactly the
+    declared data.
+
+    Scale shape: partitions() is how a custom source exposes parallelism —
+    each partition reads independently on an executor (here a formula; in
+    production an API page, a Kafka split, a shard).  The aggregate on top
+    is a normal one-shuffle rollup."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    rows_per_part = _PYDS_ROWS_PER_PART
+
+    class _GenReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(i) for i in range(_PYDS_PARTS)]
+
+        def read(self, partition):
+            pid = partition.value
+            for r in range(rows_per_part):
+                uid = pid * rows_per_part + r
+                yield (pid, r, uid, uid % 7)
+
+    class _GenSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "smb_gen"
+
+        def schema(self):
+            return "part_id int, row_id int, uid bigint, bucket bigint"
+
+        def reader(self, schema):
+            return _GenReader()
+
+    spark.dataSource.register(_GenSource)
+    df = spark.read.format("smb_gen").load()
+    return (
+        df.groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(bcount().alias("n"), F.sum("uid").cast("bigint").alias("sum_uid"))
+        .orderBy("bucket")
+    )

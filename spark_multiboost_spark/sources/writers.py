@@ -157,3 +157,40 @@ def compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "files_before", "files_after")
         .orderBy("lang")
     )
+
+
+@query("q_b03_dynamic_partition_overwrite", oracle=None, group="B")
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 (cont.): DYNAMIC partition overwrite — the lakehouse backfill
+    primitive.  Static overwrite mode would truncate the whole table;
+    dynamic mode replaces ONLY the partitions present in the incoming
+    write.  Here: land lineitem partitioned by l_returnflag, rewrite JUST
+    the 'R' partition with a corrected discount, and report per-partition
+    row counts + discount sums proving the other partitions' bytes were
+    never touched (their sums are unchanged) while 'R' reflects the fix.
+
+    At 100 TB this is THE idempotent-backfill shape: re-running a day's
+    job rewrites that day's partition atomically and leaves the other
+    ~36,500 partitions alone."""
+    t = load_tables(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="smb_dyn_"), "lineitem_lake")
+    li = t["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_discount", "l_returnflag"
+    )
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    fixed = (
+        li.filter(F.col("l_returnflag") == "R")
+        .withColumn("l_discount", F.lit(0.0))
+    )
+    (
+        fixed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("l_returnflag")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(bcount().alias("n"), dsum("l_discount").alias("sum_discount"))
+        .orderBy("l_returnflag")
+    )

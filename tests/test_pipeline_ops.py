@@ -288,3 +288,29 @@ def test_approx_quantile_within_bound(spark, sf_dir):
     )
     assert len(pdf) == 3
     assert (pdf["rel_err"] < 0.01).all(), pdf.to_string()
+
+
+def test_dynamic_overwrite_preserves_other_partitions(spark, sf_dir):
+    # the rewritten 'R' partition must zero out; A/N sums must equal the
+    # source table exactly (their files were never rewritten)
+    from pyspark.sql import functions as F
+
+    from spark_multiboost_spark.functions.parity import dsum
+    from spark_multiboost_spark.registry import all_queries
+    from spark_multiboost_spark.session import load_tables
+
+    got = {
+        r["l_returnflag"]: r["sum_discount"]
+        for r in all_queries()["q_b03_dynamic_partition_overwrite"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    src = {
+        r["l_returnflag"]: r["sum_discount"]
+        for r in load_tables(spark, sf_dir)["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(dsum("l_discount").alias("sum_discount"))
+        .collect()
+    }
+    assert got["R"] == 0.0
+    assert got["A"] == src["A"] and got["N"] == src["N"]
