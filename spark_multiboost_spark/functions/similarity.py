@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, dot, norm
+from ..functions.parity import bcount
 from ..registry import query
 from ..session import load_tables
 
@@ -960,4 +961,171 @@ def mrl_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("pcid").cast("double") / K, 6).alias("recall_at_k"),
         )
         .orderBy("qid")
+    )
+
+
+NPROBE_LEVELS = 4  # sweep nprobe = 1..4
+
+
+_NPROBE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+), cent AS (
+  SELECT vec_id AS cent_id, embedding AS cent_emb FROM e WHERE vec_id < {N_CELLS}
+), assign AS (
+  SELECT vec_id, embedding, cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_distance(embedding, cent_emb), cent_id) AS cell_rank
+  FROM e CROSS JOIN cent
+), c AS (
+  SELECT vec_id AS cid, embedding AS c_emb, cent_id FROM assign WHERE cell_rank = 1
+), q AS (
+  SELECT vec_id AS qid, embedding AS q_emb, cent_id, cell_rank AS q_rank
+  FROM assign WHERE cell_rank <= {NPROBE_LEVELS} AND vec_id < {N_QUERIES}
+), lv AS (
+  SELECT UNNEST(GENERATE_SERIES(1, {NPROBE_LEVELS})) AS nprobe
+), ranked AS (
+  SELECT lv.nprobe, qid, cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY lv.nprobe, qid
+           ORDER BY list_cosine_similarity(q_emb, c_emb) DESC, cid) AS rank
+  FROM c JOIN q USING (cent_id) CROSS JOIN lv
+  WHERE qid <> cid AND q_rank <= lv.nprobe
+), approxk AS (
+  SELECT nprobe, qid, cid FROM ranked WHERE rank <= {K}
+), exactk AS (
+  SELECT qid, cid FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                      b.vec_id) AS rank
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < {N_QUERIES})
+  WHERE rank <= {K}
+), per_q AS (
+  SELECT lv.nprobe, ex.qid,
+         CAST(COUNT(ap.cid) AS DECIMAL(18,6)) / {K} AS recall
+  FROM exactk ex CROSS JOIN lv
+  LEFT JOIN approxk ap
+    ON ap.nprobe = lv.nprobe AND ap.qid = ex.qid AND ap.cid = ex.cid
+  GROUP BY lv.nprobe, ex.qid
+)
+SELECT CAST(nprobe AS BIGINT) AS nprobe,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(CAST(SUM(recall) AS DOUBLE) / COUNT(*), 6) AS mean_recall
+FROM per_q GROUP BY nprobe ORDER BY nprobe
+"""
+
+
+@query("q_d3_ivf_nprobe_sweep", oracle=_NPROBE_ORACLE, group="D")
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): the IVF TUNING CURVE — mean recall@K at nprobe = 1..4 in
+    ONE pass, the accuracy/cost trade-off table every ANN deployment reads
+    before picking its probe count.
+
+    Plan shape: assignment stays the zero-shuffle expression argmin
+    (array_sort over struct(dist, cent_id) against the one-row broadcast
+    centroid pack — q_rank comes from posexplode of the sorted slice, no
+    assignment window, no crossJoin blowup).  Candidates materialize ONCE
+    at the widest level and each sweep level filters q_rank <= nprobe —
+    4 levels cost one probe join, not four.  Per-query recalls are exact
+    multiples of 1/K summed as DECIMAL, so the means are bit-stable.
+    """
+    from ..functions.vector import l2_distance
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cent_df = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    cbrow = F.broadcast(
+        cent_df.groupBy().agg(
+            F.collect_list(F.struct("cent_id", "cent_emb")).alias("cents")
+        )
+    )
+    scored = F.transform(
+        "cents",
+        lambda c: F.struct(
+            l2_distance(F.col("embedding"), c["cent_emb"]).alias("dist"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    c = (
+        emb.select(
+            F.col("vec_id").alias("cid"),
+            "embedding",
+            norm(F.col("embedding")).alias("c_norm"),
+        )
+        .crossJoin(cbrow)
+        .withColumn("cent_id", F.array_min(scored)["cent_id"])
+        .drop("cents")
+        .withColumnRenamed("embedding", "c_emb")
+    )
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            "embedding",
+            norm(F.col("embedding")).alias("q_norm"),
+        )
+        .crossJoin(cbrow)
+        .select(
+            "qid",
+            "embedding",
+            "q_norm",
+            F.posexplode(
+                F.transform(
+                    F.slice(F.array_sort(scored), 1, NPROBE_LEVELS),
+                    lambda s: s["cent_id"],
+                )
+            ).alias("pos", "cent_id"),
+        )
+        .withColumn("q_rank", F.col("pos") + 1)
+        .drop("pos")
+        .withColumnRenamed("embedding", "q_emb")
+    )
+    lv = spark.range(1, NPROBE_LEVELS + 1).select(F.col("id").alias("nprobe"))
+    ranked = (
+        c.join(q, "cent_id")
+        .filter(F.col("qid") != F.col("cid"))
+        .crossJoin(F.broadcast(lv))
+        .filter(F.col("q_rank") <= F.col("nprobe"))
+        .withColumn(
+            "cos_raw",
+            dot(F.col("q_emb"), F.col("c_emb"))
+            / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0)),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("nprobe", "qid").orderBy(
+                    F.col("cos_raw").desc(), F.col("cid")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= K)
+        .select("nprobe", "qid", F.col("cid").alias("acid"))
+    )
+    exactk = _prefix_topk_ids(spark, sf_dir, None)
+    per_q = (
+        exactk.crossJoin(F.broadcast(lv.withColumnRenamed("nprobe", "lnp")))
+        .join(
+            ranked,
+            (F.col("lnp") == F.col("nprobe"))
+            & (exactk["qid"] == ranked["qid"])
+            & (F.col("cid") == F.col("acid")),
+            "left",
+        )
+        .groupBy(F.col("lnp"), exactk["qid"])
+        .agg((F.count("acid").cast("decimal(18,6)") / K).alias("recall"))
+    )
+    return (
+        per_q.groupBy(F.col("lnp").cast("bigint").alias("nprobe"))
+        .agg(
+            bcount().alias("n_queries"),
+            F.round(
+                F.sum("recall").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_recall"),
+        )
+        .orderBy("nprobe")
     )

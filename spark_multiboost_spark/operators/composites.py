@@ -2234,3 +2234,46 @@ def approx_quantile_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.orderBy("quantile")
+
+
+K_ANON = 5
+
+
+@query(
+    "q_ext_k_anonymity",
+    oracle=f"""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS sz
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(sz) AS BIGINT) AS k_anonymity,
+       CAST(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END) AS BIGINT)
+         AS n_rows_below_k,
+       CAST(SUM(CASE WHEN sz < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_groups_below_k
+FROM groups
+""",
+)
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext: K-ANONYMITY audit — the privacy gate run before a dataset
+    release.  Quasi-identifiers here are (nation, market segment); the
+    dataset's k-anonymity level is the SMALLEST group size, and rows in
+    groups under K_ANON are the re-identification risk that suppression
+    or generalization must handle before publishing.
+
+    Scale shape: one hash aggregation on the quasi-identifier tuple, then
+    a scalar rollup of the group-size table — the same two-narrow-aggs
+    pattern as the histogram ops; nothing is row-expanded."""
+    c = load_tables(spark, sf_dir)["customer"]
+    groups = c.groupBy("c_nationkey", "c_mktsegment").agg(bcount().alias("sz"))
+    return groups.agg(
+        bcount().alias("n_groups"),
+        F.min("sz").cast("bigint").alias("k_anonymity"),
+        F.sum(F.when(F.col("sz") < K_ANON, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_below_k"),
+        F.sum(F.when(F.col("sz") < K_ANON, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_groups_below_k"),
+    )
