@@ -22,7 +22,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..functions.parity import bcount
+from ..functions.parity import bcount, dsum_sql
 from ..registry import query
 from ..session import load_tables
 
@@ -190,4 +190,81 @@ def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT t.doc_id, t.token FROM docs_head d, "
         "LATERAL smb_tokenize(d.doc_id, d.text) t"
+    )
+
+
+@query(
+    "q_b35_sql_udf",
+    oracle=f"""
+SELECT l_returnflag,
+       {dsum_sql('l_extendedprice * (1 - l_discount)')} AS net_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    group="B",
+)
+def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35 (cont.): SQL-DEFINED scalar function (Spark 4's CREATE FUNCTION
+    ... RETURN <expr>) — the UDF form with NO serialization wall: the body
+    is inlined into the plan at resolution time, so it runs inside
+    whole-stage codegen exactly like writing the expression by hand.  This
+    is the right default for shareable business logic at 100 TB; Python
+    UDFs (the rest of B35) are for logic expressions can't state.
+
+    The oracle inlines the same expression — hash equality proves the
+    function boundary added nothing."""
+    t = load_tables(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION smb_net(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    t["lineitem"].createOrReplaceTempView("v_li_sqludf")
+    return spark.sql(
+        f"""
+SELECT l_returnflag,
+       CAST(SUM(CAST(smb_net(l_extendedprice, l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS net_revenue,
+       CAST(COUNT(1) AS BIGINT) AS n
+FROM v_li_sqludf GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+    )
+
+
+@query(
+    "q_b37_sql_tvf",
+    oracle="""
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT t.tok) AS BIGINT) AS n_distinct
+FROM (SELECT doc_id, text FROM documents WHERE doc_id < 5) d,
+     LATERAL (SELECT UNNEST(STRING_SPLIT(d.text, ' ')) AS tok) t
+GROUP BY d.doc_id ORDER BY d.doc_id
+""",
+    group="B",
+)
+def sql_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B37 (cont.): SQL-DEFINED TABLE function (CREATE FUNCTION ... RETURNS
+    TABLE) applied per input row via LATERAL — the declarative twin of the
+    Python UDTF (q_b37_udtf_tokens).  Like the scalar form, the body
+    resolves into the plan (a generator under a lateral join), so the
+    tokenizer runs JVM-side with zero Python workers.
+
+    Scale: the generator explodes inside the scan's stage; the rollup is
+    one hash-agg on doc_id."""
+    t = load_tables(spark, sf_dir)
+    spark.sql(
+        """
+CREATE OR REPLACE TEMPORARY FUNCTION smb_toks(s STRING)
+RETURNS TABLE(pos INT, tok STRING)
+RETURN SELECT posexplode(split(s, ' ')) AS (pos, tok)
+"""
+    )
+    t["documents"].createOrReplaceTempView("v_docs_sqltvf")
+    return spark.sql(
+        """
+SELECT d.doc_id, CAST(COUNT(1) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT t.tok) AS BIGINT) AS n_distinct
+FROM (SELECT doc_id, text FROM v_docs_sqltvf WHERE doc_id < 5) d,
+     LATERAL smb_toks(d.text) t
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
     )
