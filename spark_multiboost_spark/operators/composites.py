@@ -2277,3 +2277,121 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_groups_below_k"),
     )
+
+
+SNAP_T = "2024-03-01 00:00:00"
+
+
+@query(
+    "q_ext_snapshot_asof_read",
+    oracle=f"""
+WITH hist AS (
+  SELECT user_id, value, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+           AS rn_desc,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '{SNAP_T}'
+)
+SELECT user_id, value AS value_asof, CAST(n_versions AS BIGINT) AS n_versions
+FROM hist WHERE rn_desc = 1
+ORDER BY user_id
+""",
+)
+def snapshot_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext: POINT-IN-TIME (time-travel) read of a mutable entity — each
+    user's latest value as of SNAP_T, plus how many versions led there.
+    This is the read half of the SCD2/CDC family (q_ext_upsert_scd2 and
+    q_c12 write history; this reconstructs the state any past timestamp
+    saw) — the reproducibility primitive for "train on the data as it
+    existed on date X".
+
+    Scale shape: the time predicate prunes the scan FIRST (at 100 TB the
+    history table is time-partitioned, so this is partition pruning), then
+    one shuffle on the entity key and a per-key top-1 — Spark plans the
+    rn=1 filter as WindowGroupLimit, a map-side partial top-1."""
+    e = load_tables(spark, sf_dir)["events"]
+    cut = F.lit(SNAP_T).cast("timestamp")
+    h = e.filter(F.col("ts") <= cut)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id")
+    return (
+        h.withColumn("rn_desc", F.row_number().over(w))
+        .withColumn("n_versions", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .filter(F.col("rn_desc") == 1)
+        .select("user_id", F.col("value").alias("value_asof"), "n_versions")
+        .orderBy("user_id")
+    )
+
+
+_STATS_COLS = ["l_returnflag", "l_linestatus", "l_quantity", "l_discount"]
+
+
+@query(
+    "q_ext_analyze_stats",
+    oracle="""
+SELECT 'l_returnflag' AS col, CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS ndv,
+       CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT) AS n_nulls,
+       CAST(MIN(l_returnflag) AS VARCHAR) AS min_val,
+       CAST(MAX(l_returnflag) AS VARCHAR) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_linestatus', CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+       CAST(COUNT(*) - COUNT(l_linestatus) AS BIGINT),
+       CAST(MIN(l_linestatus) AS VARCHAR), CAST(MAX(l_linestatus) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_quantity', CAST(COUNT(DISTINCT l_quantity) AS BIGINT),
+       CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT),
+       CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', CAST(COUNT(DISTINCT l_discount) AS BIGINT),
+       CAST(COUNT(*) - COUNT(l_discount) AS BIGINT),
+       CAST(MIN(l_discount) AS VARCHAR), CAST(MAX(l_discount) AS VARCHAR)
+FROM lineitem
+ORDER BY col
+""",
+)
+def analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext: ANALYZE-style statistics collection — exact NDV / null count /
+    min / max per column, the stats table a cost-based optimizer feeds on
+    (and the first profiling pass any new dataset gets).
+
+    Plan note: Spark rewrites multiple COUNT(DISTINCT) in one aggregate
+    into an Expand (one row per distinct-aggregate per input row) + two
+    aggregation phases — all four columns' stats still come from ONE scan
+    of the table.  At 100 TB you'd swap exact NDV for HLL
+    (approx_count_distinct, see q_ext_approx_quantile_gauge's discussion
+    of sketch trade-offs); min/max/nulls are cheap partials either way.
+    Doubles are rendered as Spark's string cast (both engines print
+    2dp-exact values identically here)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    aggs = []
+    for c in _STATS_COLS:
+        aggs += [
+            F.countDistinct(c).cast("bigint").alias(f"{c}__ndv"),
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__nulls"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    row = li.agg(*aggs)
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(f"{c}__ndv").alias("ndv"),
+                        F.col(f"{c}__nulls").alias("n_nulls"),
+                        F.col(f"{c}__min").alias("min_val"),
+                        F.col(f"{c}__max").alias("max_val"),
+                    )
+                    for c in _STATS_COLS
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.select("s.*").orderBy("col")
