@@ -1036,3 +1036,79 @@ def abstain_stump_z(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z")
         )
     )
+
+
+@query(
+    "q_a14_calibration",
+    oracle=_PRELUDE
+    + f"""
+, stumps AS (SELECT * FROM {_STUMPS_SQL})
+, phi AS (
+  SELECT e.vec_id AS id, st.t, st.votes,
+         CASE WHEN e.embedding[st.feature] > st.threshold THEN 1.0 ELSE -1.0 END AS phi
+  FROM e CROSS JOIN stumps st
+), scored AS (
+  SELECT id, g.class, SUM(votes[g.class + 1] * phi) AS score
+  FROM phi CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {K - 1})) AS class) g
+  GROUP BY id, g.class
+), binned AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((s.score + 1.0) * 5) AS BIGINT), 0), 9)
+           AS bucket,
+         s.score, mlp.y
+  FROM scored s JOIN mlp ON s.id = mlp.id AND s.class = mlp.class
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       FLOOR(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 1e6
+             + 0.5) / 1e6 AS mean_score,
+       ROUND(CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS frac_positive
+FROM binned GROUP BY bucket ORDER BY bucket
+""",
+    group="A",
+)
+def calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 (cont.): RELIABILITY DIAGRAM of the fixed strong model — (id,
+    class) score pairs bucketed into 10 confidence bins over [-1, 1], each
+    bin reporting its mean score vs the empirical positive rate.  A
+    calibrated scorer puts frac_positive ≈ (mean_score+1)/2 on the
+    diagonal; boosted stumps famously push scores to the extremes (margin
+    maximization), and this query quantifies exactly that — the standard
+    post-hoc check before using H(x) as a probability.
+
+    Same one-broadcast/two-hash-agg shape as the other A11 metrics; the
+    bin means go through the decimal path so bucket stats are
+    accumulation-order-independent."""
+    emb = _emb(spark, sf_dir)
+    sdf = boosting.stumps_to_df(emb.sparkSession, _STUMPS_FIXED)
+    scored = boosting.score_model(emb, sdf)
+    mlp = boosting.mlp_long(emb, K)
+    binned = scored.join(mlp, ["id", "class"]).select(
+        F.least(
+            F.greatest(F.floor((F.col("score") + 1.0) * 5).cast("bigint"), F.lit(0)),
+            F.lit(9),
+        ).alias("bucket"),
+        "score",
+        "y",
+    )
+    return (
+        binned.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            (
+                F.floor(
+                    F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("mean_score"),
+            F.round(
+                F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("frac_positive"),
+        )
+        .orderBy("bucket")
+    )
