@@ -262,3 +262,33 @@ def test_streaming_cdc_merge_equals_batch_scd1(spark, sf_dir):
         .reset_index(drop=True)
     )
     assert stream.equals(batch)
+
+
+def test_c6_final_state_equals_batch_totals(spark, sf_dir):
+    # the stateful stream's LAST update per user must equal the batch
+    # groupBy totals exactly — converts C6 from "ran" to verified semantics
+    import pyspark.sql.functions as F
+
+    from spark_multiboost_spark.registry import all_queries
+    from spark_multiboost_spark.session import load_tables
+
+    out = all_queries()["q_c6_stateful_sessions"].fn(spark, sf_dir).toPandas()
+    final = (
+        out.sort_values(["user_id", "n_events"])
+        .groupby("user_id", as_index=False)
+        .last()
+    )
+    batch = (
+        load_tables(spark, sf_dir)["events"]
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("value").alias("max_value"),
+        )
+        .toPandas()
+    )
+    f = final.sort_values("user_id").reset_index(drop=True)
+    b = batch.sort_values("user_id").reset_index(drop=True)
+    assert list(f["user_id"]) == list(b["user_id"])
+    assert list(f["n_events"]) == list(b["n_events"])
+    assert [float(x) for x in f["max_value"]] == [float(x) for x in b["max_value"]]
