@@ -1134,3 +1134,207 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_docs", "n_accepted", "accept_rate")
         .orderBy("lang")
     )
+
+
+KL_VOCAB = 30  # KL restricted to the top-V vocabulary (mass elsewhere tiny)
+
+
+@query(
+    "q_d5_source_kl",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+), vocab AS (
+  SELECT token FROM toks GROUP BY token
+  ORDER BY COUNT(*) DESC, token LIMIT {KL_VOCAB}
+), tv AS (
+  SELECT t.source, t.token FROM toks t JOIN vocab USING (token)
+), per_source AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n FROM tv
+  GROUP BY source, token
+), src_tot AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS st FROM per_source GROUP BY source
+), corpus AS (
+  SELECT token, CAST(SUM(n) AS BIGINT) AS cn FROM per_source GROUP BY token
+), corpus_tot AS (
+  SELECT CAST(SUM(cn) AS BIGINT) AS ct FROM corpus
+), terms AS (
+  SELECT ps.source,
+         FLOOR((CAST(ps.n AS DOUBLE) / src_tot.st)
+               * LN((CAST(ps.n AS DOUBLE) / src_tot.st)
+                    / (CAST(corpus.cn AS DOUBLE) / corpus_tot.ct)) * 1e9 + 0.5)
+           / 1e9 AS term
+  FROM per_source ps
+  JOIN src_tot USING (source)
+  JOIN corpus USING (token)
+  CROSS JOIN corpus_tot
+)
+SELECT source,
+       FLOOR(CAST(SUM(CAST(term AS DECIMAL(18,9))) AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS kl_vs_corpus
+FROM terms GROUP BY source ORDER BY source
+""",
+    group="D",
+)
+def source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): per-source KL divergence of the token distribution vs
+    the whole corpus — the data-mixing diagnostic that tells you WHICH
+    source is distributionally far from the blend (DoReMi-style reweighting
+    reads exactly this table).  Restricted to the top-KL_VOCAB vocabulary
+    (tail mass is negligible and unstable).
+
+    Float discipline: each KL term is quantized to 9dp then decimal-summed
+    (term counts are small and signed — positive and negative terms must
+    not reorder), final value re-quantized at 6dp.  Scale shape: two hash
+    aggs over (source, token) — model-sized tables after the first agg;
+    the vocabulary is a broadcast semi-join."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(KL_VOCAB)
+        .select("token")
+    )
+    tv = toks.join(F.broadcast(vocab), "token", "left_semi")
+    per_source = tv.groupBy("source", "token").agg(bcount().alias("n"))
+    src_tot = per_source.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("st")
+    )
+    corpus = per_source.groupBy("token").agg(F.sum("n").cast("bigint").alias("cn"))
+    corpus_tot = corpus.agg(F.sum("cn").cast("bigint").alias("ct"))
+    p_s = F.col("n").cast("double") / F.col("st")
+    p_c = F.col("cn").cast("double") / F.col("ct")
+    term = F.floor(p_s * F.log(p_s / p_c) * 1e9 + 0.5) / 1e9
+    return (
+        per_source.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(corpus), "token")
+        .crossJoin(F.broadcast(corpus_tot))
+        .select("source", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("term").cast("decimal(18,9)")).cast("double") * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("kl_vs_corpus")
+        )
+        .orderBy("source")
+    )
+
+
+BATCH_SIZE = 16  # docs per training batch
+LEN_BUCKET = 20  # token-length bucket width
+
+
+@query(
+    "q_d4_length_batching",
+    oracle=f"""
+WITH docs AS (
+  SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), bucketed AS (
+  SELECT doc_id, n_tokens,
+         n_tokens // {LEN_BUCKET} AS bucket,
+         (ROW_NUMBER() OVER (PARTITION BY n_tokens // {LEN_BUCKET}
+                             ORDER BY doc_id) - 1) // {BATCH_SIZE} AS batch_no
+  FROM docs
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(batch_no AS BIGINT) AS batch_no,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_len,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT) AS pad_waste
+FROM bucketed GROUP BY bucket, batch_no
+ORDER BY bucket, batch_no
+""",
+    group="D",
+)
+def length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): LENGTH-BUCKETED DYNAMIC BATCHING — group documents into
+    token-length buckets, cut each bucket into BATCH_SIZE-doc batches, and
+    report each batch's padding waste (max_len·count − sum_len).  This is
+    the dataloader trick that cuts padding FLOPs for variable-length
+    training; the pad_waste column is the metric you tune LEN_BUCKET by
+    (contrast q_d4_sequence_pack, which eliminates padding by concat —
+    batching preserves doc boundaries for SFT-style training).
+
+    Scale shape: one shuffle on the length bucket; batch ids come from a
+    per-bucket row_number (partition-defined, bounded fan-in since buckets
+    split the length range)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    docs = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    bucket = (F.col("n_tokens") / LEN_BUCKET).cast("bigint")
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    b = (
+        docs.withColumn("bucket", bucket)
+        .withColumn(
+            "batch_no",
+            ((F.row_number().over(w) - 1) / BATCH_SIZE).cast("bigint"),
+        )
+    )
+    return (
+        b.groupBy("bucket", "batch_no")
+        .agg(
+            bcount().alias("n_docs"),
+            F.max("n_tokens").cast("bigint").alias("max_len"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (F.max("n_tokens") * F.count(F.lit(1)) - F.sum("n_tokens"))
+            .cast("bigint")
+            .alias("pad_waste"),
+        )
+        .orderBy("bucket", "batch_no")
+    )
+
+
+@query(
+    "q_d4_interleave",
+    oracle="""
+WITH r1 AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS intra
+  FROM documents
+), r2 AS (
+  SELECT doc_id, source, intra,
+         ROW_NUMBER() OVER (ORDER BY intra, source) AS global_pos
+  FROM r1
+)
+SELECT global_pos, doc_id, source, intra
+FROM r2 WHERE global_pos <= 40
+ORDER BY global_pos
+""",
+    group="D",
+)
+def interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): deterministic ROUND-ROBIN SOURCE INTERLEAVING — the
+    tf.data/torchdata `interleave` order: position in the training stream
+    = rank by (per-source index, source), so consecutive samples cycle
+    through sources and no source floods a window.  First 40 positions
+    shown (the head of the epoch).
+
+    Scale shape: a row with intra > 40 cannot land in the first 40 global
+    positions (its own source already has >= 40 earlier rows), so the
+    corpus is pre-filtered to intra <= 40 BEFORE the global rank — the
+    "global" window then touches <= 40·n_sources rows, never the corpus.
+    (Fully general stream order is also closed-form: pos = intra·S +
+    source_index when the source list is known — zero sorts.)"""
+    d = load_tables(spark, sf_dir)["documents"]
+    wi = Window.partitionBy("source").orderBy("doc_id")
+    wg = Window.orderBy("intra", "source")
+    ranked = (
+        d.select("doc_id", "source")
+        .withColumn("intra", F.row_number().over(wi))
+        .filter(F.col("intra") <= 40)  # exact: intra>40 => global_pos>40
+        .withColumn("global_pos", F.row_number().over(wg))
+    )
+    return (
+        ranked.filter(F.col("global_pos") <= 40)
+        .select("global_pos", "doc_id", "source", "intra")
+        .orderBy("global_pos")
+    )
