@@ -62,6 +62,11 @@ SHOWCASE = [
     "q_d3_pq_adc_topk",
     "q_d3_ivfpq_topk",
     "q_d2_semantic_dedup_arrow",
+    # round-5 flagships: lexical retrieval + curation additions
+    "q_d3_bm25_topk",
+    "q_d2_segment_dedup",
+    "q_d5_bigram_lm_ppl",
+    "q_d4_length_batching",
 ]
 
 

@@ -346,3 +346,46 @@ def test_bigram_lm_model_broadcast(spark, sf_dir):
     plan = _plan(spark, "q_d5_bigram_lm_ppl", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lateral_decorrelates(spark, sf_dir):
+    # LATERAL (ORDER BY ... LIMIT) must decorrelate to a broadcast join +
+    # per-key WindowGroupLimit — never a per-row re-execution / cartesian
+    plan = _plan(spark, "q_b30_lateral_topk", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_interleave_prefilters_global_rank(spark, sf_dir):
+    # the intra<=40 filter must sit BELOW the global rank window so the
+    # single-partition window only ever sees <=40*n_sources rows
+    from spark_multiboost_spark.registry import all_queries
+
+    df = all_queries()["q_d4_interleave"].fn(spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    tree = plan.split("\n\n")[0]
+    # Catalyst pushes the intra<=40 filter into a map-side WindowGroupLimit
+    # below the shuffle, and the global rank sees a TakeOrderedAndProject
+    assert "WindowGroupLimit" in tree
+    assert "TakeOrderedAndProject" in tree
+
+
+def test_snapshot_asof_single_shuffle(spark, sf_dir):
+    # the top-1 and version-count windows share ONE user_id exchange (the
+    # n_versions count needs every row, so a group-limit can't apply; what
+    # matters is that both windows ride the same sort+shuffle)
+    plan = _plan(spark, "q_ext_snapshot_asof_read", sf_dir)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Window (") == 2
+    # one keyed exchange + the final presentation sort exchange
+    assert tree.count("Exchange (") <= 2
+
+
+def test_nprobe_sweep_single_probe_join(spark, sf_dir):
+    # candidates materialize once; sweep levels are a filter, and the
+    # centroid pack rides broadcast — no cartesian anywhere
+    plan = _plan(spark, "q_d3_ivf_nprobe_sweep", sf_dir)
+    assert "CartesianProduct" not in plan
