@@ -284,3 +284,52 @@ def sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sample(fraction=0.1, seed=42).groupBy("l_returnflag").agg(
         bcount().alias("n_sampled")
     )
+
+
+@query(
+    "q_ext_observe_metrics",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+       CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       {dsum_sql('CASE WHEN l_quantity >= 25 THEN l_extendedprice ELSE 0 END')}
+         AS kept_price
+FROM lineitem
+""",
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext: PIPELINE OBSERVABILITY via Spark's Observation API — named
+    metrics accumulate on executors DURING a pass (no second scan) and
+    report to the driver with the action.  This is how production jobs get
+    row-count / quality / sum counters per stage without rerunning
+    aggregates; here the observed values themselves are the query output,
+    hash-checked against a plain SQL computation of the same metrics.
+
+    Scale note: observe() adds a CollectMetrics node — a streaming
+    accumulator fold, no shuffle, no extra scan.  The final one-row
+    DataFrame is driver-assembled from the reported metrics (model-sized,
+    like the A-group argmin collects)."""
+    from pyspark.sql import Observation
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    obs = Observation("gate_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_input"),
+        F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(
+            F.when(F.col("l_quantity") >= 25, F.col("l_extendedprice"))
+            .otherwise(0.0)
+            .cast("decimal(18,6)")
+        )
+        .cast("double")
+        .alias("kept_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # one pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_input"], m["n_kept"], m["kept_price"])],
+        "n_input bigint, n_kept bigint, kept_price double",
+    )

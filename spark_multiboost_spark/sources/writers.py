@@ -194,3 +194,57 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(bcount().alias("n"), dsum("l_discount").alias("sum_discount"))
         .orderBy("l_returnflag")
     )
+
+
+@query("q_b01_zonemap_skip", oracle=None, group="B")
+def zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 (cont.): ZONE-MAP (file-stats) SKIPPING report — the data-layout
+    audit behind partition/file pruning.  Lineitem is written range-
+    partitioned on l_shipdate (q_b03's layout); this job reads the files
+    back, computes each file's (min, max) of the sort key via
+    input_file_name(), and reports how many files a typical time-slice
+    predicate can skip WITHOUT reading them.  On a lake this is exactly
+    what the parquet footer stats / Iceberg manifest give the planner —
+    the report quantifies whether the layout actually clusters the key.
+
+    Scale: one pass to build the per-file stats (tiny table: one row per
+    file), the skip accounting is arithmetic over it."""
+    t = load_tables(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="smb_zone_"), "li_ranged")
+    (
+        t["lineitem"]
+        .select("l_orderkey", "l_shipdate", "l_extendedprice")
+        .repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    stats = (
+        back.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    return stats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(
+            F.when((F.col("max_ship") < lo) | (F.col("min_ship") >= hi), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_skippable"),
+        F.sum(
+            F.when(
+                (F.col("max_ship") < lo) | (F.col("min_ship") >= hi),
+                F.col("n_rows"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("rows_skipped"),
+        F.sum("n_rows").cast("bigint").alias("rows_total"),
+    )

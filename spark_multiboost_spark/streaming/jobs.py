@@ -589,3 +589,43 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
         .orderBy("matched")
     )
+
+
+@query("q_c14_streaming_topk", oracle=None, group="C")
+def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14: GLOBAL TOP-K MAINTAINED ACROSS MICRO-BATCHES — each foreachBatch
+    merges the batch's per-user value maxima into a running top-10 state
+    table (merge-then-truncate, the streaming analogue of
+    TakeOrderedAndProject's partial heaps).  The state never exceeds
+    K + batch-distinct rows, so the pattern holds at any stream volume —
+    this is how leaderboards ride a firehose without a full-history store.
+
+    Rows-only by contract (true streaming), but the final table must equal
+    the batch top-10 by construction; tests/test_streaming.py asserts it.
+    """
+    path = _replay_dir(spark, sf_dir)
+    state: dict[int, float] = {}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.groupBy("user_id")
+            .agg(F.max("value").alias("vmax"))
+            .collect()  # bounded: distinct users per micro-batch
+        )
+        for r in rows:
+            u, v = int(r["user_id"]), float(r["vmax"])
+            if u not in state or v > state[u]:
+                state[u] = v
+        # truncate to top-K (value desc, user asc) — keeps state bounded
+        top = sorted(state.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        state.clear()
+        state.update(top)
+
+    stream = _read_stream(spark, path)
+    q = stream.writeStream.outputMode("update").foreachBatch(merge_batch).start()
+    q.processAllAvailable()
+    q.stop()
+    top = sorted(state.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return spark.createDataFrame(
+        [(u, v) for u, v in top], "user_id bigint, max_value double"
+    )

@@ -292,3 +292,24 @@ def test_c6_final_state_equals_batch_totals(spark, sf_dir):
     assert list(f["user_id"]) == list(b["user_id"])
     assert list(f["n_events"]) == list(b["n_events"])
     assert [float(x) for x in f["max_value"]] == [float(x) for x in b["max_value"]]
+
+
+def test_c14_streaming_topk_equals_batch(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from spark_multiboost_spark.registry import all_queries
+    from spark_multiboost_spark.session import load_tables
+
+    got = all_queries()["q_c14_streaming_topk"].fn(spark, sf_dir).toPandas()
+    batch = (
+        load_tables(spark, sf_dir)["events"]
+        .groupBy("user_id")
+        .agg(F.max("value").alias("max_value"))
+        .orderBy(F.col("max_value").desc(), "user_id")
+        .limit(10)
+        .toPandas()
+    )
+    assert list(got["user_id"]) == list(batch["user_id"])
+    assert [float(x) for x in got["max_value"]] == [
+        float(x) for x in batch["max_value"]
+    ]
