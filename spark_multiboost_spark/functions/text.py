@@ -1326,7 +1326,10 @@ def interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     source_index when the source list is known — zero sorts.)"""
     d = load_tables(spark, sf_dir)["documents"]
     wi = Window.partitionBy("source").orderBy("doc_id")
-    wg = Window.orderBy("intra", "source")
+    # constant partition key: input is pre-filtered to <=40*n_sources rows,
+    # so one task is correct AND bounded; the lit(1) keeps WindowExec from
+    # warning about an undefined partition (same trick as q_d4_token_tf)
+    wg = Window.partitionBy(F.lit(1)).orderBy("intra", "source")
     ranked = (
         d.select("doc_id", "source")
         .withColumn("intra", F.row_number().over(wi))

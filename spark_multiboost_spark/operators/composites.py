@@ -1865,11 +1865,11 @@ ORDER BY s.s_suppkey
 )
 def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the revenue VIEW + global-max scalar, decorrelated
-    as a window OVER the aggregate (the q_comp_important_brands pattern) so
-    the quarter's lineitems are scanned ONCE — the textbook form rescans the
-    view to compute max().  The max window runs over supplier-count rows
-    (already aggregated), and revenue equality is exact because the measure
-    takes the decimal dsum path in both engines."""
+    as a broadcast SCALAR over the aggregate so the quarter's lineitems are
+    scanned ONCE (the textbook form rescans the view to compute max(), and
+    a partition-less max window would drag every supplier row through one
+    task).  Revenue equality is exact because the measure takes the decimal
+    dsum path in both engines."""
     t = load_tables(spark, sf_dir)
     li = t["lineitem"].filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -1877,9 +1877,12 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum("l_extendedprice * (1 - l_discount)").alias("total_revenue")
-    )
-    w = Window.partitionBy()
-    ranked = revenue.withColumn("max_rev", F.max("total_revenue").over(w))
+    ).persist()  # read twice: the scalar max and the equality probe
+    # scalar max via agg + broadcast — at 100 TB the per-supplier revenue
+    # table is millions of rows; a partition-less max window would drag
+    # them all through one task, the broadcast scalar never does
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    ranked = revenue.crossJoin(F.broadcast(max_rev))
     return (
         ranked.filter(F.col("total_revenue") == F.col("max_rev"))
         .join(
