@@ -367,7 +367,9 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("doc_id") / SHARD_BUCKET).alias("bucket"),
     ).persist()  # narrow (3 ints/blob); both prefix-sum stages read it
     per_bucket = blobs.groupBy("bucket").agg(F.sum("n_bytes").alias("bucket_bytes"))
-    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    wb = Window.partitionBy(F.lit(1)).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # bucket totals only — tiny by construction; defined partition, no warn
     offsets = per_bucket.select(
         "bucket", F.coalesce(F.sum("bucket_bytes").over(wb), F.lit(0)).alias("base")
     )

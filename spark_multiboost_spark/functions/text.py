@@ -761,7 +761,9 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()  # narrow (3 ints/doc); both prefix-sum stages read it —
     # without this mark Spark re-tokenizes the corpus for each branch
     per_bucket = t.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
-    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    wb = Window.partitionBy(F.lit(1)).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # bucket totals only — tiny by construction; defined partition, no warn
     offsets = per_bucket.select(
         "bucket", F.coalesce(F.sum("bucket_tokens").over(wb), F.lit(0)).alias("base")
     )
@@ -1020,7 +1022,9 @@ def sequence_pack_3level(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_super = per_bucket.groupBy("sbucket").agg(
         F.sum("bucket_tokens").alias("super_tokens")
     )
-    ws = Window.orderBy("sbucket").rowsBetween(Window.unboundedPreceding, -1)
+    ws = Window.partitionBy(F.lit(1)).orderBy("sbucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # super-bucket totals — tiny by construction; defined partition, no warn
     super_off = per_super.select(
         "sbucket",
         F.coalesce(F.sum("super_tokens").over(ws), F.lit(0)).alias("super_base"),

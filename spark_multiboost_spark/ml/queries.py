@@ -569,7 +569,9 @@ def margin_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("min_margin") * 10).cast("bigint").alias("bucket")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_examples"))
     m = bucketed.agg(F.sum("n_examples").cast("double").alias("m"))
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.partitionBy(F.lit(1)).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # bucket totals: tiny by construction; lit(1) keeps the partition defined
     return (
         bucketed.crossJoin(F.broadcast(m))
         .withColumn("cum", F.sum("n_examples").over(w).cast("double"))
