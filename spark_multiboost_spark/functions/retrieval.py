@@ -458,3 +458,92 @@ def bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SNIPPET_RADIUS = 3  # tokens either side of the first hit
+
+
+@query(
+    "q_d3_bm25_snippets",
+    oracle=f"""
+WITH doclen AS (
+  SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+), corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM doclen
+), toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token IN {_TERMS_SQL}
+  GROUP BY doc_id, token
+), df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+), scored AS (
+  SELECT tf.doc_id,
+         LN(1 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1))
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * doclen.dl / corpus.avgdl))
+           AS s
+  FROM tf
+  JOIN df ON tf.token = df.token
+  JOIN doclen ON tf.doc_id = doclen.doc_id
+  CROSS JOIN corpus
+), top AS (
+  SELECT doc_id, {dsum_sql('s')} AS bm25
+  FROM scored GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id LIMIT 5
+)
+SELECT t.doc_id, t.bm25,
+       CAST(LIST_POSITION(STRING_SPLIT(d.text, ' '), '{BM25_TERMS[0]}') AS BIGINT)
+         AS first_hit_pos,
+       ARRAY_TO_STRING(
+         LIST_SLICE(STRING_SPLIT(d.text, ' '),
+           GREATEST(LIST_POSITION(STRING_SPLIT(d.text, ' '), '{BM25_TERMS[0]}')
+                    - {SNIPPET_RADIUS}, 1),
+           LIST_POSITION(STRING_SPLIT(d.text, ' '), '{BM25_TERMS[0]}')
+             + {SNIPPET_RADIUS}), ' ') AS snippet
+FROM top t JOIN documents d ON t.doc_id = d.doc_id
+WHERE LIST_POSITION(STRING_SPLIT(d.text, ' '), '{BM25_TERMS[0]}') > 0
+ORDER BY t.bm25 DESC, t.doc_id
+""",
+    group="D",
+)
+def bm25_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): SNIPPET/HIGHLIGHT extraction for the BM25 top-5 — the
+    result-presentation half of search: find the first occurrence of the
+    lead query term and cut a ±{SNIPPET_RADIUS}-token window around it.
+
+    Scale shape: snippets are computed ONLY for the k surviving docs (the
+    top-5 join back to the corpus is a broadcast of 5 ids); array_position
+    + slice are per-row expressions inside codegen — no explode, no
+    shuffle beyond the BM25 ranking itself."""
+    d = load_tables(spark, sf_dir)["documents"]
+    top = bm25_topk(spark, sf_dir).limit(5)
+    lead = BM25_TERMS[0]
+    toks = F.split("text", " ")
+    pos = F.array_position(toks, lead)
+    snippet = F.array_join(
+        F.slice(
+            toks,
+            F.greatest(pos.cast("int") - SNIPPET_RADIUS, F.lit(1)),
+            # slice length start..pos+R inclusive relative to the clamped start
+            (pos.cast("int") + SNIPPET_RADIUS)
+            - F.greatest(pos.cast("int") - SNIPPET_RADIUS, F.lit(1))
+            + 1,
+        ),
+        " ",
+    )
+    return (
+        d.join(F.broadcast(top), "doc_id")
+        .filter(pos > 0)
+        .select(
+            "doc_id",
+            "bm25",
+            pos.cast("bigint").alias("first_hit_pos"),
+            snippet.alias("snippet"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+    )

@@ -9,7 +9,7 @@ order-independent, i.e. safe at any parallelism.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.parity import bcount, davg, davg_sql, dsum, dsum_sql
@@ -332,4 +332,51 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(m["n_input"], m["n_kept"], m["kept_price"])],
         "n_input bigint, n_kept bigint, kept_price double",
+    )
+
+
+@query("q_ext_assign_global_ids", oracle=None)
+def assign_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext: DENSE GLOBAL ID ASSIGNMENT without a global sort — the
+    DataFrame form of zipWithIndex: count rows per partition, prefix-sum
+    the per-partition counts driver-side (one tiny list), and add each
+    row's local index to its partition's offset.  The id-assignment
+    primitive behind vocab building, surrogate keys, and row addressing.
+
+    Rows-only by contract (ids depend on physical partition layout — any
+    dense permutation is valid); the VALIDATED properties are what matter
+    and the output proves them: n_rows distinct ids, min 0, max n-1.
+    tests/test_pipeline_ops.py asserts all three.  At 100 TB this is one
+    narrow count pass + a map-side expression — contrast row_number over
+    a global window (single task) or monotonically_increasing_id (sparse,
+    not dense)."""
+    from pyspark.sql.functions import spark_partition_id
+
+    # pin the partition id as a COLUMN at scan time: spark_partition_id()
+    # re-evaluates per stage, so referencing it after the window's shuffle
+    # would read the post-exchange ids (a correctness bug the sf0.1 check
+    # caught — post-shuffle pids aren't in the offset map)
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select("l_orderkey", "l_linenumber")
+        .withColumn("pid", spark_partition_id())
+    )
+    counts = li.groupBy("pid").count().orderBy("pid").collect()
+    # one row per partition — driver-side prefix sum over a tiny list
+    offsets = {}
+    acc = 0
+    for r in counts:
+        offsets[r["pid"]] = acc
+        acc += r["count"]
+    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    w = Window.partitionBy("pid").orderBy("l_orderkey", "l_linenumber")
+    ids = li.withColumn(
+        "gid",
+        (omap[F.col("pid")] + F.row_number().over(w) - 1).cast("bigint"),
+    )
+    return ids.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("gid").cast("bigint").alias("n_distinct_ids"),
+        F.min("gid").cast("bigint").alias("min_id"),
+        F.max("gid").cast("bigint").alias("max_id"),
     )

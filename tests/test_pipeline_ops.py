@@ -314,3 +314,12 @@ def test_dynamic_overwrite_preserves_other_partitions(spark, sf_dir):
     }
     assert got["R"] == 0.0
     assert got["A"] == src["A"] and got["N"] == src["N"]
+
+
+def test_global_ids_dense_and_unique(spark, sf_dir):
+    from spark_multiboost_spark.registry import all_queries
+
+    r = all_queries()["q_ext_assign_global_ids"].fn(spark, sf_dir).collect()[0]
+    assert r["n_rows"] == r["n_distinct_ids"]
+    assert r["min_id"] == 0
+    assert r["max_id"] == r["n_rows"] - 1
