@@ -109,3 +109,45 @@ def test_seq_matmul_bit_identical_to_scalar_loop(b, q, d, seed):
         for k in range(d):
             acc = acc + C[i, k] * C[i, k]
         assert n[i] == acc
+
+
+def test_priority_window_names_all_registered():
+    # _PRIORITY names not in the registry are silently ignored — a typo
+    # would silently drop a query from the driver's correctness window.
+    from spark_multiboost_spark.registry import _PRIORITY, all_queries
+
+    registered = set(all_queries())
+    missing = [n for n in _PRIORITY if n not in registered]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
+
+
+def test_join_strategy_independence(spark, sf_dir):
+    # the same join must return identical rows under broadcast, sort-merge,
+    # and shuffle-hash strategies — the planner may pick any of them at
+    # scale, so results must not depend on the choice
+    import pyspark.sql.functions as F
+
+    from spark_multiboost_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select("l_orderkey", "l_quantity")
+    o = t["orders"].select("o_orderkey", "o_orderpriority")
+
+    def run(hint):
+        j = li.join(o.hint(hint), F.col("l_orderkey") == F.col("o_orderkey"))
+        return sorted(
+            map(
+                str,
+                j.groupBy("o_orderpriority")
+                .agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+                    .cast("double")
+                    .alias("q"),
+                )
+                .collect(),
+            )
+        )
+
+    res = {h: run(h) for h in ("broadcast", "merge", "shuffle_hash")}
+    assert res["broadcast"] == res["merge"] == res["shuffle_hash"]
