@@ -2398,3 +2398,153 @@ def analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s")
     )
     return stacked.select("s.*").orderBy("col")
+
+
+def _hilbert_step_exprs(i: int, s: int, n: int = 256) -> tuple[str, str, str]:
+    """One unrolled Hilbert xy2d step as THREE shared-dialect SQL exprs
+    (hx{i},hy{i},hd{i} -> hx{i+1},hy{i+1},hd{i+1}).  The quadrant code
+    (3·rx) XOR ry is replaced by the xor-free identity 3·rx + ry − 2·rx·ry
+    (equal on {0,1}²), so the identical string runs in Spark and DuckDB.
+    Unrolled on purpose: DuckDB's list_reduce evaluates struct-lambda
+    folds differently from the loop semantics — chained plain columns are
+    bit-identical by construction."""
+    rx = f"(CASE WHEN (hx{i} & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (hy{i} & {s}) > 0 THEN 1 ELSE 0 END)"
+    hd = f"hd{i} + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry})"
+    hx = (
+        f"CASE WHEN {ry} = 0 THEN "
+        f"(CASE WHEN {rx} = 1 THEN {n - 1} - hy{i} ELSE hy{i} END) "
+        f"ELSE hx{i} END"
+    )
+    hy = (
+        f"CASE WHEN {ry} = 0 THEN "
+        f"(CASE WHEN {rx} = 1 THEN {n - 1} - hx{i} ELSE hx{i} END) "
+        f"ELSE hy{i} END"
+    )
+    return hx, hy, hd
+
+
+_HILBERT_STEPS = [(i, 1 << (7 - i)) for i in range(8)]  # s = 128 .. 1
+
+
+def _hilbert_oracle_chain(src_select: str) -> str:
+    """Nested derived tables computing hd8 (the Hilbert index) from hx0/hy0."""
+    q = src_select
+    for i, s in _HILBERT_STEPS:
+        hx, hy, hd = _hilbert_step_exprs(i, s)
+        q = (
+            f"SELECT xk, yk, {hx} AS hx{i + 1}, {hy} AS hy{i + 1}, "
+            f"{hd} AS hd{i + 1} FROM ({q}) t{i}"
+        )
+    return q
+
+
+@query(
+    "q_ext_hilbert_layout",
+    oracle=f"""
+WITH hil AS (
+  SELECT xk, yk, hd8 AS k FROM (
+    {_hilbert_oracle_chain(
+        "SELECT " + _Z_X + " AS xk, " + _Z_Y + " AS yk, "
+        + _Z_X + " AS hx0, " + _Z_Y + " AS hy0, CAST(0 AS BIGINT) AS hd0 "
+        "FROM orders")}
+  ) hh
+), zor AS (
+  SELECT {_Z_X} AS xk, {_Z_Y} AS yk,
+         CAST({_morton_sql(_Z_X, _Z_Y)} AS BIGINT) AS k
+  FROM orders
+), lin AS (
+  SELECT {_Z_X} AS xk, {_Z_Y} AS yk,
+         CAST({_Z_X} * 256 + {_Z_Y} AS BIGINT) AS k
+  FROM orders
+), cells AS (
+  SELECT 'hilbert' AS layout, xk, yk, k FROM (SELECT DISTINCT xk, yk, k FROM hil) a
+  UNION ALL
+  SELECT 'zorder', xk, yk, k FROM (SELECT DISTINCT xk, yk, k FROM zor) b
+  UNION ALL
+  SELECT 'rowmajor', xk, yk, k FROM (SELECT DISTINCT xk, yk, k FROM lin) c
+), steps AS (
+  SELECT layout,
+         ABS(xk - LAG(xk) OVER w) + ABS(yk - LAG(yk) OVER w) AS jump
+  FROM cells
+  WINDOW w AS (PARTITION BY layout ORDER BY k)
+)
+SELECT layout, CAST(COUNT(jump) AS BIGINT) AS n_steps,
+       FLOOR(CAST(SUM(CAST(jump AS DECIMAL(18,6))) AS DOUBLE) / COUNT(jump)
+             * 1e6 + 0.5) / 1e6 AS avg_jump,
+       CAST(MAX(jump) AS BIGINT) AS max_jump
+FROM steps GROUP BY layout ORDER BY layout
+""",
+    group="E",
+)
+def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E (ext): HILBERT-CURVE clustering vs Z-order vs row-major — the
+    data-layout bake-off.  Metric: walk each curve in key order over the
+    DISTINCT grid cells present and measure the Manhattan jump between
+    consecutive cells — Hilbert's defining property is unit steps (avg =
+    max = 1 on a dense grid), Z-order takes power-of-two diagonal leaps
+    at tile boundaries, row-major pays a 255-step carriage return per
+    row.  (Aligned-bucket bounding boxes — the first metric tried —
+    saturate identically for both curves; the jump walk is what actually
+    separates them, and it bounds worst-case file spread for range
+    predicates.)  The per-layout walk window is bounded by the 2^16 grid,
+    never by data volume.
+
+    Mechanics: the xy2d fold is unrolled into 8 chained column steps of
+    shared-dialect arithmetic (see _hilbert_step_exprs for why not a
+    lambda fold), so the oracle runs the IDENTICAL integer math.  Scale:
+    all three indexes are map-side expressions; one aggregation per
+    layout over ≤16 buckets."""
+    o = load_tables(spark, sf_dir)["orders"]
+    hil = o.selectExpr(
+        f"{_Z_X} AS xk",
+        f"{_Z_Y_SPARK} AS yk",
+        f"{_Z_X} AS hx0",
+        f"{_Z_Y_SPARK} AS hy0",
+        "CAST(0 AS BIGINT) AS hd0",
+    )
+    for i, s in _HILBERT_STEPS:
+        hx, hy, hd = _hilbert_step_exprs(i, s)
+        hil = hil.selectExpr(
+            "xk", "yk",
+            f"{hx} AS hx{i + 1}", f"{hy} AS hy{i + 1}", f"{hd} AS hd{i + 1}",
+        )
+    hil = hil.selectExpr("xk", "yk", "hd8 AS k").withColumn(
+        "layout", F.lit("hilbert")
+    )
+    zor = o.selectExpr(
+        f"{_Z_X} AS xk", f"{_Z_Y_SPARK} AS yk",
+        f"CAST({_morton_sql(_Z_X, _Z_Y_SPARK)} AS BIGINT) AS k",
+    ).withColumn("layout", F.lit("zorder"))
+    lin = o.selectExpr(
+        f"{_Z_X} AS xk", f"{_Z_Y_SPARK} AS yk",
+        f"CAST({_Z_X} * 256 + {_Z_Y_SPARK} AS BIGINT) AS k",
+    ).withColumn("layout", F.lit("rowmajor"))
+    allk = (
+        hil.distinct().unionByName(zor.distinct()).unionByName(lin.distinct())
+    )
+    w = Window.partitionBy("layout").orderBy("k")
+    steps = allk.select(
+        "layout",
+        (
+            F.abs(F.col("xk") - F.lag("xk").over(w))
+            + F.abs(F.col("yk") - F.lag("yk").over(w))
+        ).alias("jump"),
+    )
+    return (
+        steps.groupBy("layout")
+        .agg(
+            F.count("jump").cast("bigint").alias("n_steps"),
+            (
+                F.floor(
+                    F.sum(F.col("jump").cast("decimal(18,6)")).cast("double")
+                    / F.count("jump")
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("avg_jump"),
+            F.max("jump").cast("bigint").alias("max_jump"),
+        )
+        .orderBy("layout")
+    )
