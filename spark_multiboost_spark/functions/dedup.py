@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.parity import bcount
 from ..registry import query
 from ..session import load_tables
 
@@ -982,4 +983,137 @@ def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clean_hash"),
         )
         .orderBy("doc_id")
+    )
+
+
+BAND_SWEEP = [(2, 4), (4, 2), (8, 1)]  # (n_bands, band_width), 8 hashes
+
+
+def _band_cte_sql(n_bands: int, width: int) -> str:
+    """One banding's candidate-pair CTE body (shared 8-hash signatures)."""
+    bands = ", ".join(f"({b})" for b in range(n_bands))
+    concat = lambda base: "CONCAT(" + ", ".join(
+        f"sig[{width} * b.band + {j + 1}]" for j in range(width)
+    ) + ")"
+    return f"""
+  SELECT DISTINCT {n_bands} AS bands, a.doc_id AS doc_a, x.doc_id AS doc_b
+  FROM (SELECT doc_id, b.band, MD5({concat('')}) AS band_hash
+        FROM sig CROSS JOIN (VALUES {bands}) AS b(band)) a
+  JOIN (SELECT doc_id, b.band, MD5({concat('')}) AS band_hash
+        FROM sig CROSS JOIN (VALUES {bands}) AS b(band)) x
+    ON a.band = x.band AND a.band_hash = x.band_hash AND a.doc_id < x.doc_id
+"""
+
+
+_SWEEP_ORACLE = (
+    "WITH _x AS (SELECT 1)"
+    + _SHINGLE_SQL
+    + f"""
+, sig AS (
+  SELECT doc_id, shingles, {_SIG_SQL} AS sig FROM sh
+), cand AS (
+{" UNION ALL ".join(_band_cte_sql(b, w) for b, w in BAND_SWEEP)}
+), verified AS (
+  SELECT c.bands,
+         CASE WHEN CAST(LEN(LIST_INTERSECT(sa.shingles, sb.shingles)) AS DOUBLE)
+              / (LEN(sa.shingles) + LEN(sb.shingles)
+                 - LEN(LIST_INTERSECT(sa.shingles, sb.shingles)))
+              >= {_JACCARD_THRESHOLD} THEN 1 ELSE 0 END AS is_true
+  FROM cand c
+  JOIN sh sa ON c.doc_a = sa.doc_id
+  JOIN sh sb ON c.doc_b = sb.doc_id
+)
+SELECT CAST(bands AS BIGINT) AS bands,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(is_true) AS BIGINT) AS n_true,
+       FLOOR(CAST(SUM(is_true) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+         AS precision
+FROM verified GROUP BY bands ORDER BY bands
+"""
+)
+
+
+@query("q_d2_lsh_band_sweep", oracle=_SWEEP_ORACLE, group="D")
+def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 (cont.): the LSH TUNING CURVE — candidate volume and precision at
+    three bandings of the SAME 8-hash MinHash signature (2x4: strict, few
+    candidates; 4x2: the production default here; 8x1: loose, recall-
+    chasing).  The (bands, width) choice is THE dedup knob — the S-curve
+    P(candidate) = 1-(1-J^w)^b — and this table is how you pick it before
+    burning a cluster pass.
+
+    Plan shape: signatures computed ONCE (persisted narrow table); each
+    banding adds only an equi-join on its band hash (never all-pairs);
+    verification joins shingles back for the union of candidates in one
+    pass.  Per-banding work is the same one-shuffle LSH shape as
+    q_d2_minhash_lsh."""
+    d = load_tables(spark, sf_dir)["documents"]
+    sh = _shingled(d).persist()
+    sig = sh.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+            lambda k: F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s: F.md5(F.concat(k.cast("string"), F.lit(":"), s)),
+                )
+            ),
+        ).alias("sig"),
+    ).persist()
+    cands = None
+    for n_bands, width in BAND_SWEEP:
+        buckets = sig.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+            "sig",
+        ).select(
+            "doc_id",
+            "band",
+            F.md5(
+                F.concat(
+                    *[
+                        F.element_at("sig", F.col("band") * width + j + 1)
+                        for j in range(width)
+                    ]
+                )
+            ).alias("band_hash"),
+        )
+        a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+        b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
+        pairs = (
+            a.join(b, ["band", "band_hash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .withColumn("bands", F.lit(n_bands))
+        )
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))
+    verified = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "bands",
+            F.when(inter / union >= _JACCARD_THRESHOLD, 1).otherwise(0).alias(
+                "is_true"
+            ),
+        )
+    )
+    return (
+        verified.groupBy(F.col("bands").cast("bigint").alias("bands"))
+        .agg(
+            bcount().alias("n_candidates"),
+            F.sum("is_true").cast("bigint").alias("n_true"),
+            (
+                F.floor(
+                    F.sum("is_true").cast("double") / F.count(F.lit(1)) * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("precision"),
+        )
+        .orderBy("bands")
     )
