@@ -1117,3 +1117,94 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bands")
     )
+
+
+_CONTAIN_THRESHOLD = 0.8
+
+_CONTAIN_ORACLE = (
+    "WITH _x AS (SELECT 1)"
+    + _SHINGLE_SQL
+    + f"""
+, sig AS (
+  SELECT doc_id, shingles, {_SIG_SQL} AS sig FROM sh
+), buckets AS (
+  SELECT doc_id, shingles, b.band,
+         MD5(CONCAT(sig[2 * b.band + 1], sig[2 * b.band + 2])) AS band_hash
+  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b,
+         a.shingles AS sa, x.shingles AS sb
+  FROM buckets a JOIN buckets x
+    ON a.band = x.band AND a.band_hash = x.band_hash
+   AND a.doc_id <> x.doc_id
+)
+SELECT doc_a, doc_b,
+       FLOOR(CAST(LEN(LIST_INTERSECT(sa, sb)) AS DOUBLE) / LEN(sa) * 1e6 + 0.5)
+         / 1e6 AS containment
+FROM cand
+WHERE CAST(LEN(LIST_INTERSECT(sa, sb)) AS DOUBLE) / LEN(sa)
+      >= {_CONTAIN_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+)
+
+
+@query("q_d2_containment", oracle=_CONTAIN_ORACLE, group="D")
+def containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 (cont.): ASYMMETRIC containment near-dup — C(a→b) = |A∩B| / |A|,
+    the "document a is mostly inside document b" relation Jaccard misses
+    (a short quote inside a long page has tiny Jaccard but containment
+    ≈ 1).  Pairs are ORDERED (a→b and b→a differ), so candidates keep both
+    directions of each LSH bucket collision.
+
+    Same banded candidate generation as q_d2_minhash_lsh (one band-hash
+    equi-join, never all-pairs); only the verifier changes.  This is the
+    dedup relation used for quote/boilerplate containment filtering."""
+    d = load_tables(spark, sf_dir)["documents"]
+    sh = _shingled(d).persist()
+    sig = sh.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+            lambda k: F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s: F.md5(F.concat(k.cast("string"), F.lit(":"), s)),
+                )
+            ),
+        ).alias("sig"),
+    )
+    buckets = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
+        "sig",
+    ).select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.concat(
+                F.element_at("sig", F.col("band") * 2 + 1),
+                F.element_at("sig", F.col("band") * 2 + 2),
+            )
+        ).alias("band_hash"),
+    )
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")), "doc_b")
+    )
+    cont = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size("sa")
+    return (
+        cand.filter(cont >= _CONTAIN_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(cont * 1e6 + 0.5) / 1e6).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

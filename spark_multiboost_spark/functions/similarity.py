@@ -1129,3 +1129,74 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+_BALANCE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+), cent AS (
+  SELECT vec_id AS cent_id, embedding AS cent_emb FROM e WHERE vec_id < {N_CELLS}
+), assign AS (
+  SELECT vec_id, cent_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY list_distance(embedding, cent_emb), cent_id) AS cell_rank
+  FROM e CROSS JOIN cent
+), sizes AS (
+  SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM assign WHERE cell_rank = 1 GROUP BY cent_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(MIN(n) AS BIGINT) AS min_cell,
+       CAST(MAX(n) AS BIGINT) AS max_cell,
+       FLOOR(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n) * 1e6 + 0.5) / 1e6
+         AS imbalance
+FROM sizes
+"""
+
+
+@query("q_d3_ivf_cell_balance", oracle=_BALANCE_ORACLE, group="D")
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): IVF LIST-BALANCE gauge — cell-size min/max and the
+    imbalance factor max/avg.  Probe latency at scale is governed by the
+    LARGEST inverted list a query touches (stragglers), so this number —
+    not recall — is what forces re-training or list splitting in
+    production ANN serving.  Assignment reuses the zero-shuffle expression
+    argmin; the report is two narrow aggregates."""
+    from ..functions.vector import l2_distance
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cent_df = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    cbrow = F.broadcast(
+        cent_df.groupBy().agg(
+            F.collect_list(F.struct("cent_id", "cent_emb")).alias("cents")
+        )
+    )
+    scored = F.transform(
+        "cents",
+        lambda c: F.struct(
+            l2_distance(F.col("embedding"), c["cent_emb"]).alias("dist"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    sizes = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(cbrow)
+        .withColumn("cent_id", F.array_min(scored)["cent_id"])
+        .groupBy("cent_id")
+        .agg(bcount().alias("n"))
+    )
+    return sizes.agg(
+        bcount().alias("n_cells"),
+        F.min("n").cast("bigint").alias("min_cell"),
+        F.max("n").cast("bigint").alias("max_cell"),
+        (
+            F.floor(
+                F.max("n").cast("double") * F.count(F.lit(1)) / F.sum("n") * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("imbalance"),
+    )

@@ -274,3 +274,48 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_b05_null_safe_join",
+    oracle="""
+WITH a AS (
+  SELECT c_custkey, NULLIF(c_nationkey % 5, 0) AS grp FROM customer
+), b AS (
+  SELECT NULLIF(n_nationkey % 5, 0) AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n_nations
+  FROM nation GROUP BY 1
+)
+SELECT a.grp, CAST(COUNT(*) AS BIGINT) AS n_customers, MAX(b.n_nations) AS n_nations
+FROM a JOIN b ON a.grp IS NOT DISTINCT FROM b.grp
+GROUP BY a.grp ORDER BY a.grp NULLS FIRST
+""",
+    group="B",
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 (cont.): NULL-SAFE equality join (<=> / IS NOT DISTINCT FROM) —
+    plain '=' silently drops every NULL-keyed row (NULL = NULL is NULL);
+    the null-safe operator matches NULL to NULL, the semantics CDC merges
+    and late-typed dimensions actually need.  Spark hashes null-safe keys
+    like any other equi-key, so the plan is still a hash join — not the
+    nested-loop fallback a naive `a = b OR (a IS NULL AND b IS NULL)`
+    predicate would get."""
+    t = load_tables(spark, sf_dir)
+    a = t["customer"].select(
+        "c_custkey", F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("grp")
+    )
+    b = (
+        t["nation"]
+        .select(F.nullif(F.col("n_nationkey") % 5, F.lit(0)).alias("grp"))
+        .groupBy("grp")
+        .agg(bcount().alias("n_nations"))
+    )
+    return (
+        a.join(F.broadcast(b), a["grp"].eqNullSafe(b["grp"]))
+        .groupBy(a["grp"].alias("grp"))
+        .agg(
+            bcount().alias("n_customers"),
+            F.max("n_nations").alias("n_nations"),
+        )
+        .orderBy(F.col("grp").asc_nulls_first())
+    )
