@@ -1114,3 +1114,166 @@ def calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_a2_multilabel_weight_init",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings
+), labelsets AS (
+  -- TRUE multi-label targets: every example carries its primary label,
+  -- even vec_ids additionally carry (label+3) mod K — the deterministic
+  -- stand-in for the reference's Y ⊆ {{0..K-1}} label SETS
+  SELECT vec_id, label AS l1,
+         CASE WHEN vec_id % 2 = 0 THEN (label + 3) % {K} ELSE -1 END AS l2
+  FROM e
+), mlp AS (
+  SELECT ls.vec_id AS id, g.class,
+         CASE WHEN g.class = ls.l1 OR g.class = ls.l2 THEN 1 ELSE -1 END AS y
+  FROM labelsets ls
+  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {K - 1})) AS class) g
+), mm AS (SELECT COUNT(*) AS m FROM e)
+SELECT mlp.id, mlp.class, mlp.y,
+       ROUND(CAST(1.0 AS DOUBLE) / (mm.m * {K}), 9) AS weight,
+       CAST(SUM(CASE WHEN mlp.y = 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY mlp.id) AS BIGINT) AS labelset_size
+FROM mlp, mm
+ORDER BY id, class
+""",
+    group="A",
+)
+def multilabel_weight_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (cont.): weight init over TRUE MULTI-LABEL targets — the
+    reference's actual data model is Y ⊆ {0..K-1} label SETS (AdaBoost.MH
+    lifts each example to K (example, label) pairs with y(i,l) = +1 iff
+    l ∈ Y_i), while the fixture carries one label per row.  Here every
+    even vec_id deterministically gains a second label (label+3 mod K),
+    exercising the |Y_i| > 1 path: the lift, the ±1 targets, and the
+    uniform D₁ = 1/(mK) are all identical machinery — boosting never
+    assumes singleton label sets.  labelset_size surfaces per example so
+    the oracle hash proves the two-label rows exist.
+
+    Plan: the lift is a map-side explode over the broadcast class range;
+    one window partitioned by id for the set-size audit."""
+    emb = _emb(spark, sf_dir)
+    ls = emb.select(
+        "vec_id",
+        F.col("label").alias("l1"),
+        F.when(F.col("vec_id") % 2 == 0, (F.col("label") + 3) % K)
+        .otherwise(-1)
+        .alias("l2"),
+    )
+    mlp = ls.select(
+        F.col("vec_id").alias("id"),
+        F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("class"),
+        "l1",
+        "l2",
+    ).select(
+        "id",
+        "class",
+        F.when(
+            (F.col("class") == F.col("l1")) | (F.col("class") == F.col("l2")), 1
+        )
+        .otherwise(-1)
+        .alias("y"),
+    )
+    m = emb.count()
+    w = Window.partitionBy("id")
+    return (
+        mlp.withColumn("weight", F.round(F.lit(1.0) / (m * K), 9))
+        .withColumn(
+            "labelset_size",
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0)).over(w).cast("bigint"),
+        )
+        .orderBy("id", "class")
+    )
+
+
+@query(
+    "q_a5_multilabel_stump_z",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings
+), labelsets AS (
+  SELECT vec_id, label AS l1,
+         CASE WHEN vec_id % 2 = 0 THEN (label + 3) % {K} ELSE -1 END AS l2
+  FROM e
+), mlp AS (
+  SELECT ls.vec_id AS id, g.class,
+         CASE WHEN g.class = ls.l1 OR g.class = ls.l2 THEN 1 ELSE -1 END AS y
+  FROM labelsets ls
+  CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {K - 1})) AS class) g
+), mm AS (SELECT COUNT(*) AS m FROM e
+), w AS (
+  SELECT mlp.id, mlp.class, mlp.y, CAST(1.0 AS DOUBLE) / (mm.m * {K}) AS weight
+  FROM mlp, mm
+), feats AS (
+  SELECT vec_id AS id, j.feature, embedding[j.feature] AS value
+  FROM e CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {D})) AS feature) j
+), grouped AS (
+  SELECT f.feature, f.value, w.class,
+         SUM(CASE WHEN w.y = 1 THEN w.weight ELSE 0 END) AS swp,
+         SUM(CASE WHEN w.y = -1 THEN w.weight ELSE 0 END) AS swm
+  FROM feats f JOIN w ON f.id = w.id
+  WHERE f.feature <= 4
+  GROUP BY f.feature, f.value, w.class
+), cum AS (
+  SELECT feature, value AS threshold, class,
+         SUM(swp) OVER (PARTITION BY feature, class ORDER BY value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_plus,
+         SUM(swm) OVER (PARTITION BY feature, class ORDER BY value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_minus,
+         SUM(swp) OVER (PARTITION BY feature, class) AS t_plus,
+         SUM(swm) OVER (PARTITION BY feature, class) AS t_minus
+  FROM grouped
+), cw AS (
+  SELECT feature, threshold, class,
+         t_plus - p_plus + p_minus AS w_plus,
+         t_minus - p_minus + p_plus AS w_minus
+  FROM cum
+)
+SELECT feature, threshold,
+       ROUND(2.0 * SUM(SQRT(w_plus * w_minus)), 9) AS z
+FROM cw GROUP BY feature, threshold
+""",
+    group="A",
+)
+def multilabel_stump_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (cont.): the Z-criterion over TRUE MULTI-LABEL weights — stump
+    search on the |Y_i| ∈ {1,2} label sets of q_a2_multilabel_weight_init,
+    via the GENERAL weighted path (stump_class_weights + stump_z), not the
+    single-label fused shortcut.  Proves the reference's actual multi-label
+    contract end-to-end: nothing in the candidate/prefix/Z machinery
+    assumes singleton labels; only the y(i,l) table changes.
+
+    Same plan shape as A5: one (feature,class)-partitioned prefix window
+    over the pre-aggregated candidate weights."""
+    emb = _emb(spark, sf_dir)
+    ls = emb.select(
+        "vec_id",
+        F.col("label").alias("l1"),
+        F.when(F.col("vec_id") % 2 == 0, (F.col("label") + 3) % K)
+        .otherwise(-1)
+        .alias("l2"),
+    )
+    mlp = ls.select(
+        F.col("vec_id").alias("id"),
+        F.explode(F.sequence(F.lit(0), F.lit(K - 1))).alias("class"),
+        "l1",
+        "l2",
+    ).select(
+        "id",
+        "class",
+        F.when(
+            (F.col("class") == F.col("l1")) | (F.col("class") == F.col("l2")), 1
+        )
+        .otherwise(-1)
+        .alias("y"),
+    )
+    weighted = boosting.init_weights(mlp, emb.count(), K)
+    feats = boosting.explode_features(emb).filter(F.col("feature") <= 4)
+    cw = boosting.stump_class_weights(weighted, feats)
+    return boosting.stump_z(cw).select(
+        "feature", "threshold", F.round("z", 9).alias("z")
+    )
