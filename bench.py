@@ -67,6 +67,10 @@ SHOWCASE = [
     "q_d2_segment_dedup",
     "q_d5_bigram_lm_ppl",
     "q_d4_length_batching",
+    # round-5 tuning gauges (sweeps/curves — heavier by design)
+    "q_d3_ivf_nprobe_sweep",
+    "q_d2_lsh_band_sweep",
+    "q_ext_hilbert_layout",
 ]
 
 

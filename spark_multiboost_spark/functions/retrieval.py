@@ -547,3 +547,83 @@ def bm25_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("bm25").desc(), "doc_id")
     )
+
+
+PRF_DOCS = 5  # feedback depth
+PRF_TERMS = 10  # expansion terms returned
+
+
+@query(
+    "q_d3_query_expansion",
+    oracle=f"""
+WITH doclen AS (
+  SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+), corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM doclen
+), toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE token IN {_TERMS_SQL}
+  GROUP BY doc_id, token
+), df AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+), scored AS (
+  SELECT tf.doc_id,
+         LN(1 + (corpus.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({BM25_K1} + 1))
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * doclen.dl / corpus.avgdl))
+           AS s
+  FROM tf
+  JOIN df ON tf.token = df.token
+  JOIN doclen ON tf.doc_id = doclen.doc_id
+  CROSS JOIN corpus
+), fb AS (
+  SELECT doc_id, {dsum_sql('s')} AS bm25
+  FROM scored GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id LIMIT {PRF_DOCS}
+), cand AS (
+  SELECT t.token,
+         CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS fb_df,
+         CAST(COUNT(*) AS BIGINT) AS fb_tf
+  FROM toks t JOIN fb ON t.doc_id = fb.doc_id
+  WHERE t.token NOT IN {_TERMS_SQL}
+  GROUP BY t.token
+)
+SELECT token, fb_df, fb_tf
+FROM cand
+ORDER BY fb_df DESC, fb_tf DESC, token LIMIT {PRF_TERMS}
+""",
+    group="D",
+)
+def query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): PSEUDO-RELEVANCE-FEEDBACK query expansion (RM3 shape) —
+    take the BM25 top-{PRF_DOCS} as assumed-relevant feedback, rank their
+    terms by feedback document/term frequency (original query terms
+    excluded), emit the top-{PRF_TERMS} expansion candidates.  The second
+    retrieval pass with these terms is the classic recall lever when the
+    user's query vocabulary misses the corpus's.
+
+    Plan: the feedback set is {PRF_DOCS} ids broadcast into a semi-join on
+    the token stream — candidate mining touches only feedback docs'
+    tokens; the ranking is a TakeOrderedAndProject over the tiny candidate
+    table."""
+    d = load_tables(spark, sf_dir)["documents"]
+    fb = bm25_topk(spark, sf_dir).limit(PRF_DOCS).select("doc_id")
+    terms = F.array(*[F.lit(t) for t in BM25_TERMS])
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    cand = (
+        toks.join(F.broadcast(fb), "doc_id")
+        .filter(~F.array_contains(terms, F.col("token")))
+        .groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("fb_df"),
+            bcount().alias("fb_tf"),
+        )
+    )
+    return cand.orderBy(
+        F.col("fb_df").desc(), F.col("fb_tf").desc(), "token"
+    ).limit(PRF_TERMS)

@@ -1345,3 +1345,86 @@ def interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("global_pos", "doc_id", "source", "intra")
         .orderBy("global_pos")
     )
+
+
+QUALITY_GATE_Q = 0.7  # keep docs above the 70th percentile of quality
+
+_QSCORE_SQL = """
+  SELECT doc_id, lang,
+         LEAST(LEN(toks) / 100.0, 1.0) * 0.4
+         + CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) * 0.4
+         + LEAST(CAST(LEN(LIST_FILTER(toks, t -> LIST_CONTAINS({stop}, t)))
+                      AS DOUBLE) / LEN(toks) * 5.0, 1.0) * 0.2 AS s
+  FROM (SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS toks FROM documents)
+  WHERE LEN(toks) > 0
+""".format(stop=_STOP_SQL)
+
+
+@query(
+    "q_d5_quality_gate",
+    oracle=f"""
+WITH scored AS ({_QSCORE_SQL}),
+thr AS (SELECT QUANTILE_CONT(s, {QUALITY_GATE_Q}) AS t FROM scored)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s > thr.t THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       FLOOR(CAST(SUM(CASE WHEN s > thr.t THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) * 1e6 + 0.5) / 1e6 AS kept_ratio
+FROM scored CROSS JOIN thr
+GROUP BY lang ORDER BY lang
+""",
+    group="D",
+)
+def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): the QUALITY GATE as actually applied — keep documents
+    above the corpus's {QUALITY_GATE_Q:.0%} quality percentile and report
+    per-language survival.  q_d5_quality_score computes the signal; this is
+    the selection step, with the twist every production gate has: a
+    DATA-DEPENDENT threshold (percentile of the score distribution), not a
+    magic constant — so the gate is calibration-free across corpus drifts.
+
+    Plan: one exact-percentile aggregate (no row shuffle) broadcast back
+    as a scalar; the keep decision is a map-side comparison; one rollup.
+    The per-language KEPT ratios differing from {QUALITY_GATE_Q:.0%} is
+    the point — the gate shifts the language mix, which is why
+    q_d5_mix_weights-style rebalancing runs AFTER gating."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    s = (
+        F.least(F.size(toks) / 100.0, F.lit(1.0)) * 0.4
+        + F.size(F.array_distinct(toks)).cast("double") / F.size(toks) * 0.4
+        + F.least(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
+                "double"
+            )
+            / F.size(toks)
+            * 5.0,
+            F.lit(1.0),
+        )
+        * 0.2
+    )
+    scored = d.filter(F.size(toks) > 0).select("doc_id", "lang", s.alias("s"))
+    thr = scored.agg(F.expr(f"percentile(s, {QUALITY_GATE_Q})").alias("t"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("lang")
+        .agg(
+            bcount().alias("n_docs"),
+            F.sum(F.when(F.col("s") > F.col("t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            (
+                F.floor(
+                    F.sum(F.when(F.col("s") > F.col("t"), 1).otherwise(0)).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("kept_ratio"),
+        )
+        .orderBy("lang")
+    )

@@ -2548,3 +2548,69 @@ def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+@query(
+    "q_ext_cusum_changepoint",
+    oracle="""
+WITH gm AS (
+  SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu
+  FROM events
+), dev AS (
+  SELECT user_id, ts, event_id,
+         CAST(value - gm.mu AS DECIMAL(18,6)) AS d
+  FROM events CROSS JOIN gm
+), cs AS (
+  SELECT user_id,
+         ABS(CAST(SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE))
+           AS abs_cusum
+  FROM dev
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       FLOOR(MAX(abs_cusum) * 1e6 + 0.5) / 1e6 AS max_abs_cusum
+FROM cs GROUP BY user_id ORDER BY user_id
+""",
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext: CUSUM change-point signal — per user, the maximum absolute
+    cumulative deviation of event values from the corpus mean.  A mean
+    shift in a user's stream makes the cumulative sum drift monotonically,
+    so max|CUSUM| is the classic change-point test statistic (Page 1954);
+    flat streams hover near zero.
+
+    Float discipline: per-row deviations quantize to DECIMAL before the
+    running window sum (order-exact), the global mean comes from the
+    decimal path.  Scale: one user_id shuffle; the running frame is
+    UNBOUNDED PRECEDING but state is one accumulator per key."""
+    e = load_tables(spark, sf_dir)["events"]
+    gm = e.agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cs = (
+        e.crossJoin(F.broadcast(gm))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            (F.col("value") - F.col("mu")).cast("decimal(18,6)").alias("d"),
+        )
+        .select("user_id", F.abs(F.sum("d").over(w).cast("double")).alias("abs_cusum"))
+    )
+    return (
+        cs.groupBy("user_id")
+        .agg(
+            bcount().alias("n_events"),
+            (F.floor(F.max("abs_cusum") * 1e6 + 0.5) / 1e6).alias("max_abs_cusum"),
+        )
+        .orderBy("user_id")
+    )
