@@ -396,3 +396,77 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+AHASH_CHUNKS = 8  # 8-bit perceptual hash from 8 byte-chunks
+AHASH_CHUNK_LEN = 8
+
+
+def _ahash_exprs() -> tuple[str, str]:
+    """Shared-dialect SQL for the 8-bit average-hash over the payload's
+    first 64 bytes: bit i = (mean byte of chunk i) > (mean byte of all 64).
+    The payload IS UTF-8 text in the fixture, so per-byte access is
+    ASCII(SUBSTR(text, pos, 1)) in both engines; a real image aHash does
+    exactly this over downsampled pixels."""
+    chunk_means = []
+    for c in range(AHASH_CHUNKS):
+        terms = " + ".join(
+            f"ASCII(SUBSTR(text, {c * AHASH_CHUNK_LEN + j + 1}, 1))"
+            for j in range(AHASH_CHUNK_LEN)
+        )
+        chunk_means.append(f"(({terms}) / {AHASH_CHUNK_LEN}.0)")
+    total_mean = "((" + " + ".join(chunk_means) + f") / {AHASH_CHUNKS}.0)"
+    bits = " + ".join(
+        f"(CASE WHEN {chunk_means[c]} > {total_mean} THEN {1 << c} ELSE 0 END)"
+        for c in range(AHASH_CHUNKS)
+    )
+    return bits, total_mean
+
+
+_AHASH_BITS, _ = _ahash_exprs()
+
+_PHASH_ORACLE = f"""
+WITH hashed AS (
+  SELECT doc_id, CAST({_AHASH_BITS} AS BIGINT) AS ahash
+  FROM documents WHERE LENGTH(text) >= {AHASH_CHUNKS * AHASH_CHUNK_LEN}
+), pairs AS (
+  SELECT a.ahash, a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM hashed a JOIN hashed b
+    ON a.ahash = b.ahash AND a.doc_id < b.doc_id
+)
+SELECT CAST(ahash AS BIGINT) AS ahash,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(MIN(doc_a) AS BIGINT) AS first_doc
+FROM pairs GROUP BY ahash ORDER BY ahash
+"""
+
+
+@query("q_d6_phash_neardup", oracle=_PHASH_ORACLE, group="D")
+def phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 (cont.): PERCEPTUAL-HASH near-dup over binary payloads — the
+    image-dedup shape (aHash/pHash bucketing) on the fixture's stand-in
+    bytes: an 8-bit average-hash (chunk mean > global mean per bit) over
+    the first 64 payload bytes, exact-bucket pair counts per hash.  A
+    real pipeline swaps the byte window for downsampled pixels; the
+    bucket-join dedup topology is identical — and identical to D2's
+    SimHash path: hash is map-side, candidates come from ONE equi-join on
+    the hash, never all-pairs.
+
+    The shared-dialect ASCII/SUBSTR arithmetic makes the perceptual hash
+    itself oracle-checkable — both engines compute the same 8 bits."""
+    d = load_tables(spark, sf_dir)["documents"]
+    hashed = (
+        d.filter(F.length("text") >= AHASH_CHUNKS * AHASH_CHUNK_LEN)
+        .selectExpr("doc_id", f"CAST({_AHASH_BITS} AS BIGINT) AS ahash")
+    )
+    a = hashed.select(F.col("doc_id").alias("doc_a"), "ahash")
+    b = hashed.select(F.col("doc_id").alias("doc_b"), "ahash")
+    pairs = a.join(b, "ahash").filter(F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.groupBy(F.col("ahash").cast("bigint").alias("ahash"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.min("doc_a").cast("bigint").alias("first_doc"),
+        )
+        .orderBy("ahash")
+    )
