@@ -1428,3 +1428,68 @@ def quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+OOV_VOCAB = 25  # fixed vocabulary size for the coverage gauge
+
+
+@query(
+    "q_d4_oov_rate",
+    oracle=f"""
+WITH toks AS (
+  SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+), vocab AS (
+  SELECT token FROM toks GROUP BY token
+  ORDER BY COUNT(*) DESC, token LIMIT {OOV_VOCAB}
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       FLOOR(CAST(SUM(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS oov_rate
+FROM toks LEFT JOIN vocab ON toks.token = vocab.token
+GROUP BY lang ORDER BY lang
+""",
+    group="D",
+)
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): OUT-OF-VOCABULARY rate per language against a fixed
+    top-{OOV_VOCAB} vocabulary — the tokenizer-fit gauge: a vocabulary
+    trained on the majority language shows elevated OOV on the others,
+    which is exactly the signal that drives vocab-size and merge-budget
+    decisions (and byte-fallback rates) for multilingual tokenizers.
+
+    Plan: vocabulary by TakeOrderedAndProject, broadcast LEFT join marks
+    OOV tokens map-side, one rollup per language."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(OOV_VOCAB)
+        .select(F.col("token").alias("vtoken"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), toks["token"] == F.col("vtoken"), "left")
+        .groupBy("lang")
+        .agg(
+            bcount().alias("n_tokens"),
+            F.sum(F.when(F.col("vtoken").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            (
+                F.floor(
+                    F.sum(F.when(F.col("vtoken").isNull(), 1).otherwise(0)).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("oov_rate"),
+        )
+        .orderBy("lang")
+    )
