@@ -1493,3 +1493,145 @@ def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# explicit sampling seed — changing it re-draws every coin (and therefore the
+# whole sample) deterministically; both engines embed it in the same md5
+PRIORITY_SEED = "seed42"
+# priority = w * 2^24 / (coin + 1): integers up to n_chars * 2^24 < 2^53 are
+# exact doubles and one IEEE division is correctly rounded, so the priority is
+# bit-identical in Spark and DuckDB — no transcendental u^(1/w) needed
+_COIN_SQL = (
+    "("
+    + " + ".join(
+        f"(STRPOS('{_HEX}', SUBSTR(MD5('{PRIORITY_SEED}|' || CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) "
+        f"* {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    + ")"
+)
+
+
+@query(
+    "q_d5_priority_sample",
+    oracle=f"""
+WITH pri AS (
+  SELECT doc_id, source,
+         CAST(n_chars AS DOUBLE) * 16777216.0 / ({_COIN_SQL} + 1) AS priority
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, priority,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY priority DESC, doc_id
+         ) AS rk
+  FROM pri
+)
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk,
+       FLOOR(priority * 1e6 + 0.5) / 1e6 AS priority
+FROM ranked WHERE rk <= 5 ORDER BY source, rk
+""",
+    group="D",
+)
+def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): WEIGHTED per-group sampling with an explicit seed —
+    Duffield-Lund-Thorup priority sampling (top-k by priority w/u), the
+    size-biased companion to q_d5_stratified_sample's unweighted pick.
+    Long documents (weight = n_chars) are proportionally more likely to
+    win, which is how curation pipelines sample "representative bytes"
+    rather than representative doc counts.
+
+    Determinism without transcendentals: the classic Efraimidis-Spirakis
+    key u^(1/w) needs pow/log whose last-ulp behaviour differs across
+    engines; priority sampling's w/u key is ONE IEEE division of exact
+    integers (w·2^24 / (coin+1)), bit-identical everywhere.  The coin is
+    md5(seed|doc_id) — changing PRIORITY_SEED redraws the whole sample
+    reproducibly; reruns and backfills select the SAME documents.
+
+    Scale shape: the coin and priority are map-side scan expressions; the
+    per-source top-5 compiles to the WindowGroupLimit shape (each task
+    keeps its local top-5 per group before the shuffle), so the full
+    corpus never sorts."""
+    d = load_tables(spark, sf_dir)["documents"]
+    coin = None
+    for i in range(6):
+        digit = F.expr(
+            f"instr('{_HEX}', substring(md5('{PRIORITY_SEED}|' || cast(doc_id as string)), {i + 1}, 1)) - 1"
+        ) * (16 ** (5 - i))
+        coin = digit if coin is None else coin + digit
+    pri = F.col("n_chars").cast("double") * F.lit(16777216.0) / (coin + 1)
+    w = Window.partitionBy("source").orderBy(F.col("priority").desc(), "doc_id")
+    return (
+        d.select("doc_id", "source", pri.alias("priority"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "doc_id",
+            "source",
+            "rk",
+            (F.floor(F.col("priority") * 1e6 + 0.5) / 1e6).alias("priority"),
+        )
+        .orderBy("source", "rk")
+    )
+
+
+@query(
+    "q_d4_type_token_ratio",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, lang,
+         COUNT(*) AS n_tokens,
+         COUNT(DISTINCT token) AS n_types
+  FROM toks WHERE LENGTH(token) > 0
+  GROUP BY doc_id, lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       FLOOR(CAST(SUM(CAST(FLOOR(CAST(n_types AS DOUBLE) / n_tokens * 1e9 + 0.5) / 1e9 AS DECIMAL(18,9))) AS DOUBLE)
+             / COUNT(*) * 1e6 + 0.5) / 1e6 AS avg_ttr
+FROM per_doc GROUP BY lang ORDER BY lang
+""",
+    group="D",
+)
+def type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): lexical-diversity gauge — per-document type/token ratio
+    (distinct tokens / tokens), averaged per language.  Low TTR flags
+    repetitive machine-generated text; used alongside
+    q_d5_repetition_score as a cheap quality signal.
+
+    Cross-engine float discipline: each per-doc ratio is one IEEE division
+    (exact ints) quantized at 9dp, the per-language mean goes through the
+    decimal sum, and the output quantizes at 6dp — order-independent both
+    engines (the parity.py recipe for signed/small terms).
+
+    Scale shape: explode → (doc_id, token) hash-agg with map-side combine
+    (the same two-level shape as q_d4_token_tf), then a per-doc rollup and
+    a tiny per-language agg.  Nothing global, no window."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    per_doc = toks.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_types"),
+    )
+    ttr9 = (
+        F.floor(F.col("n_types").cast("double") / F.col("n_tokens") * 1e9 + 0.5) / 1e9
+    ).cast("decimal(18,9)")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            bcount().alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            (
+                F.floor(
+                    F.sum(ttr9).cast("double") / F.count(F.lit(1)) * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("avg_ttr"),
+        )
+        .orderBy("lang")
+    )

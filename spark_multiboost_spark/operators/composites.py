@@ -2614,3 +2614,321 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_comp_late_lines_by_flag",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 75 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    group="B",
+)
+def late_lines_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: the fixture has no l_shipmode/l_commitdate,
+    so l_returnflag plays ship mode and "late" means shipped >75 days after
+    the order date): fact-fact equi-join with a post-join theta predicate,
+    then conditional counts split by order priority.
+
+    100 TB notes: the year filter on l_shipdate is join-independent and
+    pushes to the lineitem scan (partition pruning on a shipdate-partitioned
+    lake); the lateness predicate references both sides so it evaluates
+    post-join, map-side, inside codegen.  Both fact tables shuffle once on
+    orderkey; the conditional counts are map-side combined into 3 groups."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 75 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_comp_dominant_suppliers",
+    oracle=f"""
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         {dsum_sql('l_quantity')} AS supp_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size < 10
+  GROUP BY l_partkey, l_suppkey
+), tot AS (
+  SELECT l_partkey, SUM(supp_qty) AS part_qty, COUNT(*) AS n_supp
+  FROM shipped GROUP BY l_partkey
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_dominated_parts
+FROM shipped sh
+JOIN tot t ON sh.l_partkey = t.l_partkey
+JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+WHERE t.n_supp > 1 AND sh.supp_qty * t.n_supp > 1.5 * t.part_qty
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY s.s_suppkey
+""",
+    group="B",
+)
+def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: no partsupp in the fixture, so "availqty >
+    half the shipped quantity" becomes "this supplier shipped more than
+    1.5× its fair share of a contested part's volume" — the fixture's
+    10-supplier round-robin never concentrates 50% on one supplier, and a
+    vacuous threshold would gut the check): the nested-IN decorrelation —
+    a correlated quantity threshold becomes agg → agg → join-back, then a
+    dim join to name the suppliers.
+
+    100 TB notes: one (partkey, suppkey) hash agg over the filtered fact
+    (map-side combined), the per-part total re-aggregates the ALREADY
+    REDUCED table (never a second corpus scan), the join-back is
+    reduced-vs-reduced on partkey, and the fair-share compare multiplies
+    decimal-exact doubles by the supplier count (no division) so the
+    cross-engine float boundary is identical IEEE ops both sides.
+    supplier broadcasts."""
+    t = load_tables(spark, sf_dir)
+    shipped = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_size") < 10)),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum("l_quantity").alias("supp_qty"))
+    )
+    tot = shipped.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("part_qty"), F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        shipped.join(tot.filter(F.col("n_supp") > 1), "l_partkey")
+        .filter(F.col("supp_qty") * F.col("n_supp") > 1.5 * F.col("part_qty"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(bcount().alias("n_dominated_parts"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q_comp_waiting_orders",
+    oracle="""
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+), per_order AS (
+  SELECT l_orderkey,
+         COUNT(*) AS n_supp,
+         SUM(is_late) AS n_late,
+         MAX(CASE WHEN is_late = 1 THEN l_suppkey END) AS late_supp
+  FROM per_supp GROUP BY l_orderkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_order po JOIN supplier s ON s.s_suppkey = po.late_supp
+WHERE po.n_supp > 1 AND po.n_late = 1
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY numwait DESC, s.s_suppkey
+""",
+    group="B",
+)
+def waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: "late" = shipped >90 days after order
+    date): suppliers who were the SOLE late supplier on a multi-supplier
+    finalized order.  The textbook form is EXISTS + NOT-EXISTS self-joins
+    on lineitem; at 100 TB two extra corpus-sized joins are the wrong
+    plan, so this uses the aggregate decorrelation — per-(order, supplier)
+    lateness flags, then per-order counts, then one filter.  Semantically
+    identical: "exists another supplier" ⇔ n_supp > 1; "not exists another
+    late supplier" ⇔ n_late = 1 (with this supplier late).
+
+    100 TB notes: ONE orderkey shuffle (join) feeds a (orderkey, suppkey)
+    hash agg that reuses the same partitioning, the per-order rollup
+    re-aggregates the reduced table, and the winner extraction
+    (MAX(CASE WHEN late THEN suppkey)) is exact because n_late = 1 rows
+    have a unique late supplier — no window needed.  supplier broadcasts;
+    the final count is over order-sized (not line-sized) rows."""
+    t = load_tables(spark, sf_dir)
+    per_supp = (
+        t["lineitem"]
+        .join(t["orders"].filter(F.col("o_orderstatus") == "F"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(t["supplier"]), F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(bcount().alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+    )
+
+
+def _pr_oracle(n_iter: int = 3) -> str:
+    """Unrolled PageRank oracle: each iteration quantizes per-edge
+    contributions at 9dp, decimal-sums them (order-independent), and
+    re-quantizes the damped rank at 9dp so both engines carry IDENTICAL
+    doubles into the next iteration."""
+    parts = [
+        """
+WITH pairs AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c_node,
+         's' || CAST(l_suppkey AS VARCHAR) AS s_node
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst FROM pairs
+), deg AS (
+  SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+), r0 AS (
+  SELECT src AS node, 1.0 AS r FROM deg
+)"""
+    ]
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", it{i} AS (
+  SELECT e.dst AS node,
+         FLOOR((0.15 + 0.85 * CAST(SUM(CAST(FLOOR(r.r / d.d * 1e9 + 0.5) / 1e9
+                 AS DECIMAL(18,9))) AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS r
+  FROM edges e
+  JOIN deg d ON e.src = d.src
+  JOIN {prev} r ON r.node = e.src
+  GROUP BY e.dst
+)"""
+        )
+        prev = f"it{i}"
+    parts.append(
+        f"""
+SELECT node, FLOOR(r * 1e6 + 0.5) / 1e6 AS rank_score
+FROM {prev}
+ORDER BY rank_score DESC, node
+LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@query("q_ext_pagerank", oracle=_pr_oracle(), group="B")
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph algorithm as unrolled DataFrame lineage: 3 PageRank
+    iterations (damping 0.85) over the bipartite customer↔supplier trade
+    graph (distinct order-line pairs, both directions so every node has
+    in- and out-edges — no dangling mass).  Top-20 hubs by rank.
+
+    This is the missing ITERATIVE category: each iteration is
+    join(ranks, edges on src) → per-dst sum — the textbook distributed PR
+    step.  The edge set builds ONCE and persists (3 iterations reuse it);
+    ranks are node-sized (≪ edge-sized) every round.
+
+    Determinism across engines AND iterations: per-edge contributions
+    quantize at 9dp then decimal-sum (order-independent), and the damped
+    rank re-quantizes at 9dp before feeding the next round — so both
+    engines iterate on bit-identical doubles and round-off can never
+    compound differently (the parity.py recipe applied to a fixpoint loop).
+
+    At 100 TB: ranks shuffle on src to meet the edge partitioning each
+    round — co-partitioning edges and ranks on src (bucketing) makes every
+    iteration's join shuffle-free on the big side; power-law hubs are the
+    skew case (salt the dst aggregation).  A real deployment caps lineage
+    with localCheckpoint every ~10 rounds (the CC op in
+    functions/dedup.py:454 shows that pattern); 3 unrolled rounds don't
+    need it."""
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionAll(
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edges_deg = edges.join(deg, "src").persist()
+    q9 = lambda c: F.floor(c * 1e9 + 0.5) / 1e9  # noqa: E731
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
+    for _ in range(3):
+        contrib = edges_deg.join(ranks, edges_deg["src"] == ranks["node"]).select(
+            F.col("dst"), q9(F.col("r") / F.col("d")).cast("decimal(18,9)").alias("c")
+        )
+        ranks = contrib.groupBy("dst").agg(
+            q9(F.lit(0.15) + F.lit(0.85) * F.sum("c").cast("double")).alias("r")
+        ).select(F.col("dst").alias("node"), "r")
+    return (
+        ranks.select(
+            "node", (F.floor(F.col("r") * 1e6 + 0.5) / 1e6).alias("rank_score")
+        )
+        .orderBy(F.col("rank_score").desc(), "node")
+        .limit(20)
+    )
+
+
+@query("q_ext_hll_error_gauge", oracle=None)
+def hll_error_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ext: sketch-accuracy gauge for approx_count_distinct (HyperLogLog++,
+    rsd 1%) vs exact COUNT(DISTINCT) over four key columns — the NDV
+    companion to q_ext_approx_quantile_gauge.  Rows-only by contract (HLL
+    register contents are engine- and layout-specific), but
+    tests/test_pipeline_ops.py asserts rel_err < 5·rsd per column.
+
+    At 100 TB the sketch IS the product: exact NDV is a full shuffle of the
+    key universe, HLL++ is a fixed 1.5 KB register set merged map-side —
+    the one-pass profile every ANALYZE/stats collector runs.  The gauge
+    exists so a register-merge regression (or an rsd misconfiguration)
+    fails CI with numbers, not vibes."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"]
+    aggs = []
+    for c in cols:
+        aggs.append(F.approx_count_distinct(c, rsd=0.01).alias(f"a_{c}"))
+        aggs.append(F.countDistinct(c).cast("bigint").alias(f"e_{c}"))
+    row = li.agg(*aggs)
+    out = row.select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(c) for c in cols]).alias("column"),
+                F.array(*[F.col(f"a_{c}").cast("double") for c in cols]).alias("approx_ndv"),
+                F.array(*[F.col(f"e_{c}").cast("double") for c in cols]).alias("exact_ndv"),
+            )
+        ).alias("r")
+    ).select(
+        F.col("r.column").alias("column"),
+        F.col("r.approx_ndv").cast("bigint").alias("approx_ndv"),
+        F.col("r.exact_ndv").cast("bigint").alias("exact_ndv"),
+        (F.abs(F.col("r.approx_ndv") - F.col("r.exact_ndv")) / F.col("r.exact_ndv")).alias("rel_err"),
+    )
+    return out.orderBy("column")

@@ -629,3 +629,62 @@ def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(u, v) for u, v in top], "user_id bigint, max_value double"
     )
+
+
+@query("q_c15_ingestion_metrics", oracle=None, group="C")
+def ingestion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15: INGESTION OBSERVABILITY — per-micro-batch arrival accounting
+    (row counts, distinct producers, event-time span, value total) the way
+    a production rate-limited loader audits its firehose: maxFilesPerTrigger
+    throttles the file source, and every micro-batch contributes ONE
+    metrics row computed by a distributed narrow aggregate (the batch
+    DataFrame never reaches the driver — only its 1-row summary does).
+
+    The event-time span per batch is the lag/backlog signal: replay order
+    is event-time order here, so min_ts must advance monotonically across
+    batch_ids (tests/test_streaming.py asserts it, plus conservation:
+    sum(n_rows) == fixture row count).
+
+    At 100 TB: this is the pattern for per-batch data-quality gates (row
+    budget, null-rate, freshness SLA) — a constant-size driver footprint
+    regardless of stream volume; the decimal value total keeps the running
+    ledger exact so restated backfills reconcile to the penny."""
+    path = _replay_dir(spark, sf_dir)
+    stream = _read_stream(spark, path)
+    metrics: list[tuple] = []
+
+    def audit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        r = batch_df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        ).collect()[0]
+        if r["n_rows"]:
+            metrics.append(
+                (
+                    int(batch_id),
+                    int(r["n_rows"]),
+                    int(r["n_users"]),
+                    r["min_ts"],
+                    r["max_ts"],
+                    float(r["total_value"]),
+                )
+            )
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(audit_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(300)
+    if not finished:
+        q.stop()
+        raise RuntimeError("ingestion-metrics stream did not finish within 300s")
+    return spark.createDataFrame(
+        sorted(metrics),
+        "batch_id bigint, n_rows bigint, n_users bigint, "
+        "min_ts timestamp, max_ts timestamp, total_value double",
+    )

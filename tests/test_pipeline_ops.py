@@ -323,3 +323,28 @@ def test_global_ids_dense_and_unique(spark, sf_dir):
     assert r["n_rows"] == r["n_distinct_ids"]
     assert r["min_id"] == 0
     assert r["max_id"] == r["n_rows"] - 1
+
+
+def test_hll_ndv_within_bound(spark, sf_dir):
+    from spark_multiboost_spark.registry import all_queries
+
+    pdf = all_queries()["q_ext_hll_error_gauge"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 4
+    # HLL++ at rsd=1%: allow 5 sigma
+    assert (pdf["rel_err"] < 0.05).all(), pdf.to_string()
+
+
+def test_pagerank_mass_and_hubs(spark, sf_dir):
+    """Structural checks beyond the oracle: ranks positive, top-20 strictly
+    ordered, and supplier hubs (high in-degree side of the bipartite graph)
+    outrank the customer floor."""
+    from spark_multiboost_spark.registry import all_queries
+
+    pdf = all_queries()["q_ext_pagerank"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 20
+    assert (pdf["rank_score"] > 0.15).all()  # every node holds the damping floor
+    scores = list(pdf["rank_score"])
+    assert scores == sorted(scores, reverse=True)  # non-increasing (ties allowed)
+    # bipartite trade graph: the concentrated side (10 suppliers, many
+    # customers) accumulates rank — the top-10 hubs are all suppliers
+    assert pdf["node"].head(10).str.startswith("s").all()

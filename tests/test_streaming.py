@@ -313,3 +313,26 @@ def test_c14_streaming_topk_equals_batch(spark, sf_dir):
     assert [float(x) for x in got["max_value"]] == [
         float(x) for x in batch["max_value"]
     ]
+
+
+def test_c15_ingestion_metrics_conserves_and_advances(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from spark_multiboost_spark.registry import all_queries
+    from spark_multiboost_spark.session import load_tables
+
+    got = all_queries()["q_c15_ingestion_metrics"].fn(spark, sf_dir).toPandas()
+    ev = load_tables(spark, sf_dir)["events"]
+    total = ev.count()
+    # conservation: every fixture row is accounted for exactly once
+    assert int(got["n_rows"].sum()) == total
+    # replay order == event-time order, so batch min_ts advances monotonically
+    mins = list(got.sort_values("batch_id")["min_ts"])
+    assert mins == sorted(mins)
+    # exact-decimal ledger reconciles against the batch total
+    batch_total = ev.agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+    ).collect()[0][0]
+    assert abs(got["total_value"].sum() - batch_total) < 1e-6
+    # within every batch the span is well-formed
+    assert (got["min_ts"] <= got["max_ts"]).all()
