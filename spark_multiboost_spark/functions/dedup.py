@@ -1208,3 +1208,73 @@ def containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+NGRAM_EXACT = 5  # window length for exact repeated-substring detection
+
+
+@query(
+    "q_d2_repeated_ngrams",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), t -> LENGTH(t) > 0) AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id, ARRAY_TO_STRING(ts[i:i+{NGRAM_EXACT - 1}], ' ') AS gram
+  FROM toks, UNNEST(GENERATE_SERIES(1, LEN(ts) - {NGRAM_EXACT - 1})) AS g(i)
+  WHERE LEN(ts) >= {NGRAM_EXACT}
+)
+SELECT gram,
+       CAST(COUNT(*) AS BIGINT) AS n_occ,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM grams
+GROUP BY gram HAVING COUNT(*) > 1
+ORDER BY n_occ DESC, gram
+LIMIT 20
+""",
+    group="D",
+)
+def repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 (cont.): EXACT REPEATED-SUBSTRING detection — the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" exact-match
+    family (they use 50-token windows over a suffix array; this is the
+    equi-joinable n-gram-window form, window = NGRAM_EXACT tokens).  Memorized
+    boilerplate (licenses, headers, templated spam) shows up as the same
+    window occurring in many documents — the top-20 offenders reported here
+    are what a curation pass would cut or down-weight.
+
+    Distinct from q_d2_minhash_lsh (estimates WHOLE-document similarity):
+    this finds verbatim SPANS shared across otherwise-different documents.
+
+    Scale shape: sliding windows generate inside codegen
+    (transform(sequence) + slice over the token array — no Python), the
+    group-by shuffles (gram-hash)-partitioned, and the HAVING>1 filter
+    reduces before the global top-20 (TakeOrderedAndProject, never a full
+    sort).  At 100 TB the gram column would be hashed to 8 bytes first
+    (xxhash64) so shuffle payloads stay fixed-width — kept as text here so
+    the report is human-readable."""
+    d = load_tables(spark, sf_dir)["documents"]
+    ts = F.filter(F.split("text", " "), lambda t: F.length(t) > 0)
+    grams = (
+        d.select("doc_id", ts.alias("ts"))
+        .filter(F.size("ts") >= NGRAM_EXACT)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - (NGRAM_EXACT - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("ts"), i, NGRAM_EXACT)),
+                )
+            ).alias("gram"),
+        )
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            bcount().alias("n_occ"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_occ") > 1)
+        .orderBy(F.col("n_occ").desc(), "gram")
+        .limit(20)
+    )

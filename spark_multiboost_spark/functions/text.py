@@ -1635,3 +1635,69 @@ def type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# configurable blocklist — stands in for PII regexes (emails/phones/SSNs):
+# the fixture text is synthetic word-salad with no PII-shaped spans, so a
+# real PII pattern would be vacuously green; same plumbing, real matches.
+SCRUB_TERMS = ("customer", "key", "vector")
+_SCRUB_RE = r"\b(" + "|".join(SCRUB_TERMS) + r")\b"
+
+
+@query(
+    "q_d5_term_scrub",
+    oracle=f"""
+WITH scrubbed AS (
+  SELECT doc_id, source,
+         LEN(REGEXP_EXTRACT_ALL(text, '{_SCRUB_RE}')) AS n_redactions,
+         LENGTH(REGEXP_REPLACE(text, '{_SCRUB_RE}', '[REDACTED]', 'g'))
+           AS scrubbed_len
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_redactions) AS BIGINT) AS total_redactions,
+       CAST(SUM(CASE WHEN n_redactions > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_affected,
+       CAST(SUM(scrubbed_len) AS BIGINT) AS total_scrubbed_chars
+FROM scrubbed GROUP BY source ORDER BY source
+""",
+    group="D",
+)
+def term_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): SENSITIVE-SPAN SCRUBBING — the redaction stage of a
+    curation pipeline (PII removal, license-string stripping, canary-token
+    deletion).  Every document is rewritten with blocklist spans replaced
+    by [REDACTED] (word-boundary regex so substrings survive), and the
+    audit rollup reports redaction counts per source — the number a
+    compliance review asks for.
+
+    The regex runs ONCE per document inside whole-stage codegen
+    (regexp_extract_all for the count + regexp_replace for the rewrite —
+    both JVM-side; the pattern restricts to the \\b(…)\\b subset that Java
+    regex and RE2 interpret identically).  At 100 TB: embarrassingly
+    parallel map over the scan, no shuffle until the per-source rollup of
+    5 rows; the scrubbed text would be written back out partition-aligned
+    (the write side is q_b03's job)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    # NB: F.regexp_extract_all with a lit() pattern, NOT F.expr with an
+    # embedded string — Spark SQL literals eat the \b escape (backspace)
+    n_red = F.size(F.regexp_extract_all("text", F.lit(_SCRUB_RE), 0))
+    scrubbed_len = F.length(F.regexp_replace("text", _SCRUB_RE, "[REDACTED]"))
+    per_doc = d.select(
+        "source",
+        n_red.alias("n_redactions"),
+        scrubbed_len.alias("scrubbed_len"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            bcount().alias("n_docs"),
+            F.sum("n_redactions").cast("bigint").alias("total_redactions"),
+            F.sum(F.when(F.col("n_redactions") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("docs_affected"),
+            F.sum("scrubbed_len").cast("bigint").alias("total_scrubbed_chars"),
+        )
+        .orderBy("source")
+    )

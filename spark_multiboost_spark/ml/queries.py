@@ -1277,3 +1277,90 @@ def multilabel_stump_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boosting.stump_z(cw).select(
         "feature", "threshold", F.round("z", 9).alias("z")
     )
+
+
+@query(
+    "q_a15_feature_importance",
+    oracle=_PRELUDE
+    + f"""
+, stumps AS (SELECT * FROM {_STUMPS_SQL})
+, phi AS (
+  SELECT e.vec_id AS id, st.t, st.feature, st.votes,
+         CASE WHEN e.embedding[st.feature] > st.threshold THEN 1.0 ELSE -1.0 END AS phi
+  FROM e CROSS JOIN stumps st
+), contrib AS (
+  SELECT p.t, p.feature,
+         CAST(SUM(CAST(mlp.y * p.votes[mlp.class + 1] * p.phi
+                       AS DECIMAL(18,6))) AS DOUBLE) AS margin_contribution,
+         CAST(SUM(CAST(ABS(p.votes[mlp.class + 1])
+                       AS DECIMAL(18,6))) AS DOUBLE) AS total_abs_votes
+  FROM phi p JOIN mlp ON p.id = mlp.id
+  GROUP BY p.t, p.feature
+)
+SELECT t, feature,
+       FLOOR(margin_contribution * 1e6 + 0.5) / 1e6 AS margin_contribution,
+       FLOOR(margin_contribution / total_abs_votes * 1e6 + 0.5) / 1e6
+         AS normalized_importance
+FROM contrib ORDER BY t
+""",
+    group="A",
+)
+def feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 (cont.): FEATURE ATTRIBUTION of the fixed strong model — per
+    stump (= per used feature), the signed total margin contribution
+    sum_{i,l} y_il * v_t[l] * phi_t(x_i), i.e. how much that weak learner
+    pushes examples toward their true labels, plus the same normalized by
+    the stump's total |vote| mass (a [-1, 1] alignment score).  This is
+    the "which features does the ensemble actually rely on" question every
+    AdaBoost deployment asks (reference scope: the stump's feature+votes
+    are its only parameters, so stump attribution IS feature attribution).
+
+    One broadcast of the 3-stump model, phi evaluates map-side against the
+    embedding array, one (t, feature) hash-agg over the (id, class)-long
+    contributions — decimal-exact so the signed sum is order-independent
+    at any parallelism."""
+    emb = _emb(spark, sf_dir)
+    sdf = boosting.stumps_to_df(emb.sparkSession, _STUMPS_FIXED)
+    stump_long = sdf.select(
+        "t", "feature", "threshold", F.posexplode("votes").alias("class", "v")
+    )
+    mlp = boosting.mlp_long(emb, K)
+    phi = (
+        emb.select(F.col("vec_id").alias("id"), "embedding")
+        .crossJoin(F.broadcast(stump_long))
+        .select(
+            "id",
+            "t",
+            "feature",
+            "class",
+            "v",
+            F.when(
+                F.element_at("embedding", F.col("feature")) > F.col("threshold"), 1.0
+            ).otherwise(-1.0).alias("phi"),
+        )
+    )
+    contrib = (
+        phi.join(mlp, ["id", "class"])
+        .groupBy("t", "feature")
+        .agg(
+            F.sum(
+                (F.col("y") * F.col("v") * F.col("phi")).cast("decimal(18,6)")
+            ).cast("double").alias("margin_contribution"),
+            F.sum(F.abs(F.col("v")).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_abs_votes"),
+        )
+    )
+    return contrib.select(
+        "t",
+        "feature",
+        (F.floor(F.col("margin_contribution") * 1e6 + 0.5) / 1e6).alias(
+            "margin_contribution"
+        ),
+        (
+            F.floor(
+                F.col("margin_contribution") / F.col("total_abs_votes") * 1e6 + 0.5
+            )
+            / 1e6
+        ).alias("normalized_importance"),
+    ).orderBy("t")

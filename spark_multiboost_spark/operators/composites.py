@@ -2932,3 +2932,64 @@ def hll_error_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("r.approx_ndv") - F.col("r.exact_ndv")) / F.col("r.exact_ndv")).alias("rel_err"),
     )
     return out.orderBy("column")
+
+
+@query(
+    "q_ext_triangle_count",
+    oracle="""
+WITH co AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), edges AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM co a JOIN co b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+)
+SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM edges e1
+JOIN edges e2 ON e1.v = e2.u
+JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+""",
+    group="B",
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics #2 (with q_ext_pagerank): TRIANGLE COUNTING on the
+    co-supplier graph (suppliers sharing an order).  Edges orient
+    low-id → high-id, so each triangle {a<b<c} is found exactly once via
+    the two-path a→b→c closed by a→c — the standard distributed algorithm.
+
+    At 100 TB the id-orientation generalizes to DEGREE orientation (orient
+    toward the higher-degree endpoint): the two-path join fan-out is then
+    bounded by sum(min-degree²) instead of sum(degree²), which is what
+    keeps power-law graphs (the web, citation graphs) tractable — id
+    orientation is the correctness-identical special case for the
+    fixture's near-uniform degrees.  Both joins are equi-joins on vertex
+    keys (shuffle-partitionable, AQE-skew-splittable); the edge list
+    derives from one (orderkey, suppkey) distinct + one self-join per
+    order group."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    co = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = co.alias("a"), co.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+        .persist()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return tri.crossJoin(
+        F.broadcast(edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
+    ).select("n_edges", "n_triangles")
