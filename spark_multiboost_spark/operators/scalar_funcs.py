@@ -364,3 +364,54 @@ def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linenumber")
     )
+
+
+@query(
+    "q_b23_collation_group",
+    oracle="""
+WITH mixed AS (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN UPPER(p_type) ELSE p_type END
+           AS type_mixed,
+         p_retailprice
+  FROM part
+)
+SELECT LOWER(type_mixed) AS p_type_ci,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM mixed GROUP BY LOWER(type_mixed) ORDER BY p_type_ci
+""",
+    group="B",
+)
+def collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23 (cont.): Spark 4 COLLATION-aware grouping — the column is
+    deliberately case-mangled (UPPER on even partkeys), then grouped under
+    UTF8_LCASE collation, which merges case variants WITHOUT rewriting the
+    data (the oracle proves the grouping equals an explicit LOWER()
+    normalization).  Collations matter at scale because they push into
+    comparisons everywhere — joins, sorts, aggregations — instead of
+    materializing normalized shadow columns; the session-level alternative
+    (CREATE TABLE ... DEFAULT COLLATION) applies the same semantics
+    lake-wide.  Output casts back to a plain binary-collation string so
+    downstream consumers see a stable type."""
+    p = load_tables(spark, sf_dir)["part"]
+    mixed = p.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_type"))
+        .otherwise(F.col("p_type"))
+        .alias("type_mixed"),
+        "p_retailprice",
+    )
+    return (
+        mixed.groupBy(F.expr("type_mixed COLLATE UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.lower(F.col("k")).cast("string").alias("p_type_ci"),
+            "n_parts",
+            "total_price",
+        )
+        .orderBy("p_type_ci")
+    )

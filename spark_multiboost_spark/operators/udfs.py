@@ -268,3 +268,70 @@ FROM (SELECT doc_id, text FROM v_docs_sqltvf WHERE doc_id < 5) d,
 GROUP BY d.doc_id ORDER BY d.doc_id
 """
     )
+
+
+@query(
+    "q_b37_udtf_polymorphic",
+    oracle="""
+SELECT event_id,
+       json_extract(props, '$.k')::BIGINT AS k,
+       event_type
+FROM events WHERE event_id < 100 ORDER BY event_id
+""",
+    group="B",
+)
+def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B37 (cont.): POLYMORPHIC Python UDTF — Spark 4's analyze() static
+    method computes the output schema AT PLAN TIME from the literal
+    arguments (here: which JSON fields to surface and their types), so one
+    UDTF serves any projection without per-variant classes — the
+    table-function analogue of schema-on-read.  eval() then parses per
+    row; the analyze-time schema is what lets Catalyst prune, plan joins,
+    and validate downstream references as if the output were a real table.
+
+    Python-row-path caveats apply exactly as q_b37_udtf_tokens: this is
+    API-surface coverage (bounded to 100 events), not the hot path — the
+    declarative twin (json_extract in codegen, see q_b29) is what runs at
+    100 TB."""
+    import json as _json
+
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    @udtf
+    class ExtractProps:
+        @staticmethod
+        def analyze(
+            row_id: AnalyzeArgument, payload: AnalyzeArgument, fields: AnalyzeArgument
+        ) -> AnalyzeResult:
+            schema = StructType().add("event_id", LongType())
+            for f in fields.value.split(","):
+                name, typ = f.split(":")
+                schema = schema.add(
+                    name, LongType() if typ == "bigint" else StringType()
+                )
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, row_id: int, payload: str, fields: str):
+            d = _json.loads(payload) if payload else {}
+            out = [row_id]
+            for f in fields.split(","):
+                name, typ = f.split(":")
+                v = d.get(name)
+                out.append(int(v) if (typ == "bigint" and v is not None) else v)
+            yield tuple(out)
+
+    e = load_tables(spark, sf_dir)["events"].filter(F.col("event_id") < 100)
+    spark.udtf.register("smb_extract_props", ExtractProps)
+    e.createOrReplaceTempView("events_head")
+    out = spark.sql(
+        "SELECT t.* FROM events_head e, "
+        "LATERAL smb_extract_props(e.event_id, e.props, 'k:bigint') t"
+    )
+    # join event_type back (string field absent from props — proves the
+    # UDTF output composes with ordinary columns)
+    return (
+        out.join(e.select("event_id", "event_type"), "event_id")
+        .select("event_id", "k", "event_type")
+        .orderBy("event_id")
+    )
