@@ -139,6 +139,16 @@ def main() -> None:
             timings[name] = round(statistics.median(runs), 4)
         return timings
 
+    # Global warm pass: one untimed execution of every query BEFORE any
+    # timing starts.  The per-query warm-up below only warms that query's
+    # own plan; JIT compilation of shared codegen/shuffle paths otherwise
+    # accrues across the run, taxing whichever queries happen to be listed
+    # first (measured: back-to-back identical configs differ ~15% purely
+    # by position).  "Warm session" is the protocol's stated condition —
+    # this makes it true for query #1, not just query #17.
+    for _name in HEADLINE + SHOWCASE:
+        qs[_name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
     timings = time_set(HEADLINE)
     extra = time_set(SHOWCASE)
     total = round(sum(timings.values()), 4)
