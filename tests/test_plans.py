@@ -389,3 +389,48 @@ def test_nprobe_sweep_single_probe_join(spark, sf_dir):
     # centroid pack rides broadcast — no cartesian anywhere
     plan = _plan(spark, "q_d3_ivf_nprobe_sweep", sf_dir)
     assert "CartesianProduct" not in plan
+
+
+def test_round6_no_cartesian(spark, sf_dir):
+    """Round-6 additions: none may fall back to CartesianProduct /
+    BroadcastNestedLoopJoin (the triangle self-joins and the pagerank
+    iteration joins are the risk spots)."""
+    for name in [
+        "q_comp_late_lines_by_flag",
+        "q_comp_dominant_suppliers",
+        "q_comp_waiting_orders",
+        "q_ext_pagerank",
+        "q_d2_repeated_ngrams",
+    ]:
+        plan = _plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # triangle_count: the ONLY tolerated nested-loop is the final scalar
+    # attach (1-row triangle agg x 1-row edge-count agg) — assert it's the
+    # single occurrence, i.e. the graph joins themselves are equi-joins
+    plan = _plan(spark, "q_ext_triangle_count", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin Cross") <= 1
+
+
+def test_priority_sample_window_group_limit(spark, sf_dir):
+    """Weighted sampling must keep the map-side partial top-k shape (no
+    full per-group sort of the corpus)."""
+    plan = _plan(spark, "q_d5_priority_sample", sf_dir)
+    assert "WindowGroupLimit" in plan
+
+
+def test_repeated_ngrams_topk_not_full_sort(spark, sf_dir):
+    """The top-20 repeated grams must come from TakeOrderedAndProject
+    (partial heaps), never a global Sort of the gram table."""
+    plan = _plan(spark, "q_d2_repeated_ngrams", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_term_scrub_single_scan_no_shuffle_before_rollup(spark, sf_dir):
+    """Redaction is a map-side expression: exactly one exchange (the
+    5-row per-source rollup) in the whole plan."""
+    plan = _plan(spark, "q_d5_term_scrub", sf_dir)
+    # formatted plans mention each node twice (tree + details): <=4 counts
+    # == <=2 exchanges (the agg shuffle + the final ordering exchange)
+    assert plan.count("Exchange") <= 4
