@@ -1701,3 +1701,139 @@ def term_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _bpe_round_sql(r: int) -> str:
+    return f"""
+, p{r} AS (
+  SELECT word, n, pos, sym,
+         LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM t{r - 1}
+), top{r} AS (
+  SELECT sym AS a, nxt AS b, CAST(SUM(n) AS BIGINT) AS cnt
+  FROM p{r} WHERE nxt IS NOT NULL AND sym <> nxt
+  GROUP BY sym, nxt ORDER BY cnt DESC, a, b LIMIT 1
+), m{r} AS (
+  SELECT t.word, t.n, t.pos, t.sym,
+         LAG(t.sym)  OVER (PARTITION BY t.word ORDER BY t.pos) AS prv,
+         LEAD(t.sym) OVER (PARTITION BY t.word ORDER BY t.pos) AS nxt,
+         top{r}.a AS a, top{r}.b AS b
+  FROM t{r - 1} t CROSS JOIN top{r}
+), t{r} AS (
+  SELECT word, n,
+         ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         CASE WHEN sym = a AND COALESCE(nxt = b, FALSE)
+              THEN sym || nxt ELSE sym END AS sym
+  FROM m{r}
+  WHERE NOT COALESCE(prv = a AND sym = b, FALSE)
+)"""
+
+
+_BPE_ORACLE = (
+    """
+WITH words AS (
+  SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+  WHERE LENGTH(token) > 0 GROUP BY token
+), t0 AS (
+  SELECT word, n, i AS pos, SUBSTR(word, i, 1) AS sym
+  FROM words, UNNEST(GENERATE_SERIES(1, LENGTH(word))) AS g(i)
+)"""
+    + "".join(_bpe_round_sql(r) for r in (1, 2, 3))
+    + """
+SELECT * FROM (
+  SELECT 1 AS merge_round, a AS sym_a, b AS sym_b, cnt AS pair_count FROM top1
+  UNION ALL SELECT 2, a, b, cnt FROM top2
+  UNION ALL SELECT 3, a, b, cnt FROM top3
+) ORDER BY merge_round
+"""
+)
+
+
+@query("q_d4_bpe_train", oracle=_BPE_ORACLE, group="D")
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): BPE TOKENIZER TRAINING — three merge rounds of the
+    actual byte-pair-encoding algorithm (Sennrich et al. 2016), unrolled
+    as DataFrame lineage the way q_ext_pagerank unrolls its fixpoint.
+    q_d4_bpe_pair_counts counts ONE round's candidates; this TRAINS:
+    select the most frequent adjacent symbol pair (count desc, then
+    lexicographic — the deterministic tiebreak real trainers use), apply
+    the merge to the dictionary, recount, repeat.
+
+    The merge step is where naive implementations go quadratic: this one
+    marks merge sites with LAG/LEAD windows (partner rows drop, merged
+    rows concatenate) and renumbers with ROW_NUMBER — three window passes
+    over a VOCABULARY-sized symbol table, never the corpus.  Self-pairs
+    (a = b) are excluded so left-to-right non-overlap semantics reduce to
+    position-independent marking (no sequential scan needed; see the
+    WHERE sym <> nxt filter — the standard distributed-BPE trick).
+
+    Scale shape: the corpus is touched ONCE (tokenize + word-count, the
+    persisted t0); every round after that runs on the distinct-word
+    dictionary (Zipf: ~10^6 rows at any corpus size), so training cost is
+    independent of corpus bytes beyond the first scan.  The 1-row top-pair
+    DF broadcast-attaches per round (the tolerated scalar nested loop)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    t = (
+        words.select(
+            "word", "n", F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos")
+        )
+        .select("word", "n", "pos", F.expr("substr(word, pos, 1)").alias("sym"))
+        .persist()
+    )
+    wnd = Window.partitionBy("word").orderBy("pos")
+    merges = []
+    for r in (1, 2, 3):
+        p = t.select("word", "n", "pos", "sym", F.lead("sym").over(wnd).alias("nxt"))
+        top = (
+            p.filter(F.col("nxt").isNotNull() & (F.col("sym") != F.col("nxt")))
+            .groupBy("sym", "nxt")
+            .agg(F.sum("n").cast("bigint").alias("cnt"))
+            .select(F.col("sym").alias("a"), F.col("nxt").alias("b"), "cnt")
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+        )
+        merges.append(
+            top.select(
+                F.lit(r).alias("merge_round"),
+                F.col("a").alias("sym_a"),
+                F.col("b").alias("sym_b"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+        m = t.select(
+            "word",
+            "n",
+            "pos",
+            "sym",
+            F.lag("sym").over(wnd).alias("prv"),
+            F.lead("sym").over(wnd).alias("nxt"),
+        ).crossJoin(F.broadcast(top))
+        t = (
+            m.filter(
+                ~F.coalesce(
+                    (F.col("prv") == F.col("a")) & (F.col("sym") == F.col("b")),
+                    F.lit(False),
+                )
+            )
+            .select(
+                "word",
+                "n",
+                F.row_number().over(wnd).alias("pos"),
+                F.when(
+                    (F.col("sym") == F.col("a"))
+                    & F.coalesce(F.col("nxt") == F.col("b"), F.lit(False)),
+                    F.concat("sym", "nxt"),
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .persist()
+        )
+    return merges[0].unionAll(merges[1]).unionAll(merges[2]).orderBy("merge_round")
