@@ -1364,3 +1364,130 @@ def feature_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("normalized_importance"),
     ).orderBy("t")
+
+
+FP_MIN_SUPPORT = 0.04
+
+
+@query(
+    "q_a17_freq_itemsets",
+    oracle=f"""
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), n AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob
+), th AS (
+  SELECT CAST(CEIL({FP_MIN_SUPPORT} * n_orders) AS BIGINT) AS mc FROM n
+), singles AS (
+  SELECT p_brand AS item_a, CAST(NULL AS VARCHAR) AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM ob GROUP BY p_brand
+), pairs AS (
+  SELECT a.p_brand AS item_a, b.p_brand AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS freq
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, freq
+FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs) u CROSS JOIN th
+WHERE freq >= mc
+ORDER BY item_a, item_b NULLS FIRST
+""",
+    group="A",
+)
+def freq_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A (MLlib breadth): FREQUENT-ITEMSET MINING — market-basket analysis
+    over per-order brand baskets via pyspark.ml.fpm.FPGrowth (the parallel
+    FP-growth of Li et al. 2008), oracle-checked EXACTLY for itemsets of
+    size <= 2: MLlib thresholds at ceil(minSupport * n_baskets), and
+    downward closure means plain singles/pairs counting reproduces its
+    output (any frequent pair's subsets are frequent by construction, so
+    no pruning disagreement is possible).  Size >= 3 itemsets are filtered
+    from the report (the oracle would need k-way self-joins), not from the
+    mining.
+
+    Scale shape: FP-growth is the right algorithm at 100 TB precisely
+    because it avoids the candidate-pair self-join the ORACLE does — one
+    count pass + conditional FP-trees over group-partitioned suffixes.
+    The basket build is one distinct + collect_set per order (orderkey
+    shuffle reused); MLlib's genFreqItems broadcast-prunes before tree
+    building."""
+    from pyspark.ml.fpm import FPGrowth
+
+    t = load_tables(spark, sf_dir)
+    baskets = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("items"))
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=FP_MIN_SUPPORT, minConfidence=0.5
+    ).fit(baskets)
+    fi = model.freqItemsets.filter(F.size("items") <= 2)
+    sorted_items = F.array_sort("items")
+    return (
+        fi.select(
+            F.element_at(sorted_items, 1).alias("item_a"),
+            F.when(F.size("items") == 2, F.element_at(sorted_items, 2)).alias(
+                "item_b"
+            ),
+            F.col("freq").cast("bigint").alias("freq"),
+        )
+        .orderBy("item_a", F.col("item_b").asc_nulls_first())
+    )
+
+
+@query("q_a16_als_recommend", oracle=None, group="A")
+def als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A (MLlib breadth): ALS MATRIX FACTORIZATION — implicit-feedback
+    recommendations over the (customer, brand-bucket, quantity) purchase
+    matrix via pyspark.ml.recommendation.ALS (Hu/Koren/Volinsky 2008).
+    Iterative least squares with per-block normal equations => rows-only
+    by contract (like the A10 boosting loop and k-means trainer); the
+    fixed seed makes local runs reproducible, and the test asserts shape
+    + rating positivity.
+
+    Scale shape: ALS is THE canonical big-matrix factorization on Spark —
+    users and items block-partition, each iteration joins factor blocks
+    along the rating graph (no full gram matrix anywhere).  Top-1
+    recommendations for the 20 lowest-numbered users keep the check
+    bounded."""
+    from pyspark.ml.recommendation import ALS
+
+    t = load_tables(spark, sf_dir)
+    ratings = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_custkey").cast("int").alias("user"),
+            (F.col("l_partkey") % 50).cast("int").alias("item"),
+            F.col("l_quantity").alias("rating"),
+        )
+        .groupBy("user", "item")
+        .agg(F.sum("rating").cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=4,
+        maxIter=3,
+        seed=42,
+        regParam=0.1,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        implicitPrefs=True,
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(1).select(
+        "user",
+        F.element_at(F.col("recommendations"), 1)["item"].alias("top_item"),
+        F.element_at(F.col("recommendations"), 1)["rating"].alias("score"),
+    )
+    return recs.orderBy("user").limit(20)

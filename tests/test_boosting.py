@@ -130,3 +130,14 @@ def test_a1_sparse_parser_roundtrip_exact(spark, sf_dir):
     assert row["n_parsed"] > 0
     assert row["n_mismatch"] == 0
     assert 0 < row["n_sparse_entries"] < row["n_parsed"] * 64
+
+
+def test_als_recommendations_shape(spark, sf_dir):
+    from spark_multiboost_spark.registry import all_queries
+
+    pdf = all_queries()["q_a16_als_recommend"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) == 20
+    assert pdf["user"].is_unique
+    # implicit-feedback confidence scores are positive for observed users
+    assert (pdf["score"] > 0).all()
+    assert pdf["top_item"].between(0, 49).all()
