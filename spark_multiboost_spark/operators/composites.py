@@ -2993,3 +2993,67 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.crossJoin(
         F.broadcast(edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
     ).select("n_edges", "n_triangles")
+
+
+@query(
+    "q_ext_skyline",
+    oracle="""
+WITH pts AS (SELECT DISTINCT p_retailprice AS price, p_size AS sz FROM part)
+SELECT price, CAST(sz AS BIGINT) AS sz FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.price <= p.price AND q.sz >= p.sz
+    AND (q.price < p.price OR q.sz > p.sz)
+)
+ORDER BY price
+""",
+    group="B",
+)
+def skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier) over parts: cheapest-price / largest-size
+    non-dominated set.  The ORACLE is the textbook quadratic NOT EXISTS;
+    the Spark plan is the O(n log n) sorted-cummax form, bucketed into the
+    SAME two-stage shape as the q_d4_sequence_pack prefix sums so no
+    global window ever sees the point set:
+
+    - sort key (price asc, size desc): any earlier point has price <= mine
+      (strictly, except same-price rows which carry strictly larger size),
+      so I am dominated IFF the running max of size over earlier rows
+      >= my size — one cummax replaces the quadratic dominance probe;
+    - stage 1 computes the cummax within floor(price) buckets,
+    - stage 2 prefix-maxes the PER-BUCKET maxima (bucket-count rows, tiny)
+      and the combined previous-max decides dominance.
+
+    Floor-bucketing preserves the proof: earlier buckets hold strictly
+    smaller prices, so their max size dominating mine implies a strictly
+    better point.  At 100 TB the bucket key becomes a range-partitioner
+    histogram boundary; everything else is map-side + one tiny window —
+    this is how skyline/top-k-tradeoff queries (cost vs quality, latency
+    vs recall) stay distributed."""
+    p = load_tables(spark, sf_dir)["part"]
+    pts = p.select(
+        F.col("p_retailprice").alias("price"), F.col("p_size").cast("bigint").alias("sz")
+    ).distinct()
+    pts = pts.withColumn("bucket", F.floor("price"))
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("price").asc(), F.col("sz").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = pts.withColumn("cummax_in", F.max("sz").over(w_in))
+    bucket_max = staged.groupBy("bucket").agg(F.max("sz").alias("bmax"))
+    w_b = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )  # bucket-count rows only — the stage-2 "tiny global window"
+    offs = bucket_max.withColumn("prev_bmax", F.max("bmax").over(w_b)).select(
+        "bucket", "prev_bmax"
+    )
+    return (
+        staged.join(offs, "bucket")
+        .withColumn(
+            "dom_max", F.greatest(F.coalesce("cummax_in", F.lit(-1)), F.coalesce("prev_bmax", F.lit(-1)))
+        )
+        .filter(F.col("dom_max") < F.col("sz"))
+        .select("price", "sz")
+        .orderBy("price")
+    )

@@ -434,3 +434,11 @@ def test_term_scrub_single_scan_no_shuffle_before_rollup(spark, sf_dir):
     # formatted plans mention each node twice (tree + details): <=4 counts
     # == <=2 exchanges (the agg shuffle + the final ordering exchange)
     assert plan.count("Exchange") <= 4
+
+
+def test_skyline_no_quadratic_probe(spark, sf_dir):
+    """The skyline must run the sorted-cummax form — no self-join dominance
+    probe (the oracle's NOT EXISTS would appear as a nested-loop join)."""
+    plan = _plan(spark, "q_ext_skyline", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
