@@ -75,6 +75,7 @@ SHOWCASE = [
     "q_ext_pagerank",
     "q_d5_priority_sample",
     "q_comp_waiting_orders",
+    "q_d4_bpe_train",
 ]
 
 

@@ -688,3 +688,84 @@ def ingestion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_id bigint, n_rows bigint, n_users bigint, "
         "min_ts timestamp, max_ts timestamp, total_value double",
     )
+
+
+@query("q_c16_query_progress", oracle=None, group="C")
+def query_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16: ENGINE-SIDE STREAMING TELEMETRY — the StreamingQueryListener
+    companion to q_c15_ingestion_metrics: C15 audits the DATA per batch
+    with its own aggregate; this captures what the ENGINE already measured
+    (numInputRows, batch duration, state-store rows) from
+    QueryProgressEvent, which is how production monitoring feeds
+    dashboards/alerts without adding a single extra Spark job to the
+    stream.
+
+    The listener appends each progress event to a driver-side list
+    (one row per micro-batch — constant footprint); the returned DataFrame
+    is the progress log of a watermarked windowed aggregation replay.
+    Rows-only by contract; tests assert conservation (sum of
+    num_input_rows == fixture rows) and that every batch carries state
+    metrics."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    rows: list[tuple] = []
+
+    class _Capture(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            state_rows = sum(s.numRowsTotal for s in p.stateOperators)
+            rows.append(
+                (
+                    p.batchId,
+                    int(p.numInputRows),
+                    float(p.durationMs.get("triggerExecution", 0)),
+                    int(state_rows),
+                )
+            )
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = _Capture()
+    spark.streams.addListener(listener)
+    try:
+        stream = _read_stream(spark, _replay_dir(spark, sf_dir))
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.format("noop")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise RuntimeError("progress-capture stream did not finish within 300s")
+        # listener events are delivered asynchronously; drain until the
+        # event stream quiesces (2 consecutive unchanged polls) so a
+        # partially-delivered tail can't break conservation checks
+        import time as _time
+
+        deadline = _time.time() + 30
+        stable, last = 0, -1
+        while _time.time() < deadline and (stable < 2 or not rows):
+            cur = len(rows)
+            stable = stable + 1 if (cur == last and cur > 0) else 0
+            last = cur
+            _time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    return spark.createDataFrame(
+        sorted(rows),
+        "batch_id bigint, num_input_rows bigint, trigger_ms double, state_rows bigint",
+    )

@@ -336,3 +336,16 @@ def test_c15_ingestion_metrics_conserves_and_advances(spark, sf_dir):
     assert abs(got["total_value"].sum() - batch_total) < 1e-6
     # within every batch the span is well-formed
     assert (got["min_ts"] <= got["max_ts"]).all()
+
+
+def test_c16_query_progress_conserves_rows(spark, sf_dir):
+    from spark_multiboost_spark.registry import all_queries
+    from spark_multiboost_spark.session import load_tables
+
+    got = all_queries()["q_c16_query_progress"].fn(spark, sf_dir).toPandas()
+    assert len(got) >= 1
+    total = load_tables(spark, sf_dir)["events"].count()
+    # engine-reported input rows across batches account for every fixture row
+    assert int(got["num_input_rows"].sum()) == total
+    # the windowed aggregation keeps state; the engine must report it
+    assert int(got["state_rows"].max()) > 0
