@@ -1837,3 +1837,79 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .persist()
         )
     return merges[0].unionAll(merges[1]).unionAll(merges[2]).orderBy("merge_round")
+
+
+MG_K = 30  # counter budget: fixture vocab is 31, so k = vocab-1 forces
+           # decrements on every shard (the tightest MG regime) while the
+           # n/(k+1) guarantee still bites (25 of 31 tokens qualify)
+MG_SHARDS = 8
+
+
+def _mg_summary(pdf):
+    """Misra-Gries over one shard's token stream (deterministic: the shard
+    is sorted by (doc_id, pos) before this runs).  Classic k-counter
+    decrement algorithm: any token with shard frequency > n_shard/(k+1)
+    is guaranteed a surviving counter, and counter values undercount true
+    frequency by at most n_shard/(k+1)."""
+    import pandas as _pd
+
+    pdf = pdf.sort_values(["doc_id", "pos"], kind="mergesort")
+    counters: dict[str, int] = {}
+    for tok in pdf["token"]:
+        if tok in counters:
+            counters[tok] += 1
+        elif len(counters) < MG_K:
+            counters[tok] = 1
+        else:
+            dead = [t for t in counters if counters[t] == 1]
+            for t in counters:
+                counters[t] -= 1
+            for t in dead:
+                del counters[t]
+    g = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+    return _pd.DataFrame(
+        {"shard": g, "token": list(counters), "cnt": list(counters.values())}
+    )
+
+
+@query("q_d4_heavy_hitters_mg", oracle=None, group="D")
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): MERGEABLE HEAVY-HITTERS — Misra-Gries summaries computed
+    per shard with applyInPandas, then merged (Agarwal et al. 2012,
+    "Mergeable Summaries": counter-wise sum followed by subtracting the
+    (k+1)-th largest merged count preserves the MG error bound).  The
+    GK-quantile and HLL gauges cover rank and cardinality sketches; this
+    covers frequency — the third leg of the one-pass profile stool.
+
+    Determinism despite order-dependence: MG counters depend on stream
+    order, so the shard key is pinned from doc_id (never
+    spark_partition_id — see the q_ext_assign_global_ids lesson) and each
+    shard sorts by (doc_id, pos) before counting.  Same shards + same
+    order = same summaries, every run, any cluster layout.
+
+    Rows-only by contract (no SQL can express decrement order);
+    tests/test_pipeline_ops.py asserts the superset guarantee — every
+    token with true corpus frequency > n/(MG_K+1) appears — and the
+    undercount bound cnt >= true - n/(MG_K+1)... inverted: true - cnt <=
+    shard-sum bound."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        d.select(
+            "doc_id",
+            (F.col("doc_id") % MG_SHARDS).cast("int").alias("shard"),
+            F.posexplode(F.split("text", " ")).alias("pos", "token"),
+        )
+        .filter(F.length("token") > 0)
+    )
+    summaries = toks.groupBy("shard").applyInPandas(
+        _mg_summary, schema="shard int, token string, cnt long"
+    )
+    rows = summaries.collect()  # bounded: MG_SHARDS x MG_K rows
+    merged: dict[str, int] = {}
+    for r in rows:
+        merged[r["token"]] = merged.get(r["token"], 0) + int(r["cnt"])
+    if len(merged) > MG_K:
+        cut = sorted(merged.values(), reverse=True)[MG_K]
+        merged = {t: c - cut for t, c in merged.items() if c - cut > 0}
+    out = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+    return d.sparkSession.createDataFrame(out, "token string, est_count bigint")

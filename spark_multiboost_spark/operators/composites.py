@@ -3057,3 +3057,81 @@ def skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("price", "sz")
         .orderBy("price")
     )
+
+
+@query(
+    "q_ext_bfs_2hop",
+    oracle="""
+WITH RECURSIVE pairs AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c_node,
+         's' || CAST(l_suppkey AS VARCHAR) AS s_node
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2
+), edges AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL SELECT s_node, c_node FROM pairs
+), bfs(node, dist) AS (
+  SELECT 's' || CAST(s_suppkey AS VARCHAR), 0 FROM supplier WHERE s_suppkey <= 2
+  UNION ALL
+  SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.dist < 2
+), md AS (SELECT node, MIN(dist) AS d FROM bfs GROUP BY node)
+SELECT d AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM md GROUP BY d ORDER BY d
+""",
+    group="B",
+)
+def bfs_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family #3: BOUNDED BFS — minimum-distance frontier counts 2
+    hops out from a seed set (suppliers 0-2) over the bipartite trade
+    graph.  The ORACLE is a WITH RECURSIVE path expansion + MIN(dist)
+    rollup; the Spark plan unrolls the two frontier expansions as
+    join-per-hop (the Pregel/GraphFrames iteration shape), then takes the
+    per-node minimum — identical semantics, because min-dist over an
+    unpruned path expansion equals BFS level.
+
+    At 100 TB: frontier expansion is a join of the (small) frontier
+    against the (huge, co-partitioned-on-src) edge table — broadcast the
+    frontier while it fits, shuffle-join when it doesn't; visited-set
+    pruning (anti join per hop) bounds work on high-diameter graphs and
+    is deliberately OMITTED here to keep exact oracle parity (at 2 hops
+    the expansion is frontier-bounded anyway)."""
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+    ).unionAll(pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")))
+    edges = edges.persist()
+    seeds = (
+        t["supplier"]
+        .filter(F.col("s_suppkey") <= 2)
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"),
+            F.lit(0).alias("dist"),
+        )
+    )
+    frontier = seeds
+    reached = seeds
+    for hop in (1, 2):
+        frontier = (
+            edges.join(
+                F.broadcast(frontier.select("node").distinct()),
+                F.col("src") == F.col("node"),
+            )
+            .select(F.col("dst").alias("node"), F.lit(hop).alias("dist"))
+        )
+        reached = reached.unionAll(frontier)
+    return (
+        reached.groupBy("node")
+        .agg(F.min("dist").alias("dist"))
+        .groupBy("dist")
+        .agg(bcount().alias("n_nodes"))
+        .orderBy("dist")
+    )

@@ -348,3 +348,30 @@ def test_pagerank_mass_and_hubs(spark, sf_dir):
     # bipartite trade graph: the concentrated side (10 suppliers, many
     # customers) accumulates rank — the top-10 hubs are all suppliers
     assert pdf["node"].head(10).str.startswith("s").all()
+
+
+def test_mg_heavy_hitters_guarantee(spark, sf_dir):
+    """Merged Misra-Gries summaries must contain EVERY token whose true
+    corpus frequency exceeds n/(MG_K+1) — the mergeable-summaries bound —
+    and the check must be non-vacuous on the fixture."""
+    import pyspark.sql.functions as F
+
+    from spark_multiboost_spark.functions.text import MG_K
+    from spark_multiboost_spark.registry import all_queries
+    from spark_multiboost_spark.session import load_tables
+
+    got = set(
+        all_queries()["q_d4_heavy_hitters_mg"].fn(spark, sf_dir).toPandas()["token"]
+    )
+    exact = (
+        load_tables(spark, sf_dir)["documents"]
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.length("t") > 0)
+        .groupBy("t")
+        .count()
+        .toPandas()
+    )
+    n = exact["count"].sum()
+    must = set(exact[exact["count"] > n / (MG_K + 1)]["t"])
+    assert len(must) > 0, "guarantee threshold vacuous — retune MG_K"
+    assert must <= got, f"missing heavy hitters: {must - got}"
