@@ -1200,3 +1200,90 @@ def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("imbalance"),
     )
+
+
+_FILTERED_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings
+), pre AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         list_cosine_similarity(q.embedding, c.embedding) AS cos_raw
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id AND q.label = c.label
+  WHERE q.vec_id < {N_QUERIES}
+), prer AS (
+  SELECT qid, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rk
+  FROM pre
+), pre_agg AS (
+  SELECT qid,
+         FLOOR(CAST(SUM(CAST(FLOOR(cos_raw * 1e6 + 0.5) / 1e6 AS DECIMAL(18,9)))
+                    AS DOUBLE) / {K} * 1e6 + 0.5) / 1e6 AS prefilter_avg_cos
+  FROM prer WHERE rk <= {K} GROUP BY qid
+), post AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, q.label AS q_label, c.label AS c_label,
+         list_cosine_similarity(q.embedding, c.embedding) AS cos_raw
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), postr AS (
+  SELECT qid, q_label, c_label,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, cid) AS rk
+  FROM post
+), post_agg AS (
+  SELECT qid,
+         CAST(SUM(CASE WHEN q_label = c_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_postfilter_hits
+  FROM postr WHERE rk <= {K} GROUP BY qid
+)
+SELECT pre_agg.qid, prefilter_avg_cos, n_postfilter_hits
+FROM pre_agg JOIN post_agg ON pre_agg.qid = post_agg.qid
+ORDER BY pre_agg.qid
+"""
+
+
+def filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): FILTERED VECTOR SEARCH — top-k under a metadata
+    predicate (same label as the query), the pre-filter vs post-filter
+    comparison every production vector store documents:
+
+    - PRE-filter: the predicate joins INTO the candidate generation
+      (q.label = c.label is part of the join condition, so non-matching
+      pairs are never scored) and the top-k is exact among eligible
+      vectors — always k hits.
+    - POST-filter: rank the unfiltered top-k, THEN drop non-matching —
+      n_postfilter_hits <= k per query, the recall loss this op
+      quantifies (~k/|labels| expected hits on the fixture's balanced
+      labels).
+
+    At 100 TB the pre-filter predicate pushes into the parquet scan
+    (partition prune on the label column) BEFORE any distance math — the
+    reason real systems filter-then-search rather than search-then-filter
+    when selectivity is high; for low-selectivity filters the IVF path
+    masks cells instead (see q_d3_ivf_ann_arrow's probe masking)."""
+    pre_pairs = _pairs(spark, sf_dir).filter(F.col("q_label") == F.col("c_label"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
+    cos6 = (F.floor(F.col("cos_raw") * 1e6 + 0.5) / 1e6).cast("decimal(18,9)")
+    pre_agg = (
+        pre_pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K)
+        .groupBy("qid")
+        .agg(
+            (
+                F.floor(F.sum(cos6).cast("double") / K * 1e6 + 0.5) / 1e6
+            ).alias("prefilter_avg_cos")
+        )
+    )
+    post_agg = (
+        _pairs(spark, sf_dir)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= K)
+        .groupBy("qid")
+        .agg(
+            F.sum(F.when(F.col("q_label") == F.col("c_label"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_postfilter_hits")
+        )
+    )
+    return pre_agg.join(post_agg, "qid").orderBy("qid")
+
+
+query("q_d3_filtered_ann", oracle=_FILTERED_ORACLE, group="D")(filtered_ann)
