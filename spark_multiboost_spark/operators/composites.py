@@ -3135,3 +3135,90 @@ def bfs_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(bcount().alias("n_nodes"))
         .orderBy("dist")
     )
+
+
+@query(
+    "q_ext_triangle_degree_oriented",
+    oracle="""
+WITH co AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+), und AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM co a JOIN co b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+), nodes AS (
+  SELECT u AS node FROM und UNION ALL SELECT v FROM und
+), deg AS (
+  SELECT node, COUNT(*) AS d FROM nodes GROUP BY node
+), o AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst
+  FROM und e
+  JOIN deg du ON du.node = e.u
+  JOIN deg dv ON dv.node = e.v
+)
+SELECT CAST((SELECT COUNT(*) FROM o) AS BIGINT) AS n_edges,
+       CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM o e1
+JOIN o e2 ON e2.src = e1.dst
+JOIN o e3 ON e3.src = e1.src AND e3.dst = e2.dst
+""",
+    group="B",
+)
+def triangle_degree_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family (cont.): the DEGREE-ORIENTED triangle count — the
+    at-scale variant q_ext_triangle_count's docstring promises.  Each
+    undirected edge orients toward its higher-(degree, id) endpoint, so
+    every node's out-degree is bounded by its effective degeneracy and the
+    two-path join fan-out drops from sum(degree²) to sum(min-degree²) —
+    THE difference on power-law graphs, where a single celebrity hub
+    otherwise generates degree² two-paths.  The triangle total must equal
+    the id-oriented count exactly (orientation only changes WHICH copy of
+    each triangle is counted); tests assert the two queries agree.
+
+    The (degree, id) pair gives a strict total order — the id tiebreak
+    keeps orientation deterministic when degrees tie (every tie rule in
+    this repo is explicit for exactly this reason)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    co = li.select("l_orderkey", "l_suppkey").distinct()
+    a, b = co.alias("a"), co.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+    nodes = und.select(F.col("u").alias("node")).unionAll(
+        und.select(F.col("v").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .persist()
+    )
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return tri.crossJoin(
+        F.broadcast(o.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
+    ).select("n_edges", "n_triangles")

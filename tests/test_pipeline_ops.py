@@ -375,3 +375,16 @@ def test_mg_heavy_hitters_guarantee(spark, sf_dir):
     must = set(exact[exact["count"] > n / (MG_K + 1)]["t"])
     assert len(must) > 0, "guarantee threshold vacuous — retune MG_K"
     assert must <= got, f"missing heavy hitters: {must - got}"
+
+
+def test_triangle_orientations_agree(spark, sf_dir):
+    """Orientation changes which copy of a triangle is counted, never the
+    total: degree-oriented == id-oriented."""
+    from spark_multiboost_spark.registry import all_queries
+
+    t1 = all_queries()["q_ext_triangle_count"].fn(spark, sf_dir).collect()[0]
+    t2 = (
+        all_queries()["q_ext_triangle_degree_oriented"].fn(spark, sf_dir).collect()[0]
+    )
+    assert t1["n_triangles"] == t2["n_triangles"]
+    assert t1["n_edges"] == t2["n_edges"]  # same undirected edge set
