@@ -3222,3 +3222,97 @@ def triangle_degree_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.crossJoin(
         F.broadcast(o.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
     ).select("n_edges", "n_triangles")
+
+
+def _wpr_oracle(n_iter: int = 3) -> str:
+    """Weighted-PageRank oracle: contributions are r(u)·w(u,v)/W(u) with the
+    same 9dp-quantize → decimal-sum → 9dp-requantize discipline as
+    :func:`_pr_oracle`."""
+    parts = [
+        """
+WITH pw AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c_node,
+         's' || CAST(l_suppkey AS VARCHAR) AS s_node,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT c_node AS src, s_node AS dst, w FROM pw
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst, w FROM pw
+), outw AS (
+  SELECT src, SUM(w) AS tw FROM edges GROUP BY src
+), r0 AS (
+  SELECT src AS node, 1.0 AS r FROM outw
+)"""
+    ]
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", it{i} AS (
+  SELECT e.dst AS node,
+         FLOOR((0.15 + 0.85 * CAST(SUM(CAST(FLOOR(r.r * e.w / o.tw * 1e9 + 0.5) / 1e9
+                 AS DECIMAL(18,9))) AS DOUBLE)) * 1e9 + 0.5) / 1e9 AS r
+  FROM edges e
+  JOIN outw o ON e.src = o.src
+  JOIN {prev} r ON r.node = e.src
+  GROUP BY e.dst
+)"""
+        )
+        prev = f"it{i}"
+    parts.append(
+        f"""
+SELECT node, FLOOR(r * 1e6 + 0.5) / 1e6 AS rank_score
+FROM {prev}
+ORDER BY rank_score DESC, node
+LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@query("q_ext_pagerank_weighted", oracle=_wpr_oracle(), group="B")
+def pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family (cont.): WEIGHTED PageRank — random-walk probability
+    proportional to trade volume (edge weight = distinct orders linking a
+    customer-supplier pair), so a supplier that fills many orders for one
+    customer pulls more of that customer's rank than a one-order fling.
+    Same unrolled 3-iteration lineage and per-iteration 9dp
+    requantization as q_ext_pagerank; the only change is the contribution
+    r(u)·w(u,v)/W(u) — weights are exact BIGINTs, and r·w before the
+    division keeps the single rounding site identical in both engines.
+
+    At 100 TB: identical shape to the unweighted op (the weight rides the
+    edge table for free); weighted walks are the PPR/TrustRank family
+    every recommendation graph runs."""
+    t = load_tables(spark, sf_dir)
+    pw = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+        )
+        .agg(F.countDistinct("o_orderkey").cast("bigint").alias("w"))
+    )
+    edges = pw.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w"
+    ).unionAll(pw.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "w"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
+    edges_w = edges.join(outw, "src").persist()
+    q9 = lambda c: F.floor(c * 1e9 + 0.5) / 1e9  # noqa: E731
+    ranks = outw.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
+    for _ in range(3):
+        contrib = edges_w.join(ranks, edges_w["src"] == ranks["node"]).select(
+            F.col("dst"),
+            q9(F.col("r") * F.col("w") / F.col("tw")).cast("decimal(18,9)").alias("c"),
+        )
+        ranks = contrib.groupBy("dst").agg(
+            q9(F.lit(0.15) + F.lit(0.85) * F.sum("c").cast("double")).alias("r")
+        ).select(F.col("dst").alias("node"), "r")
+    return (
+        ranks.select(
+            "node", (F.floor(F.col("r") * 1e6 + 0.5) / 1e6).alias("rank_score")
+        )
+        .orderBy(F.col("rank_score").desc(), "node")
+        .limit(20)
+    )
