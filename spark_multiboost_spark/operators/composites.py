@@ -3316,3 +3316,136 @@ def pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_score").desc(), "node")
         .limit(20)
     )
+
+
+def _ppr_oracle(n_iter: int = 3) -> str:
+    """Personalized-PageRank oracle: the restart mass 0.15 goes to the SEED
+    vector (1/|S| per seed supplier), not uniformly — otherwise identical
+    discipline to :func:`_wpr_oracle`."""
+    parts = [
+        """
+WITH pw AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c_node,
+         's' || CAST(l_suppkey AS VARCHAR) AS s_node,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT c_node AS src, s_node AS dst, w FROM pw
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst, w FROM pw
+), outw AS (
+  SELECT src, SUM(w) AS tw FROM edges GROUP BY src
+), seeds AS (
+  SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node FROM supplier
+  WHERE s_suppkey <= 2
+), ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds
+), r0 AS (
+  SELECT o.src AS node,
+         CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS r
+  FROM outw o LEFT JOIN seeds s ON s.node = o.src CROSS JOIN ns
+)"""
+    ]
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", it{i} AS (
+  SELECT o.src AS node,
+         FLOOR((0.15 * (CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END)
+                + 0.85 * COALESCE(agg.m, 0.0)) * 1e9 + 0.5) / 1e9 AS r
+  FROM outw o
+  LEFT JOIN seeds s ON s.node = o.src
+  CROSS JOIN ns
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(FLOOR(r.r * e.w / ow.tw * 1e9 + 0.5) / 1e9
+                         AS DECIMAL(18,9))) AS DOUBLE) AS m
+    FROM edges e
+    JOIN outw ow ON e.src = ow.src
+    JOIN {prev} r ON r.node = e.src
+    GROUP BY e.dst
+  ) agg ON agg.node = o.src
+)"""
+        )
+        prev = f"it{i}"
+    parts.append(
+        f"""
+SELECT node, FLOOR(r * 1e6 + 0.5) / 1e6 AS rank_score
+FROM {prev}
+WHERE r > 0
+ORDER BY rank_score DESC, node
+LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@query("q_ext_pagerank_personalized", oracle=_ppr_oracle(), group="B")
+def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family (cont.): PERSONALIZED PageRank — the restart
+    distribution concentrates on a seed set (suppliers 0-2) instead of
+    spreading uniformly, so the stationary mass measures proximity TO THE
+    SEEDS through trade volume: the "similar suppliers / likely next
+    customers" primitive behind recommendation random walks (Pixie,
+    SALSA-family).  Rank is enumerated over ALL nodes each round (the
+    teleport term exists everywhere the walk can restart), not just the
+    frontier — nodes the walk hasn't reached hold rank 0 and drop from
+    the top-20 report.
+
+    Same per-iteration 9dp requantization as q_ext_pagerank/_weighted;
+    the seed indicator joins as a broadcast (3 rows).  At 100 TB, PPR for
+    MANY seed sets batches as a (node, seed_set) matrix — the per-seed
+    columns share the one edge scan per iteration."""
+    t = load_tables(spark, sf_dir)
+    pw = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+        )
+        .agg(F.countDistinct("o_orderkey").cast("bigint").alias("w"))
+    )
+    edges = pw.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w"
+    ).unionAll(pw.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "w"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
+    edges_w = edges.join(outw, "src").persist()
+    seeds = (
+        t["supplier"]
+        .filter(F.col("s_suppkey") <= 2)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    n_seeds = seeds.count()  # scalar: 3 (bounded by the filter)
+    seed_flag = seeds.withColumn("is_seed", F.lit(True))
+    nodes = outw.select(F.col("src").alias("node")).join(
+        F.broadcast(seed_flag), "node", "left"
+    )
+    restart = F.when(F.col("is_seed"), 1.0 / n_seeds).otherwise(0.0)
+    q9 = lambda c: F.floor(c * 1e9 + 0.5) / 1e9  # noqa: E731
+    ranks = nodes.select("node", restart.alias("r"))
+    for _ in range(3):
+        agg = (
+            edges_w.join(ranks, edges_w["src"] == ranks["node"])
+            .select(
+                F.col("dst"),
+                q9(F.col("r") * F.col("w") / F.col("tw")).cast("decimal(18,9)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("m"))
+        )
+        ranks = (
+            nodes.join(agg, nodes["node"] == agg["dst"], "left")
+            .select(
+                "node",
+                q9(
+                    F.lit(0.15) * restart
+                    + F.lit(0.85) * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.filter(F.col("r") > 0)
+        .select("node", (F.floor(F.col("r") * 1e6 + 0.5) / 1e6).alias("rank_score"))
+        .orderBy(F.col("rank_score").desc(), "node")
+        .limit(20)
+    )
