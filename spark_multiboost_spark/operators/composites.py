@@ -3449,3 +3449,80 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_score").desc(), "node")
         .limit(20)
     )
+
+
+_BFS_ORACLE_SHARED = """
+WITH RECURSIVE pairs AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c_node,
+         's' || CAST(l_suppkey AS VARCHAR) AS s_node
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2
+), edges AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL SELECT s_node, c_node FROM pairs
+), bfs(node, dist) AS (
+  SELECT 's' || CAST(s_suppkey AS VARCHAR), 0 FROM supplier WHERE s_suppkey <= 2
+  UNION ALL
+  SELECT e.dst, b.dist + 1 FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.dist < 2
+), md AS (SELECT node, MIN(dist) AS d FROM bfs GROUP BY node)
+SELECT d AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM md GROUP BY d ORDER BY d
+"""
+
+
+@query("q_ext_bfs_2hop_pruned", oracle=_BFS_ORACLE_SHARED, group="B")
+def bfs_2hop_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family (cont.): the VISITED-SET-PRUNED BFS — the at-scale twin
+    of q_ext_bfs_2hop, sharing its oracle verbatim (the q_a4 salted/
+    unsalted proof pattern): each hop anti-joins the new frontier against
+    everything already visited, so a node expands AT MOST ONCE.  Equality
+    with the unpruned path expansion is exact because BFS level = first
+    hop reached = min over all paths — pruning discards only paths that
+    could never improve the minimum.
+
+    At 100 TB this anti join is what makes high-diameter / high-fanout
+    traversal feasible: the unpruned expansion grows with PATH COUNT
+    (exponential in dense graphs), the pruned frontier with NODE COUNT.
+    Frontier and visited set both stay node-sized; the anti join is an
+    equi-join on the node key (broadcast while the visited set is small,
+    shuffle after — AQE decides)."""
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+    ).unionAll(pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")))
+    edges = edges.persist()
+    frontier = (
+        t["supplier"]
+        .filter(F.col("s_suppkey") <= 2)
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"),
+            F.lit(0).alias("dist"),
+        )
+    )
+    visited = frontier
+    for hop in (1, 2):
+        expanded = (
+            edges.join(
+                F.broadcast(frontier.select("node")), F.col("src") == F.col("node")
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = expanded.join(
+            visited.select("node"), "node", "left_anti"
+        ).select("node", F.lit(hop).alias("dist"))
+        visited = visited.unionAll(frontier)
+    return (
+        visited.groupBy("dist")
+        .agg(bcount().alias("n_nodes"))
+        .orderBy("dist")
+    )
