@@ -167,6 +167,11 @@ def main() -> None:
                 "queries": timings,
                 "extra_queries": extra,
                 "calibration": calibration,
+                # measurement-protocol version so cross-round comparisons can
+                # detect protocol changes mechanically: "global-v2" = one
+                # untimed global warm pass over HEADLINE+SHOWCASE before any
+                # timing (added round 4; rounds 1-3 were per-query warm only)
+                "warm_protocol": "global-v2",
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

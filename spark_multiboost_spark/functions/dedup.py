@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.parity import bcount
+from ..plans import release_with
 from ..registry import query
 from ..session import load_tables
 
@@ -198,11 +199,12 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
     union = F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))
     jac = inter / union
-    return (
+    return release_with(
         cand.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b"),
+        sh,
     )
 
 
@@ -806,14 +808,15 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("rm", F.lit(1))
     )
-    return (
+    return release_with(
         a.join(removed, "vec_id", "left")
         .select(
             "vec_id",
             F.col("cent_id").alias("cell"),
             F.col("rm").isNull().alias("is_kept"),
         )
-        .orderBy("vec_id")
+        .orderBy("vec_id"),
+        a,
     )
 
 
@@ -1103,7 +1106,7 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return (
+    return release_with(
         verified.groupBy(F.col("bands").cast("bigint").alias("bands"))
         .agg(
             bcount().alias("n_candidates"),
@@ -1115,7 +1118,9 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 1e6
             ).alias("precision"),
         )
-        .orderBy("bands")
+        .orderBy("bands"),
+        sh,
+        sig,
     )
 
 
@@ -1199,14 +1204,15 @@ def containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")), "doc_b")
     )
     cont = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size("sa")
-    return (
+    return release_with(
         cand.filter(cont >= _CONTAIN_THRESHOLD)
         .select(
             "doc_a",
             "doc_b",
             (F.floor(cont * 1e6 + 0.5) / 1e6).alias("containment"),
         )
-        .orderBy("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b"),
+        sh,
     )
 
 

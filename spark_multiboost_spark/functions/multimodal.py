@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..plans import release_with
 from ..registry import query
 from ..session import load_tables
 
@@ -381,7 +382,7 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum", F.sum("n_bytes").over(wi))
         .withColumn("start_off", F.col("base") + F.col("cum") - F.col("n_bytes"))
     )
-    return (
+    return release_with(
         placed.select(
             F.floor(F.col("start_off") / SHARD_BYTES).cast("bigint").alias("shard"),
             "n_bytes",
@@ -394,7 +395,8 @@ def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("bigint").alias("first_doc"),
             F.max("doc_id").cast("bigint").alias("last_doc"),
         )
-        .orderBy("shard")
+        .orderBy("shard"),
+        blobs,
     )
 
 

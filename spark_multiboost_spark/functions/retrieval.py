@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.parity import bcount, dsum, dsum_sql
+from ..plans import release_with
 from ..registry import query
 from ..session import load_tables
 
@@ -127,11 +128,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
-    return (
+    return release_with(
         scored.groupBy("doc_id")
         .agg(dsum("s").alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(20)
+        .limit(20),
+        doclen,
     )
 
 
@@ -289,13 +291,14 @@ def pmi_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
         * 1e6
         + 0.5
     ) / 1e6
-    return (
+    return release_with(
         pairs.join(F.broadcast(na), "token_a")
         .join(F.broadcast(nb), "token_b")
         .crossJoin(F.broadcast(n))
         .select("token_a", "token_b", "n_ab", pmi.alias("pmi"))
         .orderBy(F.col("pmi").desc(), "token_a", "token_b")
-        .limit(20)
+        .limit(20),
+        dv,
     )
 
 
@@ -442,7 +445,7 @@ def bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll"),
         )
     )
-    return (
+    return release_with(
         nll.groupBy("doc_id")
         .agg(
             bcount().alias("n_bigrams"),
@@ -456,7 +459,8 @@ def bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 1e6
             ).alias("xent"),
         )
-        .orderBy("doc_id")
+        .orderBy("doc_id"),
+        toks,
     )
 
 

@@ -1217,7 +1217,7 @@ WITH e AS (
 ), pre_agg AS (
   SELECT qid,
          FLOOR(CAST(SUM(CAST(FLOOR(cos_raw * 1e6 + 0.5) / 1e6 AS DECIMAL(18,9)))
-                    AS DOUBLE) / {K} * 1e6 + 0.5) / 1e6 AS prefilter_avg_cos
+                    AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS prefilter_avg_cos
   FROM prer WHERE rk <= {K} GROUP BY qid
 ), post AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid, q.label AS q_label, c.label AS c_label,
@@ -1248,7 +1248,8 @@ def filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     - PRE-filter: the predicate joins INTO the candidate generation
       (q.label = c.label is part of the join condition, so non-matching
       pairs are never scored) and the top-k is exact among eligible
-      vectors — always k hits.
+      vectors (up to k hits; the average divides by the retained count,
+      so label classes smaller than k are not understated).
     - POST-filter: rank the unfiltered top-k, THEN drop non-matching —
       n_postfilter_hits <= k per query, the recall loss this op
       quantifies (~k/|labels| expected hits on the fixture's balanced
@@ -1267,8 +1268,15 @@ def filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= K)
         .groupBy("qid")
         .agg(
+            # divide by the ACTUAL retained count, not the constant K: a
+            # query whose label class has < K eligible candidates would
+            # otherwise silently understate its average (both engines share
+            # this formula, so parity holds either way — this one is honest)
             (
-                F.floor(F.sum(cos6).cast("double") / K * 1e6 + 0.5) / 1e6
+                F.floor(
+                    F.sum(cos6).cast("double") / F.count(F.lit(1)) * 1e6 + 0.5
+                )
+                / 1e6
             ).alias("prefilter_avg_cos")
         )
     )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.parity import bcount
+from ..plans import release_with
 from ..registry import query
 from ..session import load_tables
 
@@ -691,7 +692,7 @@ def perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = toks.groupBy("token").agg(bcount().alias("n")).persist()
     tot = freq.agg(F.sum("n").cast("double").alias("total"))
     nlp = -F.log(F.col("n").cast("double") / F.col("total"))
-    return (
+    return release_with(
         toks.join(F.broadcast(freq), "token")
         .crossJoin(F.broadcast(tot))
         .select("doc_id", nlp.alias("nlp"))
@@ -708,7 +709,8 @@ def perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             F.round("avg_neg_logp_raw", 6).alias("avg_neg_logp"),
         )
-        .orderBy("doc_id")
+        .orderBy("doc_id"),
+        freq,
     )
 
 
@@ -777,14 +779,17 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first = F.floor(F.col("start_off") / SEQ_LEN)
     last = F.floor((F.col("start_off") + F.col("n_tokens") - 1) / SEQ_LEN)
-    return placed.select(
+    return release_with(
+        placed.select(
         "doc_id",
         "n_tokens",
         F.col("start_off").cast("bigint").alias("start_off"),
         first.cast("bigint").alias("first_seq"),
         last.cast("bigint").alias("last_seq"),
         (last - first + 1).cast("bigint").alias("n_seqs"),
-    ).orderBy("doc_id")
+    ).orderBy("doc_id"),
+        t,
+    )
 
 
 @query(
@@ -1048,14 +1053,17 @@ def sequence_pack_3level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     first = F.floor(F.col("start_off") / SEQ_LEN)
     last = F.floor((F.col("start_off") + F.col("n_tokens") - 1) / SEQ_LEN)
-    return placed.select(
+    return release_with(
+        placed.select(
         "doc_id",
         "n_tokens",
         F.col("start_off").cast("bigint").alias("start_off"),
         first.cast("bigint").alias("first_seq"),
         last.cast("bigint").alias("last_seq"),
         (last - first + 1).cast("bigint").alias("n_seqs"),
-    ).orderBy("doc_id")
+    ).orderBy("doc_id"),
+        t,
+    )
 
 
 _HEX = "0123456789abcdef"
@@ -1125,7 +1133,7 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = counts.agg(F.min("n_docs").alias("mn"))
     rate = F.col("mn").cast("double") / F.col("n_docs")
     u = d.select("doc_id", "lang", _u_col().alias("u"))
-    return (
+    return release_with(
         u.join(F.broadcast(counts), "lang")
         .crossJoin(F.broadcast(m))
         .groupBy("lang", "n_docs", "mn")
@@ -1136,7 +1144,8 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(rate * 1e6 + 0.5) / 1e6).alias("accept_rate"),
         )
         .select("lang", "n_docs", "n_accepted", "accept_rate")
-        .orderBy("lang")
+        .orderBy("lang"),
+        counts,
     )
 
 
@@ -1788,9 +1797,13 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     wnd = Window.partitionBy("word").orderBy("pos")
-    merges = []
+    merges: list[tuple] = []
     for r in (1, 2, 3):
         p = t.select("word", "n", "pos", "sym", F.lead("sym").over(wnd).alias("nxt"))
+        # 1-row driver fetch per round (bounded, same pattern as the
+        # boosting loop's stump fetch) — attaching the winner as literals
+        # breaks cross-round lineage so each superseded dictionary can be
+        # unpersisted eagerly instead of leaking until clearCache()
         top = (
             p.filter(F.col("nxt").isNotNull() & (F.col("sym") != F.col("nxt")))
             .groupBy("sym", "nxt")
@@ -1798,15 +1811,11 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("sym").alias("a"), F.col("nxt").alias("b"), "cnt")
             .orderBy(F.col("cnt").desc(), "a", "b")
             .limit(1)
+            .collect()[0]
         )
-        merges.append(
-            top.select(
-                F.lit(r).alias("merge_round"),
-                F.col("a").alias("sym_a"),
-                F.col("b").alias("sym_b"),
-                F.col("cnt").alias("pair_count"),
-            )
-        )
+        merges.append((r, top["a"], top["b"], int(top["cnt"])))
+        if r == 3:
+            break  # last round only reports its winner; no merge to apply
         m = t.select(
             "word",
             "n",
@@ -1814,8 +1823,10 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sym",
             F.lag("sym").over(wnd).alias("prv"),
             F.lead("sym").over(wnd).alias("nxt"),
-        ).crossJoin(F.broadcast(top))
-        t = (
+            F.lit(top["a"]).alias("a"),
+            F.lit(top["b"]).alias("b"),
+        )
+        nt = (
             m.filter(
                 ~F.coalesce(
                     (F.col("prv") == F.col("a")) & (F.col("sym") == F.col("b")),
@@ -1836,7 +1847,13 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .persist()
         )
-    return merges[0].unionAll(merges[1]).unionAll(merges[2]).orderBy("merge_round")
+        nt.count()  # materialize before dropping the parent cache
+        t.unpersist()
+        t = nt
+    t.unpersist()
+    return spark.createDataFrame(
+        merges, "merge_round int, sym_a string, sym_b string, pair_count bigint"
+    ).orderBy("merge_round")
 
 
 MG_K = 30  # counter budget: fixture vocab is 31, so k = vocab-1 forces

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.parity import bcount, davg_sql, dsum, dsum_sql
+from ..plans import release_with
 from ..registry import query
 from ..session import load_tables
 
@@ -1877,20 +1878,22 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         dsum("l_extendedprice * (1 - l_discount)").alias("total_revenue")
-    ).persist()  # read twice: the scalar max and the equality probe
+    ).persist()  # read twice (scalar max + equality probe); released with the
+    # result DF by release_with below — never leaks past the query
     # scalar max via agg + broadcast — at 100 TB the per-supplier revenue
     # table is millions of rows; a partition-less max window would drag
     # them all through one task, the broadcast scalar never does
     max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
     ranked = revenue.crossJoin(F.broadcast(max_rev))
-    return (
+    return release_with(
         ranked.filter(F.col("total_revenue") == F.col("max_rev"))
         .join(
             F.broadcast(load_tables(spark, sf_dir)["supplier"]),
             F.col("supplier_no") == F.col("s_suppkey"),
         )
         .select("s_suppkey", "s_name", "total_revenue")
-        .orderBy("s_suppkey")
+        .orderBy("s_suppkey"),
+        revenue,
     )
 
 
@@ -2878,6 +2881,8 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # cached once for the 3 iteration joins; released with the result DF
+    # (release_with below) — no session-lifetime cache leak
     edges_deg = edges.join(deg, "src").persist()
     q9 = lambda c: F.floor(c * 1e9 + 0.5) / 1e9  # noqa: E731
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
@@ -2888,12 +2893,13 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = contrib.groupBy("dst").agg(
             q9(F.lit(0.15) + F.lit(0.85) * F.sum("c").cast("double")).alias("r")
         ).select(F.col("dst").alias("node"), "r")
-    return (
+    return release_with(
         ranks.select(
             "node", (F.floor(F.col("r") * 1e6 + 0.5) / 1e6).alias("rank_score")
         )
         .orderBy(F.col("rank_score").desc(), "node")
-        .limit(20)
+        .limit(20),
+        edges_deg,
     )
 
 
@@ -2979,7 +2985,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
         .distinct()
-        .persist()
+        .persist()  # read 3x by the self-joins; released with the result DF
     )
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
@@ -2990,9 +2996,12 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
-    return tri.crossJoin(
-        F.broadcast(edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
-    ).select("n_edges", "n_triangles")
+    return release_with(
+        tri.crossJoin(
+            F.broadcast(edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
+        ).select("n_edges", "n_triangles"),
+        edges,
+    )
 
 
 @query(
@@ -3108,7 +3117,7 @@ def bfs_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("c_node").alias("src"), F.col("s_node").alias("dst")
     ).unionAll(pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")))
-    edges = edges.persist()
+    edges = edges.persist()  # released with the result DF (release_with)
     seeds = (
         t["supplier"]
         .filter(F.col("s_suppkey") <= 2)
@@ -3128,12 +3137,13 @@ def bfs_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"), F.lit(hop).alias("dist"))
         )
         reached = reached.unionAll(frontier)
-    return (
+    return release_with(
         reached.groupBy("node")
         .agg(F.min("dist").alias("dist"))
         .groupBy("dist")
         .agg(bcount().alias("n_nodes"))
-        .orderBy("dist")
+        .orderBy("dist"),
+        edges,
     )
 
 
@@ -3208,7 +3218,7 @@ def triangle_degree_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
-        .persist()
+        .persist()  # released with the result DF (release_with)
     )
     e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
     tri = (
@@ -3219,9 +3229,12 @@ def triangle_degree_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
-    return tri.crossJoin(
-        F.broadcast(o.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
-    ).select("n_edges", "n_triangles")
+    return release_with(
+        tri.crossJoin(
+            F.broadcast(o.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")))
+        ).select("n_edges", "n_triangles"),
+        o,
+    )
 
 
 def _wpr_oracle(n_iter: int = 3) -> str:
@@ -3309,12 +3322,13 @@ def pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = contrib.groupBy("dst").agg(
             q9(F.lit(0.15) + F.lit(0.85) * F.sum("c").cast("double")).alias("r")
         ).select(F.col("dst").alias("node"), "r")
-    return (
+    return release_with(
         ranks.select(
             "node", (F.floor(F.col("r") * 1e6 + 0.5) / 1e6).alias("rank_score")
         )
         .orderBy(F.col("rank_score").desc(), "node")
-        .limit(20)
+        .limit(20),
+        edges_w,
     )
 
 
@@ -3443,11 +3457,12 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("r"),
             )
         )
-    return (
+    return release_with(
         ranks.filter(F.col("r") > 0)
         .select("node", (F.floor(F.col("r") * 1e6 + 0.5) / 1e6).alias("rank_score"))
         .orderBy(F.col("rank_score").desc(), "node")
-        .limit(20)
+        .limit(20),
+        edges_w,
     )
 
 
@@ -3499,7 +3514,7 @@ def bfs_2hop_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("c_node").alias("src"), F.col("s_node").alias("dst")
     ).unionAll(pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")))
-    edges = edges.persist()
+    edges = edges.persist()  # released with the result DF (release_with)
     frontier = (
         t["supplier"]
         .filter(F.col("s_suppkey") <= 2)
@@ -3521,8 +3536,9 @@ def bfs_2hop_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             visited.select("node"), "node", "left_anti"
         ).select("node", F.lit(hop).alias("dist"))
         visited = visited.unionAll(frontier)
-    return (
+    return release_with(
         visited.groupBy("dist")
         .agg(bcount().alias("n_nodes"))
-        .orderBy("dist")
+        .orderBy("dist"),
+        edges,
     )

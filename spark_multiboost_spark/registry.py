@@ -65,89 +65,93 @@ _QUERY_MODULES = [
 
 #: query-level window rotation.  The driver's correctness gate checks the
 #: FIRST ~50 registry entries each round, so these names are surfaced ahead
-#: of everything else.  Round-4 window = queries with no (or stale) hard
-#: driver evidence — streaming batch-equivalents, the D4/D5 text pipeline,
-#: D6 multimodal, the UDF surface, sources/sinks, the post-round-2 fixes
-#: (B28 map funcs, B10 as-of direction flip, de-vacuized anti/except/
-#: scalar-subquery) — plus three sentinels re-checking that the rounds-1/2
-#: green results still hold.  Names not listed keep registration order
-#: behind these; unknown names are ignored (module bring-up safety).
+#: of everything else.  Round-5 window (per VERDICT r4 item 1) = the
+#: never-driver-checked tail, packed with SQL-oracle queries: the
+#: PQ/quantized D3 family, the retrieval family (BM25/inverted-index/PMI/
+#: BPE), the graph family, TPC-H completions, lakehouse ops, and
+#: grouping-sets/percentiles/listagg — plus 3 fresh sentinels from the
+#: round-4 window and <=5 rows-only driver-execution slots.  Names not
+#: listed keep registration order behind these; unknown names are ignored
+#: (module bring-up safety).
 _PRIORITY = [
-    # sentinels (canaries for rounds 1-2 evidence)
-    "q_a5_stump_z",
-    "q_d3_topk_cosine",
-    "q_d1_exact_dedup",
-    # stale: code changed after the round-1 driver check
-    "q_b28_map_funcs",
-    "q_b10_asof_join",
-    "q_b08_anti_join",
-    "q_b22_except",
-    "q_b30_scalar_subquery",
-    # streaming batch-equivalents (C1-C3, C7) — never driver-checked
-    "q_c1_tumbling_window",
-    "q_c2_sliding_window",
-    "q_c3_session_window",
-    "q_c7_stream_static_join",
-    # D4 text pipeline
+    # sentinels (canaries: hash-green in the round-4 window)
     "q_d4_token_tf",
-    "q_d4_bigrams",
-    "q_d4_stopword_stats",
-    "q_d4_fingerprint",
-    "q_d4_regex_tokens",
-    "q_d4_tfidf",
-    "q_d4_sequence_pack",
-    "q_d4_train_split",
-    "q_d4_chunk_windows",
-    "q_d4_pack_manifest",
-    # D5 quality / language / mixing
-    "q_d5_source_stats",
-    "q_d5_langid",
-    "q_d5_quality_score",
-    "q_d5_repetition_score",
-    "q_d5_contamination",
-    "q_d5_mix_weights",
-    "q_d5_perplexity_proxy",
-    "q_d5_stratified_sample",
-    "q_comp_docpipe",
-    # D6 multimodal
-    "q_d6_binary_length",
-    "q_d6_binaryfile_source",
-    "q_d6_decode_features",
-    "q_d6_frame_sample",
-    "q_d6_embed_similarity",
-    # UDF surface (B35-B37)
     "q_b35_pandas_udf_token_count",
-    "q_b35_scalar_udf",
-    "q_b36_grouped_agg_udf",
-    "q_b36_apply_in_pandas",
-    "q_b37_udtf_tokens",
-    # sources and sinks (B1 text / B2 / B3)
-    "q_b02_csv_roundtrip",
-    "q_b02_json_roundtrip",
-    "q_b02_orc_roundtrip",
-    "q_b01_text_source",
-    "q_b03_partitioned_write",
-    "q_b03_bucketed_join",
-    "q_b03_range_sorted_write",
-    # streaming jobs (rows-only by contract)
-    "q_c4_watermark_tumbling",
-    "q_c5_stream_dedup",
-    # next in line if the window is wider than 50
-    "q_c6_stateful_sessions",
-    "q_c8_stream_stream_join",
-    "q_c9_streaming_similarity",
-    "q_c10_streaming_curation",
+    "q_c1_tumbling_window",
+    # PQ / quantized vector family — never driver-checked (verdict #1 pick)
+    "q_d3_pq_encode",
+    "q_d3_pq_adc_topk",
+    "q_d3_ivfpq_topk",
+    "q_d3_pq_recall",
+    "q_d3_ivfpq_residual_topk",
+    "q_d3_sq8_topk",
+    "q_d3_binary_hamming_topk",
+    "q_d3_bq_rerank_topk",
+    "q_d3_pq_packed_codes",
+    # retrieval family (BM25 / inverted index / PMI / BPE / bigram LM)
+    "q_d3_bm25_topk",
+    "q_d3_bm25_snippets",
+    "q_d3_query_expansion",
+    "q_d4_inverted_index",
+    "q_d4_pmi_cooccur",
+    "q_d4_bpe_pair_counts",
+    "q_d4_bpe_train",
+    "q_d5_bigram_lm_ppl",
+    # graph family
+    "q_ext_pagerank",
+    "q_ext_pagerank_weighted",
+    "q_ext_pagerank_personalized",
+    "q_ext_bfs_2hop",
+    "q_ext_bfs_2hop_pruned",
+    "q_ext_triangle_count",
+    "q_ext_triangle_degree_oriented",
+    "q_ext_skyline",
+    # TPC-H completions (Q4/Q9/Q12/Q15-Q17/Q19-Q21 shapes)
+    "q_comp_late_lines_by_flag",
+    "q_comp_dominant_suppliers",
+    "q_comp_waiting_orders",
+    "q_comp_order_priority_check",
+    "q_comp_profit_by_nation",
+    "q_comp_top_supplier",
+    "q_comp_parts_supplier_counts",
+    "q_comp_small_quantity_revenue",
+    "q_comp_disjunctive_revenue",
+    # lakehouse ops
+    "q_ext_upsert_scd1",
+    "q_ext_upsert_scd2",
+    "q_ext_ivm_merge",
+    "q_ext_snapshot_asof_read",
+    # SQL-surface stragglers
+    "q_b14_grouping_sets",
     "q_ext_percentiles",
     "q_ext_listagg",
-    "q_b14_grouping_sets",
-    "q_ext_dates",
+    "q_b23_collation_group",
+    "q_b31_recursive_cte",
+    "q_b30_lateral_topk",
+    # rows-only driver-execution slots (<=5 by verdict economics)
+    "q_c6_stateful_sessions",
+    "q_c16_query_progress",
+    "q_d4_heavy_hitters_mg",
+    "q_ext_hll_error_gauge",
+    "q_d7_estimator_end_to_end",
+    # next in line if the window is wider than 50 (all SQL first-timers)
+    "q_b05_null_safe_join",
+    "q_b18_range_interval_frame",
+    "q_b35_sql_udf",
+    "q_b37_sql_tvf",
+    "q_b37_udtf_polymorphic",
+    "q_d5_priority_sample",
+    "q_d5_term_scrub",
+    "q_d2_repeated_ngrams",
+    "q_d3_filtered_ann",
+    "q_a15_feature_importance",
+    "q_a17_freq_itemsets",
     "q_ext_funnel",
     "q_ext_cohort_retention",
+    "q_ext_dates",
     "q_ext_histogram",
     "q_ext_salted_join",
     "q_ext_gapfill_locf",
-    "q_ext_zorder_layout",
-    "q_ext_upsert_scd1",
 ]
 
 

@@ -717,8 +717,12 @@ def query_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         def onQueryProgress(self, event):
             p = event.progress
             state_rows = sum(s.numRowsTotal for s in p.stateOperators)
+            # record the source query id so events from any OTHER stream
+            # running (or draining asynchronously) in this session can be
+            # filtered out before the conservation check
             rows.append(
                 (
+                    str(p.id),
                     p.batchId,
                     int(p.numInputRows),
                     float(p.durationMs.get("triggerExecution", 0)),
@@ -747,6 +751,7 @@ def query_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
+        qid = str(q.id)
         finished = q.awaitTermination(300)
         if not finished:
             q.stop()
@@ -759,13 +764,14 @@ def query_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         deadline = _time.time() + 30
         stable, last = 0, -1
         while _time.time() < deadline and (stable < 2 or not rows):
-            cur = len(rows)
+            cur = sum(1 for r in rows if r[0] == qid)
             stable = stable + 1 if (cur == last and cur > 0) else 0
             last = cur
             _time.sleep(0.5)
     finally:
         spark.streams.removeListener(listener)
+    mine = sorted(r[1:] for r in rows if r[0] == qid)
     return spark.createDataFrame(
-        sorted(rows),
+        mine,
         "batch_id bigint, num_input_rows bigint, trigger_ms double, state_rows bigint",
     )
