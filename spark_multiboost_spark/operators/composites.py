@@ -2796,6 +2796,16 @@ def waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _node_label():
+    """Decode the int64 node id (c -> 2k, s -> 2k+1) back to the oracle's
+    string label ('c<custkey>' / 's<suppkey>') — only ever applied to the
+    final top-20 rows, never to a shuffled column."""
+    return F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.shiftright(F.col("node"), 1).cast("string"),
+    )
+
+
 def _pr_oracle(n_iter: int = 3) -> str:
     """Unrolled PageRank oracle: each iteration quantizes per-edge
     contributions at 9dp, decimal-sums them (order-independent), and
@@ -2872,8 +2882,11 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+            # int64 node ids (c -> 2k, s -> 2k+1): every shuffle/join below
+            # moves 8-byte keys, not strings; labels materialize only in the
+            # final (top-20 / per-dist) output
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
         )
         .distinct()
     )
@@ -2895,7 +2908,8 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.col("dst").alias("node"), "r")
     return release_with(
         ranks.select(
-            "node", (F.floor(F.col("r") * 1e6 + 0.5) / 1e6).alias("rank_score")
+            _node_label().alias("node"),
+            (F.floor(F.col("r") * 1e6 + 0.5) / 1e6).alias("rank_score"),
         )
         .orderBy(F.col("rank_score").desc(), "node")
         .limit(20),
@@ -3109,8 +3123,11 @@ def bfs_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+            # int64 node ids (c -> 2k, s -> 2k+1): every shuffle/join below
+            # moves 8-byte keys, not strings; labels materialize only in the
+            # final (top-20 / per-dist) output
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
         )
         .distinct()
     )
@@ -3122,7 +3139,7 @@ def bfs_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["supplier"]
         .filter(F.col("s_suppkey") <= 2)
         .select(
-            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"),
+            (F.col("s_suppkey") * 2 + 1).alias("node"),
             F.lit(0).alias("dist"),
         )
     )
@@ -3302,8 +3319,9 @@ def pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+            # int64 node ids (c -> 2k, s -> 2k+1) — see q_ext_pagerank
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
         )
         .agg(F.countDistinct("o_orderkey").cast("bigint").alias("w"))
     )
@@ -3324,7 +3342,8 @@ def pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.col("dst").alias("node"), "r")
     return release_with(
         ranks.select(
-            "node", (F.floor(F.col("r") * 1e6 + 0.5) / 1e6).alias("rank_score")
+            _node_label().alias("node"),
+            (F.floor(F.col("r") * 1e6 + 0.5) / 1e6).alias("rank_score"),
         )
         .orderBy(F.col("rank_score").desc(), "node")
         .limit(20),
@@ -3414,8 +3433,9 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+            # int64 node ids (c -> 2k, s -> 2k+1) — see q_ext_pagerank
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
         )
         .agg(F.countDistinct("o_orderkey").cast("bigint").alias("w"))
     )
@@ -3427,7 +3447,7 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = (
         t["supplier"]
         .filter(F.col("s_suppkey") <= 2)
-        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
     )
     n_seeds = seeds.count()  # scalar: 3 (bounded by the filter)
     seed_flag = seeds.withColumn("is_seed", F.lit(True))
@@ -3459,7 +3479,10 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return release_with(
         ranks.filter(F.col("r") > 0)
-        .select("node", (F.floor(F.col("r") * 1e6 + 0.5) / 1e6).alias("rank_score"))
+        .select(
+            _node_label().alias("node"),
+            (F.floor(F.col("r") * 1e6 + 0.5) / 1e6).alias("rank_score"),
+        )
         .orderBy(F.col("rank_score").desc(), "node")
         .limit(20),
         edges_w,
@@ -3506,8 +3529,11 @@ def bfs_2hop_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c_node"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s_node"),
+            # int64 node ids (c -> 2k, s -> 2k+1): every shuffle/join below
+            # moves 8-byte keys, not strings; labels materialize only in the
+            # final (top-20 / per-dist) output
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
         )
         .distinct()
     )
@@ -3519,7 +3545,7 @@ def bfs_2hop_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["supplier"]
         .filter(F.col("s_suppkey") <= 2)
         .select(
-            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"),
+            (F.col("s_suppkey") * 2 + 1).alias("node"),
             F.lit(0).alias("dist"),
         )
     )
