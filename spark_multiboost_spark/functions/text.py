@@ -1930,3 +1930,96 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = {t: c - cut for t, c in merged.items() if c - cut > 0}
     out = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
     return d.sparkSession.createDataFrame(out, "token string, est_count bigint")
+
+
+SS_K = 30  # same counter budget as Misra-Gries for a like-for-like profile
+SS_SHARDS = 8
+
+
+def _ss_summary(pdf):
+    """Space-Saving (stream-summary) over one shard's token stream
+    (Metwally-Agrawal-El Abbadi 2005): when a new token arrives with all k
+    counters taken, it EVICTS the minimum counter and inherits its count+1
+    with error = that minimum — unlike Misra-Gries, counters OVERestimate
+    (cnt <= true + err, true <= cnt) and the summary always holds exactly
+    k candidates.  Deterministic eviction: among minimum-count counters
+    the lexicographically largest token is evicted (ties broken without
+    insertion-order state), and the shard is sorted by (doc_id, pos)
+    first so the stream order is layout-independent."""
+    import pandas as _pd
+
+    pdf = pdf.sort_values(["doc_id", "pos"], kind="mergesort")
+    counters: dict[str, int] = {}
+    errors: dict[str, int] = {}
+    for tok in pdf["token"]:
+        if tok in counters:
+            counters[tok] += 1
+        elif len(counters) < SS_K:
+            counters[tok] = 1
+            errors[tok] = 0
+        else:
+            mn = min(counters.values())
+            victim = max(t for t, c in counters.items() if c == mn)
+            del counters[victim]
+            errors.pop(victim, None)
+            counters[tok] = mn + 1
+            errors[tok] = mn
+    g = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+    return _pd.DataFrame(
+        {
+            "shard": g,
+            "token": list(counters),
+            "cnt": [counters[t] for t in counters],
+            "err": [errors[t] for t in counters],
+        }
+    )
+
+
+@query("q_d4_heavy_hitters_ss", oracle=None, group="D")
+def heavy_hitters_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): SPACE-SAVING heavy hitters — the stream-summary
+    alternative to q_d4_heavy_hitters_mg.  Misra-Gries decrements (under-
+    estimates, may hold < k candidates); Space-Saving evicts-and-inherits
+    (overestimates, always holds exactly k) and additionally carries a
+    per-counter ERROR bound, so each report row is a certified interval
+    [cnt - err, cnt] for the true count — the property production top-k
+    monitors (frequent-item dashboards, hot-key detectors) rely on to
+    declare "guaranteed top-k" prefixes.
+
+    Same mergeable-summaries shape as MG: one summary per doc_id-pinned
+    shard via applyInPandas (order made deterministic by an in-shard sort),
+    counter-wise sum + error-wise sum on merge (Agarwal et al. 2012 —
+    merged error bounds add), then trimmed to the k largest.  Rows-only by
+    contract (eviction order is not SQL-expressible);
+    tests/test_pipeline_ops.py asserts the interval guarantee
+    cnt - err <= true <= cnt per surviving token and the top-hitter
+    superset vs exact counts.
+    """
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        d.select(
+            "doc_id",
+            (F.col("doc_id") % SS_SHARDS).cast("int").alias("shard"),
+            F.posexplode(F.split("text", " ")).alias("pos", "token"),
+        )
+        .filter(F.length("token") > 0)
+    )
+    summaries = toks.groupBy("shard").applyInPandas(
+        _ss_summary, schema="shard int, token string, cnt long, err long"
+    )
+    rows = summaries.collect()  # bounded: SS_SHARDS x SS_K rows
+    cnt: dict[str, int] = {}
+    err: dict[str, int] = {}
+    for r in rows:
+        cnt[r["token"]] = cnt.get(r["token"], 0) + int(r["cnt"])
+        err[r["token"]] = err.get(r["token"], 0) + int(r["err"])
+    # merge semantics: counter-wise and error-wise sums.  The certified
+    # interval cnt - err <= true <= cnt holds per shard unconditionally and
+    # for the MERGED row whenever the token appears in every shard summary
+    # (a token evicted from some shard may hide occurrences there); genuine
+    # heavy hitters survive in all shards, which is what the test asserts
+    keep = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:SS_K]
+    out = [(t, c, err[t]) for t, c in keep]
+    return d.sparkSession.createDataFrame(
+        out, "token string, est_count bigint, err bigint"
+    )

@@ -3568,3 +3568,277 @@ def bfs_2hop_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist"),
         edges,
     )
+
+
+def _msppr_oracle(n_iter: int = 3) -> str:
+    """Multi-seed PPR oracle: one restart vector PER seed supplier (seed_id
+    dimension carried through every CTE), same 9dp-quantize -> decimal-sum
+    -> 9dp-requantize discipline as :func:`_ppr_oracle`."""
+    parts = [
+        """
+WITH pw AS (
+  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c_node,
+         's' || CAST(l_suppkey AS VARCHAR) AS s_node,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT c_node AS src, s_node AS dst, w FROM pw
+  UNION ALL
+  SELECT s_node AS src, c_node AS dst, w FROM pw
+), outw AS (
+  SELECT src, SUM(w) AS tw FROM edges GROUP BY src
+), seeds AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS seed_id,
+         's' || CAST(s_suppkey AS VARCHAR) AS seed_node
+  FROM supplier WHERE s_suppkey <= 2
+), r0 AS (
+  SELECT s.seed_id, o.src AS node,
+         CASE WHEN o.src = s.seed_node THEN 1.0 ELSE 0.0 END AS r
+  FROM outw o CROSS JOIN seeds s
+)"""
+    ]
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", it{i} AS (
+  SELECT s.seed_id, o.src AS node,
+         FLOOR((0.15 * (CASE WHEN o.src = s.seed_node THEN 1.0 ELSE 0.0 END)
+                + 0.85 * COALESCE(agg.m, 0.0)) * 1e9 + 0.5) / 1e9 AS r
+  FROM outw o
+  CROSS JOIN seeds s
+  LEFT JOIN (
+    SELECT r.seed_id, e.dst AS node,
+           CAST(SUM(CAST(FLOOR(r.r * e.w / ow.tw * 1e9 + 0.5) / 1e9
+                         AS DECIMAL(18,9))) AS DOUBLE) AS m
+    FROM edges e
+    JOIN outw ow ON e.src = ow.src
+    JOIN {prev} r ON r.node = e.src
+    GROUP BY r.seed_id, e.dst
+  ) agg ON agg.node = o.src AND agg.seed_id = s.seed_id
+)"""
+        )
+        prev = f"it{i}"
+    parts.append(
+        f""", scored AS (
+  SELECT seed_id, node, FLOOR(r * 1e6 + 0.5) / 1e6 AS rank_score
+  FROM {prev} WHERE r > 0
+), ranked AS (
+  SELECT seed_id, node, rank_score,
+         ROW_NUMBER() OVER (
+           PARTITION BY seed_id ORDER BY rank_score DESC, node) AS rk
+  FROM scored
+)
+SELECT seed_id, CAST(rk AS BIGINT) AS rk, node, rank_score
+FROM ranked WHERE rk <= 5
+ORDER BY seed_id, rk"""
+    )
+    return "".join(parts)
+
+
+@query("q_ext_ppr_multiseed", oracle=_msppr_oracle(), group="B")
+def ppr_multiseed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family (cont.): BATCHED multi-seed Personalized PageRank — one
+    restart vector PER seed (suppliers 0-2), all three walks advanced by a
+    SINGLE edge scan per iteration.  This is the shape the single-seed
+    docstring promised for 100 TB: PPR for many seed sets is a
+    (node, seed_id) rank matrix; the per-seed columns ride the same
+    edges-join, so K seed sets cost one extra groupBy key, not K edge
+    scans.  Real deployments batch thousands of seeds this way (Pixie-style
+    recommendation walks); the per-iteration state is |nodes| x |seeds| —
+    still node-sized per seed, never edge-sized.
+
+    Same int64 node encoding as q_ext_pagerank (labels decoded only for
+    the final top-5-per-seed report) and the same 9dp-per-iteration parity
+    discipline, extended with the seed_id grouping key.  Top-5 per seed via
+    rank window (count desc tie-broken on the string label, matching the
+    oracle's ORDER BY)."""
+    t = load_tables(spark, sf_dir)
+    pw = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .agg(F.countDistinct("o_orderkey").cast("bigint").alias("w"))
+    )
+    edges = pw.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w"
+    ).unionAll(pw.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"), "w"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
+    edges_w = edges.join(outw, "src").persist()
+    seeds = (
+        t["supplier"]
+        .filter(F.col("s_suppkey") <= 2)
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("seed_id"),
+            (F.col("s_suppkey") * 2 + 1).alias("seed_node"),
+        )
+    )
+    base = outw.select(F.col("src").alias("node")).crossJoin(F.broadcast(seeds))
+    q9 = lambda c: F.floor(c * 1e9 + 0.5) / 1e9  # noqa: E731
+    ind = F.when(F.col("node") == F.col("seed_node"), F.lit(1.0)).otherwise(F.lit(0.0))
+    ranks = base.select("seed_id", "node", ind.alias("r"))
+    for _ in range(3):
+        contrib = edges_w.join(ranks, edges_w["src"] == ranks["node"]).select(
+            F.col("seed_id"),
+            F.col("dst"),
+            q9(F.col("r") * F.col("w") / F.col("tw")).cast("decimal(18,9)").alias("c"),
+        )
+        agg = contrib.groupBy("seed_id", "dst").agg(
+            F.sum("c").cast("double").alias("m")
+        ).select(F.col("seed_id").alias("a_seed"), F.col("dst").alias("a_node"), "m")
+        ranks = (
+            base.join(
+                agg,
+                (base["node"] == agg["a_node"]) & (base["seed_id"] == agg["a_seed"]),
+                "left",
+            )
+            .select(
+                "seed_id",
+                "node",
+                q9(
+                    F.lit(0.15) * ind
+                    + F.lit(0.85) * F.coalesce(F.col("m"), F.lit(0.0))
+                ).alias("r"),
+            )
+            # seed_node must survive for the next round's indicator
+            .join(F.broadcast(seeds), "seed_id")
+        )
+    wnd = Window.partitionBy("seed_id").orderBy(F.col("rank_score").desc(), "node")
+    return release_with(
+        ranks.filter(F.col("r") > 0)
+        .select(
+            "seed_id",
+            _node_label().alias("node"),
+            (F.floor(F.col("r") * 1e6 + 0.5) / 1e6).alias("rank_score"),
+        )
+        .withColumn("rk", F.row_number().over(wnd).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .select("seed_id", "rk", "node", "rank_score")
+        .orderBy("seed_id", "rk"),
+        edges_w,
+    )
+
+
+def _onion_oracle(n_rounds: int = 3) -> str:
+    """Onion-decomposition oracle: unrolled peel rounds, all-integer (no
+    float anywhere), NOT IN sub-selects for removal — the naive spec the
+    two-stage Spark plan must reproduce exactly."""
+    parts = [
+        """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), e0 AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL SELECT s_node, c_node FROM pairs
+), n0 AS (SELECT DISTINCT src AS node FROM e0)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        parts.append(
+            f""", d{r} AS (
+  SELECT n.node, CAST(COALESCE(c.c, 0) AS BIGINT) AS d
+  FROM n{p} n LEFT JOIN (SELECT src, COUNT(*) AS c FROM e{p} GROUP BY src) c
+    ON c.src = n.node
+), m{r} AS (SELECT MIN(d) AS min_d FROM d{r}
+), rm{r} AS (SELECT node FROM d{r}, m{r} WHERE d = min_d
+), n{r} AS (
+  SELECT node FROM n{p} WHERE node NOT IN (SELECT node FROM rm{r})
+), e{r} AS (
+  SELECT src, dst FROM e{p}
+  WHERE src NOT IN (SELECT node FROM rm{r})
+    AND dst NOT IN (SELECT node FROM rm{r})
+)"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"""SELECT {r} AS round,
+       (SELECT CAST(min_d AS BIGINT) FROM m{r}) AS min_degree,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM rm{r}) AS n_removed,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM n{r}) AS n_remaining"""
+        for r in range(1, n_rounds + 1)
+    )
+    parts.append(f"\n{sel}\nORDER BY round")
+    return "".join(parts)
+
+
+@query("q_ext_onion_layers", oracle=_onion_oracle(), group="B")
+def onion_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family (cont.): ONION DECOMPOSITION — repeatedly strip the
+    current minimum-degree nodes (3 unrolled peel rounds), reporting per
+    round the peeled degree, how many nodes fell, and how many remain.
+    This is the round-structure of k-core/degeneracy computation
+    (Batagelj-Zaversnik): k-core = keep peeling while min-degree < k; the
+    onion layers are its per-round trace and the standard graph-shape
+    profile (core depth reveals hub structure that degree histograms hide).
+
+    Plan shape per round: degree = one count-agg over the (cached,
+    shrinking) edge list; the min is a 1-row agg broadcast back (never a
+    partition-less window); removal is two anti-joins (src and dst side).
+    Node set is tracked explicitly so isolated nodes (degree 0 after their
+    neighbors fell) peel correctly in a later round.  All-integer — no
+    float tolerance anywhere.  At 100 TB each round is one agg + two
+    hash anti-joins on the shrinking edge set, and real deployments peel
+    many degrees per round (bucket peeling) to bound round count; per-round
+    caches release with the result (plans.release_with).
+    """
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .distinct()
+    )
+    # localCheckpoint (NOT persist) per round: every frame below is referenced
+    # by MULTIPLE downstream branches, and without lineage truncation the
+    # logical plan tree duplicates each round's subtree per reference —
+    # exponential in rounds (the un-truncated version OOM'd the driver just
+    # generating the plan STRING).  Checkpointed state is small (node- and
+    # edge-sized ints); blocks are ContextCleaner-reclaimed with the result.
+    g = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionAll(
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+    ).localCheckpoint(eager=True)
+    nodes = g.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    rows = []
+    for r in (1, 2, 3):
+        # deg/removed stay LAZY: their subtrees are constant-size scans of
+        # the checkpointed g/nodes leaves, so the 4 downstream references
+        # duplicate only a shallow tree (re-executing a filter over an
+        # in-memory scan is cheaper than an extra eager checkpoint job)
+        deg = (
+            nodes.join(
+                g.groupBy("src").agg(F.count(F.lit(1)).alias("c")),
+                nodes["node"] == F.col("src"),
+                "left",
+            )
+            .select("node", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("d"))
+        )
+        mind = deg.agg(F.min("d").alias("min_d"))
+        removed = (
+            deg.crossJoin(F.broadcast(mind))
+            .filter(F.col("d") == F.col("min_d"))
+            .select("node")
+        )
+        new_nodes = nodes.join(removed, "node", "left_anti").localCheckpoint(eager=True)
+        new_g = (
+            g.join(removed.select(F.col("node").alias("src")), "src", "left_anti")
+            .join(removed.select(F.col("node").alias("dst")), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        rows.append(
+            mind.crossJoin(removed.agg(bcount().alias("n_removed")))
+            .crossJoin(new_nodes.agg(bcount().alias("n_remaining")))
+            .select(
+                F.lit(r).cast("bigint").alias("round"),
+                F.col("min_d").cast("bigint").alias("min_degree"),
+                "n_removed",
+                "n_remaining",
+            )
+        )
+        nodes, g = new_nodes, new_g
+    return rows[0].unionAll(rows[1]).unionAll(rows[2]).orderBy("round")

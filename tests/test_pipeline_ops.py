@@ -388,3 +388,47 @@ def test_triangle_orientations_agree(spark, sf_dir):
     )
     assert t1["n_triangles"] == t2["n_triangles"]
     assert t1["n_edges"] == t2["n_edges"]  # same undirected edge set
+
+
+def test_ss_heavy_hitters_interval(spark, sf_dir):
+    """Space-Saving certified interval: for every reported token that
+    appears in ALL shard summaries (i.e. was never evicted anywhere —
+    true for genuine heavy hitters), cnt - err <= true <= cnt after the
+    counter-wise merge; and the exact top-5 tokens must all be reported."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from spark_multiboost_spark.functions.text import SS_SHARDS, _ss_summary
+    from spark_multiboost_spark.registry import all_queries
+    from spark_multiboost_spark.session import load_tables
+
+    rep = all_queries()["q_d4_heavy_hitters_ss"].fn(spark, sf_dir).toPandas()
+    assert len(rep) > 0
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        d.select(
+            "doc_id",
+            (F.col("doc_id") % SS_SHARDS).cast("int").alias("shard"),
+            F.posexplode(F.split("text", " ")).alias("pos", "token"),
+        )
+        .filter(F.length("token") > 0)
+        .toPandas()
+    )
+    exact = toks.groupby("token").size()
+    # which tokens survive in every shard summary?
+    per_shard = [
+        set(_ss_summary(g)["token"]) for _, g in toks.groupby("shard")
+    ]
+    everywhere = set.intersection(*per_shard)
+    checked = 0
+    for _, r in rep.iterrows():
+        if r["token"] in everywhere:
+            true = int(exact.get(r["token"], 0))
+            assert true <= int(r["est_count"]), (r["token"], true, r["est_count"])
+            assert int(r["est_count"]) - int(r["err"]) <= true, (
+                r["token"], true, r["est_count"], r["err"],
+            )
+            checked += 1
+    assert checked > 0, "no token survived in all shards — retune SS_K"
+    top5 = set(exact.sort_values(ascending=False).head(5).index)
+    assert top5 <= set(rep["token"]), f"missing exact top-5: {top5 - set(rep['token'])}"
