@@ -442,3 +442,17 @@ def test_skyline_no_quadratic_probe(spark, sf_dir):
     plan = _plan(spark, "q_ext_skyline", sf_dir)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round7_graph_plans(spark, sf_dir):
+    """Round-7 graph additions: the multi-seed PPR iteration joins and the
+    onion anti-joins must stay equi-joins; the only tolerated nested loops
+    are broadcast attaches of model-sized frames (the 3-row seed table /
+    1-row min-degree scalar)."""
+    for name in ["q_ext_ppr_multiseed", "q_ext_onion_layers"]:
+        plan = _plan(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        # every nested-loop must be the broadcast flavor (bounded side)
+        import re
+
+        assert not re.search(r"(?<!Broadcast)NestedLoopJoin", plan), name
