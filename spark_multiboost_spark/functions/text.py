@@ -2023,3 +2023,110 @@ def heavy_hitters_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.sparkSession.createDataFrame(
         out, "token string, est_count bigint, err bigint"
     )
+
+
+def _coverage_oracle(n_picks: int = 3) -> str:
+    """Greedy set-cover oracle: unrolled pick rounds over the distinct
+    (doc, 3-shingle) relation.  Marginal gain = shingles not yet covered;
+    argmax tiebreaks (gain DESC, doc_id ASC) exactly as the Spark loop."""
+    parts = [
+        """
+WITH docs AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM docs, UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS g(i)
+)"""
+    ]
+    prev_cov = None
+    for r in range(1, n_picks + 1):
+        not_cov = f"AND sh NOT IN (SELECT sh FROM cov{r-1})" if prev_cov else ""
+        parts.append(
+            f""", gains{r} AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS gain
+  FROM sh WHERE 1=1 {not_cov}
+  GROUP BY doc_id
+), pick{r} AS (
+  SELECT doc_id, gain FROM gains{r} ORDER BY gain DESC, doc_id LIMIT 1
+), cov{r} AS (
+  SELECT DISTINCT sh FROM sh
+  WHERE doc_id IN (SELECT doc_id FROM pick{"1" if r == 1 else str(r)})
+  {f"UNION SELECT sh FROM cov{r-1}" if prev_cov else ""}
+)"""
+        )
+        prev_cov = f"cov{r}"
+    sel = "\nUNION ALL ".join(
+        f"""SELECT {r} AS pick_round, (SELECT doc_id FROM pick{r}) AS doc_id,
+       (SELECT gain FROM pick{r}) AS gain,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cov{r}) AS covered_total"""
+        for r in range(1, n_picks + 1)
+    )
+    parts.append(f"\n{sel}\nORDER BY pick_round")
+    return "".join(parts)
+
+
+@query("q_d5_coverage_select", oracle=_coverage_oracle(), group="D")
+def coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): COVERAGE-BASED CORPUS SELECTION — greedy weighted
+    set-cover over word 3-shingles: each of 3 rounds picks the document
+    with the largest MARGINAL coverage gain (shingles no already-selected
+    doc contains), the classic (1 - 1/e)-approximate submodular selection
+    that diversity-driven data curation uses to squeeze a coverage budget
+    (facility-location / MMR family).  Output: per pick round, the chosen
+    doc, its marginal gain, and cumulative distinct shingles covered.
+
+    Shape: the (doc, shingle) relation builds once; each round is one
+    anti-join against the covered-shingle set + a count-per-doc agg + a
+    1-row driver fetch of the argmax (bounded, same pattern as BPE's
+    winning pair).  The covered set localCheckpoints per round — it is
+    shingle-vocabulary-sized, and the anti-join against it broadcasts at
+    any corpus scale since only SELECTED docs' shingles enter it (picks x
+    doc-length rows after 3 rounds).  At 100 TB the greedy loop batches
+    (pick top-B per round — "lazy greedy" — instead of top-1) to cut
+    round count; the marginal-gain agg shape is unchanged."""
+    d = load_tables(spark, sf_dir)["documents"]
+    w = F.split("text", " ")
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                # guard: F.sequence(1, 0) yields a DESCENDING [1, 0], not an
+                # empty array — docs under 3 words must map to [] explicitly
+                F.when(
+                    F.size(w) >= 3,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(w, i),
+                            F.element_at(w, i + 1),
+                            F.element_at(w, i + 2),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("sh"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # built once, scanned every round
+    )
+    covered = None
+    picks = []
+    total = 0
+    for r in (1, 2, 3):
+        cand = sh if covered is None else sh.join(covered, "sh", "left_anti")
+        top = (
+            cand.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
+            .orderBy(F.col("gain").desc(), "doc_id")
+            .limit(1)
+            .collect()[0]
+        )
+        total += int(top["gain"])
+        picks.append((r, int(top["doc_id"]), int(top["gain"]), total))
+        newly = sh.filter(F.col("doc_id") == top["doc_id"]).select("sh")
+        covered = (
+            newly if covered is None else covered.unionAll(newly)
+        ).distinct().localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        picks, "pick_round bigint, doc_id bigint, gain bigint, covered_total bigint"
+    ).orderBy("pick_round")

@@ -3842,3 +3842,194 @@ def onion_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         nodes, g = new_nodes, new_g
     return rows[0].unionAll(rows[1]).unionAll(rows[2]).orderBy("round")
+
+
+_SIMRANK_ORACLE = """
+WITH nbr AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey AS c
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), deg AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM nbr GROUP BY s
+), inter AS (
+  SELECT a.s AS s_a, b.s AS s_b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM nbr a JOIN nbr b ON a.c = b.c AND a.s < b.s
+  GROUP BY a.s, b.s
+), scored AS (
+  SELECT i.s_a, i.s_b, i.common, da.d AS deg_a, db.d AS deg_b,
+         FLOOR(0.8 * i.common / (da.d * db.d) * 1e6 + 0.5) / 1e6 AS simrank1
+  FROM inter i JOIN deg da ON da.s = i.s_a JOIN deg db ON db.s = i.s_b
+)
+SELECT s_a, s_b, common, deg_a, deg_b, simrank1
+FROM scored
+ORDER BY simrank1 DESC, s_a, s_b
+LIMIT 20
+"""
+
+
+@query("q_ext_simrank1", oracle=_SIMRANK_ORACLE, group="B")
+def simrank1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family (cont.): first-iteration SimRank over supplier pairs —
+    s1(a,b) = C · |N(a) ∩ N(b)| / (|N(a)|·|N(b)|) with C = 0.8 and N(s) =
+    the supplier's distinct customer neighborhood in the trade graph
+    (SimRank's "similar if referenced by similar" recurrence, truncated at
+    depth 1 where it reduces to normalized co-citation — Jeh & Widom 2002
+    §4.1).  Top-20 most-similar supplier pairs, a recommendation / entity-
+    resolution primitive.
+
+    Plan shape: the pairwise state SimRank is infamous for (|V|² scores)
+    never materializes — pairs are generated ONLY through the common-
+    neighbor equi-join on customer (c = c, a < b for each unordered pair
+    once), so the join output is Σ_c deg(c)² wedge rows, aggregated
+    map-side into per-pair counts.  At 100 TB: hub customers dominate the
+    wedge count — cap or sample mega-degree hubs (the standard SimRank-on-
+    MapReduce mitigation) and salt the (s_a, s_b) aggregation; full
+    multi-iteration SimRank batches exactly like q_ext_ppr_multiseed
+    (scores ride the same edge scan with a pair key).
+
+    Integer-exact inputs (common, degrees are BIGINT counts); the single
+    division quantizes at 6dp once, identically in both engines."""
+    t = load_tables(spark, sf_dir)
+    nbr = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    deg = nbr.groupBy("s").agg(bcount().alias("d"))
+    a = nbr.select(F.col("s").alias("s_a"), "c")
+    b = nbr.select(F.col("s").alias("s_b"), "c")
+    inter = (
+        a.join(b, "c")
+        .filter(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(bcount().alias("common"))
+    )
+    da = deg.select(F.col("s").alias("s_a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("s").alias("s_b"), F.col("d").alias("deg_b"))
+    return (
+        inter.join(F.broadcast(da), "s_a")
+        .join(F.broadcast(db), "s_b")
+        .select(
+            "s_a",
+            "s_b",
+            "common",
+            "deg_a",
+            "deg_b",
+            (
+                F.floor(
+                    F.lit(0.8) * F.col("common") / (F.col("deg_a") * F.col("deg_b"))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("simrank1"),
+        )
+        .orderBy(F.col("simrank1").desc(), "s_a", "s_b")
+        .limit(20)
+    )
+
+
+KCORE_K = 10
+
+
+def _kcore_oracle(n_rounds: int = 3, k: int = KCORE_K) -> str:
+    """Bucketed k-core oracle: each unrolled round peels EVERY node whose
+    current degree is below k (not just the minimum layer), the
+    Batagelj-Zaversnik bulk step.  All-integer."""
+    parts = [
+        """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), e0 AS (
+  SELECT c_node AS src, s_node AS dst FROM pairs
+  UNION ALL SELECT s_node, c_node FROM pairs
+), n0 AS (SELECT DISTINCT src AS node FROM e0)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        parts.append(
+            f""", d{r} AS (
+  SELECT n.node, CAST(COALESCE(c.c, 0) AS BIGINT) AS d
+  FROM n{p} n LEFT JOIN (SELECT src, COUNT(*) AS c FROM e{p} GROUP BY src) c
+    ON c.src = n.node
+), rm{r} AS (SELECT node FROM d{r} WHERE d < {k}
+), n{r} AS (
+  SELECT node FROM n{p} WHERE node NOT IN (SELECT node FROM rm{r})
+), e{r} AS (
+  SELECT src, dst FROM e{p}
+  WHERE src NOT IN (SELECT node FROM rm{r})
+    AND dst NOT IN (SELECT node FROM rm{r})
+)"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"""SELECT {r} AS peel_round,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM rm{r}) AS n_removed,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM n{r}) AS n_remaining,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) AS n_edges"""
+        for r in range(1, n_rounds + 1)
+    )
+    parts.append(f"\n{sel}\nORDER BY peel_round")
+    return "".join(parts)
+
+
+@query("q_ext_kcore_bucketed", oracle=_kcore_oracle(), group="B")
+def kcore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph family (cont.): BUCKETED k-core peeling (k = 10) — each round
+    removes EVERY node below the threshold at once (Batagelj-Zaversnik
+    bulk step), the production complement to q_ext_onion_layers' one-
+    degree-at-a-time trace: bulk rounds converge in O(diameter)-ish
+    rounds instead of O(degrees), which is what makes k-core tractable on
+    100 TB graphs (each round = one degree agg + two anti-joins, round
+    count stays single-digit).  Cascades are the point: stripping round
+    1's weak nodes drops neighbors' degrees, so rounds 2-3 peel nodes
+    that looked safe before — n_removed may legitimately reach 0 once the
+    k-core stabilizes (the fixpoint IS the k-core).
+
+    Same per-round localCheckpoint discipline as onion_layers (multi-
+    branch iterative lineage otherwise goes exponential in the plan
+    tree); same all-integer output (no float tolerance anywhere)."""
+    t = load_tables(spark, sf_dir)
+    pairs = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .distinct()
+    )
+    g = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionAll(
+        pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
+    ).localCheckpoint(eager=True)
+    nodes = g.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    rows = []
+    for r in (1, 2, 3):
+        deg = (
+            nodes.join(
+                g.groupBy("src").agg(F.count(F.lit(1)).alias("c")),
+                nodes["node"] == F.col("src"),
+                "left",
+            )
+            .select("node", F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("d"))
+        )
+        removed = deg.filter(F.col("d") < KCORE_K).select("node")
+        new_nodes = nodes.join(removed, "node", "left_anti").localCheckpoint(eager=True)
+        new_g = (
+            g.join(removed.select(F.col("node").alias("src")), "src", "left_anti")
+            .join(removed.select(F.col("node").alias("dst")), "dst", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        rows.append(
+            removed.agg(bcount().alias("n_removed"))
+            .crossJoin(new_nodes.agg(bcount().alias("n_remaining")))
+            .crossJoin(new_g.agg(bcount().alias("n_edges")))
+            .select(
+                F.lit(r).cast("bigint").alias("peel_round"),
+                "n_removed",
+                "n_remaining",
+                "n_edges",
+            )
+        )
+        nodes, g = new_nodes, new_g
+    return rows[0].unionAll(rows[1]).unionAll(rows[2]).orderBy("peel_round")
