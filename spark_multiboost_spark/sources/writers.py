@@ -199,13 +199,21 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_b01_zonemap_skip", oracle=None, group="B")
 def zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B1 (cont.): ZONE-MAP (file-stats) SKIPPING report — the data-layout
-    audit behind partition/file pruning.  Lineitem is written range-
-    partitioned on l_shipdate (q_b03's layout); this job reads the files
-    back, computes each file's (min, max) of the sort key via
+    audit behind partition/file pruning.  Lineitem is written bucketed by
+    VALUE on the time key (date_trunc('quarter') — an Iceberg-style
+    partition transform, one file per quarter); this job reads the files
+    back, computes each file's (min, max) of the key via
     input_file_name(), and reports how many files a typical time-slice
     predicate can skip WITHOUT reading them.  On a lake this is exactly
     what the parquet footer stats / Iceberg manifest give the planner —
     the report quantifies whether the layout actually clusters the key.
+
+    Value-based buckets, NOT repartitionByRange: range boundaries come
+    from reservoir sampling with a per-run seed, so the file layout (and
+    with it this audit's counts) was nondeterministic run-to-run — the
+    round-7 stability sweep caught exactly that.  date_trunc buckets are
+    pure map-side expressions, deterministic at any scale, and what real
+    partition transforms use.
 
     Scale: one pass to build the per-file stats (tiny table: one row per
     file), the skip accounting is arithmetic over it."""
@@ -213,10 +221,17 @@ def zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.mkdtemp(prefix="smb_zone_"), "li_ranged")
     (
         t["lineitem"]
-        .select("l_orderkey", "l_shipdate", "l_extendedprice")
-        .repartitionByRange(8, "l_shipdate")
-        .sortWithinPartitions("l_shipdate")
+        .select(
+            "l_orderkey",
+            "l_shipdate",
+            "l_extendedprice",
+            F.date_trunc("quarter", "l_shipdate").alias("q"),
+        )
+        # hash-repartition ON the bucket value: every row of a quarter lands
+        # in one task, so partitionBy writes exactly one file per quarter
+        .repartition(F.col("q"))
         .write.mode("overwrite")
+        .partitionBy("q")
         .parquet(path)
     )
     back = spark.read.parquet(path)
