@@ -1759,29 +1759,14 @@ SELECT * FROM (
 )
 
 
-@query("q_d4_bpe_train", oracle=_BPE_ORACLE, group="D")
-def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D4 (cont.): BPE TOKENIZER TRAINING — three merge rounds of the
-    actual byte-pair-encoding algorithm (Sennrich et al. 2016), unrolled
-    as DataFrame lineage the way q_ext_pagerank unrolls its fixpoint.
-    q_d4_bpe_pair_counts counts ONE round's candidates; this TRAINS:
-    select the most frequent adjacent symbol pair (count desc, then
-    lexicographic — the deterministic tiebreak real trainers use), apply
-    the merge to the dictionary, recount, repeat.
-
-    The merge step is where naive implementations go quadratic: this one
-    marks merge sites with LAG/LEAD windows (partner rows drop, merged
-    rows concatenate) and renumbers with ROW_NUMBER — three window passes
-    over a VOCABULARY-sized symbol table, never the corpus.  Self-pairs
-    (a = b) are excluded so left-to-right non-overlap semantics reduce to
-    position-independent marking (no sequential scan needed; see the
-    WHERE sym <> nxt filter — the standard distributed-BPE trick).
-
-    Scale shape: the corpus is touched ONCE (tokenize + word-count, the
-    persisted t0); every round after that runs on the distinct-word
-    dictionary (Zipf: ~10^6 rows at any corpus size), so training cost is
-    independent of corpus bytes beyond the first scan.  The 1-row top-pair
-    DF broadcast-attaches per round (the tolerated scalar nested loop)."""
+def _bpe_merge_rounds(spark: SparkSession, sf_dir: str, apply_last: bool):
+    """Shared BPE merge loop (see q_d4_bpe_train's docstring for the
+    algorithm and scale shape).  Returns ``(merges, t)`` where ``merges``
+    is [(round, sym_a, sym_b, pair_count)] and ``t`` is the PERSISTED
+    symbol dictionary after the applied merges — the caller must
+    unpersist it (or hand it to release_with).  ``apply_last`` controls
+    whether round 3's winning merge is applied (encoding needs the fully
+    merged dictionary; training only reports the winner)."""
     d = load_tables(spark, sf_dir)["documents"]
     words = (
         d.select(F.explode(F.split("text", " ")).alias("word"))
@@ -1814,8 +1799,8 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()[0]
         )
         merges.append((r, top["a"], top["b"], int(top["cnt"])))
-        if r == 3:
-            break  # last round only reports its winner; no merge to apply
+        if r == 3 and not apply_last:
+            break  # training only reports round 3's winner
         m = t.select(
             "word",
             "n",
@@ -1850,6 +1835,33 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         nt.count()  # materialize before dropping the parent cache
         t.unpersist()
         t = nt
+    return merges, t
+
+
+@query("q_d4_bpe_train", oracle=_BPE_ORACLE, group="D")
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): BPE TOKENIZER TRAINING — three merge rounds of the
+    actual byte-pair-encoding algorithm (Sennrich et al. 2016), unrolled
+    as DataFrame lineage the way q_ext_pagerank unrolls its fixpoint.
+    q_d4_bpe_pair_counts counts ONE round's candidates; this TRAINS:
+    select the most frequent adjacent symbol pair (count desc, then
+    lexicographic — the deterministic tiebreak real trainers use), apply
+    the merge to the dictionary, recount, repeat.
+
+    The merge step is where naive implementations go quadratic: this one
+    marks merge sites with LAG/LEAD windows (partner rows drop, merged
+    rows concatenate) and renumbers with ROW_NUMBER — three window passes
+    over a VOCABULARY-sized symbol table, never the corpus.  Self-pairs
+    (a = b) are excluded so left-to-right non-overlap semantics reduce to
+    position-independent marking (no sequential scan needed; see the
+    WHERE sym <> nxt filter — the standard distributed-BPE trick).
+
+    Scale shape: the corpus is touched ONCE (tokenize + word-count, the
+    persisted t0); every round after that runs on the distinct-word
+    dictionary (Zipf: ~10^6 rows at any corpus size), so training cost is
+    independent of corpus bytes beyond the first scan.  The 1-row top-pair
+    DF broadcast-attaches per round (the tolerated scalar nested loop)."""
+    merges, t = _bpe_merge_rounds(spark, sf_dir, apply_last=False)
     t.unpersist()
     return spark.createDataFrame(
         merges, "merge_round int, sym_a string, sym_b string, pair_count bigint"
@@ -2130,3 +2142,50 @@ def coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "pick_round bigint, doc_id bigint, gain bigint, covered_total bigint"
     ).orderBy("pick_round")
+
+
+_BPE_ENCODE_ORACLE = (
+    """
+WITH words AS (
+  SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+  WHERE LENGTH(token) > 0 GROUP BY token
+), t0 AS (
+  SELECT word, n, i AS pos, SUBSTR(word, i, 1) AS sym
+  FROM words, UNNEST(GENERATE_SERIES(1, LENGTH(word))) AS g(i)
+)"""
+    + "".join(_bpe_round_sql(r) for r in (1, 2, 3))
+    + """
+SELECT sym, CAST(SUM(n) AS BIGINT) AS cnt
+FROM t3 GROUP BY sym
+ORDER BY cnt DESC, sym
+LIMIT 20
+"""
+)
+
+
+@query("q_d4_bpe_encode", oracle=_BPE_ENCODE_ORACLE, group="D")
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): BPE ENCODING — apply ALL THREE learned merges (the
+    q_d4_bpe_train loop, round-3 merge included this time) and report the
+    corpus symbol distribution after encoding: top-20 symbols by
+    occurrence count weighted by word frequency.  This is the APPLY side
+    of tokenizer training — the vocabulary a sequence-packing pipeline
+    would actually emit token ids against — and the distribution shift
+    (merged symbols climbing the top-20) is how tokenizer quality is
+    eyeballed in practice.
+
+    Scale shape identical to training: merges run on the distinct-word
+    dictionary, and the final symbol histogram is one hash-agg over that
+    dictionary (weighted by n — the corpus itself is never re-scanned).
+    In production the merge table would broadcast to encode unseen text
+    in one mapInPandas pass; here the dictionary IS the corpus vocabulary
+    so the join is unnecessary."""
+    merges, t = _bpe_merge_rounds(spark, sf_dir, apply_last=True)
+    return release_with(
+        t.groupBy("sym")
+        .agg(F.sum("n").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "sym")
+        .limit(20),
+        t,
+    )
