@@ -445,11 +445,17 @@ def test_skyline_no_quadratic_probe(spark, sf_dir):
 
 
 def test_round7_graph_plans(spark, sf_dir):
-    """Round-7 graph additions: the multi-seed PPR iteration joins and the
-    onion anti-joins must stay equi-joins; the only tolerated nested loops
-    are broadcast attaches of model-sized frames (the 3-row seed table /
-    1-row min-degree scalar)."""
-    for name in ["q_ext_ppr_multiseed", "q_ext_onion_layers"]:
+    """Round-7 additions: iteration/peel/wedge joins must stay equi-joins;
+    the only tolerated nested loops are broadcast attaches of model-sized
+    frames (seed table / min-degree scalar / per-round merge literals)."""
+    for name in [
+        "q_ext_ppr_multiseed",
+        "q_ext_onion_layers",
+        "q_ext_simrank1",
+        "q_ext_kcore_bucketed",
+        "q_d5_coverage_select",
+        "q_d4_bpe_encode",
+    ]:
         plan = _plan(spark, name, sf_dir)
         assert "CartesianProduct" not in plan, name
         # every nested-loop must be the broadcast flavor (bounded side)
