@@ -2189,3 +2189,89 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20),
         t,
     )
+
+
+CMS_D = 4   # hash rows
+CMS_W = 16  # buckets per row = one hex char of md5 (no int conversion
+            # needed — the hex digit IS the bucket key in both engines)
+
+_CMS_ORACLE = f"""
+WITH toks AS (
+  SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+), tk AS (
+  SELECT token FROM toks WHERE LENGTH(token) > 0
+), probes AS (
+  SELECT token, s.seed,
+         SUBSTR(MD5(CONCAT(s.seed, ':', token)), 1, 1) AS bucket
+  FROM tk CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {CMS_D - 1})) AS seed) s
+), counters AS (
+  SELECT seed, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM probes GROUP BY seed, bucket
+), exact AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count FROM tk GROUP BY token
+), tok_probes AS (
+  SELECT e.token, s.seed,
+         SUBSTR(MD5(CONCAT(s.seed, ':', e.token)), 1, 1) AS bucket
+  FROM exact e CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {CMS_D - 1})) AS seed) s
+), est AS (
+  SELECT tp.token, MIN(c.cnt) AS est_count
+  FROM tok_probes tp JOIN counters c ON c.seed = tp.seed AND c.bucket = tp.bucket
+  GROUP BY tp.token
+)
+SELECT e.token, e.exact_count, est.est_count,
+       est.est_count - e.exact_count AS overcount
+FROM exact e JOIN est ON est.token = e.token
+ORDER BY e.exact_count DESC, e.token
+"""
+
+
+@query("q_d4_count_min", oracle=_CMS_ORACLE, group="D")
+def count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): COUNT-MIN SKETCH — the point-query frequency sketch that
+    completes the one-pass profile family (GK quantiles, HLL cardinality,
+    Misra-Gries / Space-Saving top-k): d = 4 hash rows x w = 16 buckets of
+    counters, estimate(token) = min over rows of its bucket counter
+    (Cormode & Muthukrishnan 2005).  CMS never undercounts — the report
+    carries est - exact per token, and the test/oracle show the guaranteed
+    one-sided error (overcount >= 0 everywhere, growing for light tokens
+    that share buckets with heavy ones).
+
+    Everything is expressions + two hash-aggs: occurrence probes explode
+    d seeds per token (map-side), counters group on (seed, bucket), and
+    the bucket key is simply the FIRST HEX CHAR of md5(seed:token) — one
+    deterministic string both engines compute identically, no integer
+    conversion.  At 100 TB the counter table is d x w rows regardless of
+    corpus size (the whole point of the sketch); estimates are an equi-join
+    against that broadcast-sized table, never a rescan."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("seed")
+    bucket = F.substring(
+        F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("token"))), 1, 1
+    ).alias("bucket")
+    counters = (
+        toks.select("token", seeds)
+        .select("token", "seed", bucket)
+        .groupBy("seed", "bucket")
+        .agg(bcount().alias("cnt"))
+    )
+    exact = toks.groupBy("token").agg(bcount().alias("exact_count"))
+    tok_probes = exact.select("token", seeds).select("token", "seed", bucket)
+    est = (
+        tok_probes.join(F.broadcast(counters), ["seed", "bucket"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return (
+        exact.join(est, "token")
+        .select(
+            "token",
+            "exact_count",
+            "est_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_count").desc(), "token")
+    )
