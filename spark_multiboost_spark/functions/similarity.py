@@ -1295,3 +1295,236 @@ def filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 query("q_d3_filtered_ann", oracle=_FILTERED_ORACLE, group="D")(filtered_ann)
+
+
+GANN_M = 8        # kNN-graph out-degree
+GANN_B = 4        # beam width per hop
+GANN_ENTRIES = 4  # fixed entry points: vec_id < 4
+
+_GANN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+), allp AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         list_cosine_similarity(a.embedding, b.embedding) AS cos
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+), edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+    FROM allp
+  ) WHERE rk <= {GANN_M}
+), q AS (SELECT vec_id AS qid FROM e WHERE vec_id < {N_QUERIES}
+), v0 AS (
+  SELECT q.qid, en.vec_id AS cid
+  FROM q CROSS JOIN (SELECT vec_id FROM e WHERE vec_id < {GANN_ENTRIES}) en
+), s0 AS (
+  SELECT v.qid, v.cid, list_cosine_similarity(eq.embedding, ec.embedding) AS cos
+  FROM v0 v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
+), b0 AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+    FROM s0) WHERE rk <= {GANN_B}
+), v1 AS (
+  SELECT DISTINCT qid, cid FROM (
+    SELECT qid, cid FROM v0
+    UNION ALL
+    SELECT b.qid, ed.dst AS cid FROM b0 b JOIN edges ed ON ed.src = b.cid)
+), s1 AS (
+  SELECT v.qid, v.cid, list_cosine_similarity(eq.embedding, ec.embedding) AS cos
+  FROM v1 v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
+), b1 AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+    FROM s1) WHERE rk <= {GANN_B}
+), v2 AS (
+  SELECT DISTINCT qid, cid FROM (
+    SELECT qid, cid FROM v1
+    UNION ALL
+    SELECT b.qid, ed.dst AS cid FROM b1 b JOIN edges ed ON ed.src = b.cid)
+), s2 AS (
+  SELECT v.qid, v.cid, list_cosine_similarity(eq.embedding, ec.embedding) AS cos
+  FROM v2 v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
+  WHERE v.qid <> v.cid
+), hits AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+    FROM s2) WHERE rk <= {K}
+), bf AS (
+  SELECT qid, cid FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                      b.vec_id) AS rk
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < {N_QUERIES}
+  ) WHERE rk <= {K}
+), vis AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_visited
+  FROM s2 GROUP BY qid
+), hit_agg AS (
+  SELECT h.qid,
+         CAST(SUM(CASE WHEN bf.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits
+  FROM hits h LEFT JOIN bf ON bf.qid = h.qid AND bf.cid = h.cid
+  GROUP BY h.qid
+)
+SELECT v.qid, v.n_visited, ha.n_hits,
+       FLOOR(ha.n_hits / {K}.0 * 1e6 + 0.5) / 1e6 AS recall
+FROM vis v JOIN hit_agg ha ON ha.qid = v.qid
+ORDER BY v.qid
+"""
+
+
+def graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): GRAPH-BASED ANN — beam search over a kNN proximity
+    graph, the HNSW/NSG family's core move expressed as relational hops:
+    build each vector's top-{GANN_M} cosine-neighbor edge list, then
+    answer each query by scoring {GANN_ENTRIES} fixed entry points,
+    keeping a beam of {GANN_B}, expanding the beam's graph neighbors for
+    two hops, and ranking every VISITED candidate for the final top-{K}.
+    The report is the navigability gauge: candidates visited, true top-k
+    recovered, recall@k per query (graph search visits tens of nodes
+    where brute force scores the whole corpus).
+
+    Determinism: every beam/top-k rank orders on (cos DESC, id) with the
+    raw-double cosine both engines compute bit-identically (the
+    factored-norm dot discipline of :func:`_pairs`); hop unrolling makes
+    the whole search one SQL expression — no data-dependent loop.
+
+    Scale shape: at fixture scale the graph builds brute-force (all-pairs
+    + per-src top-M — the same cost as one exact search sweep).  At
+    100 TB you NEVER build it that way: NN-descent (iterative neighbor-
+    of-neighbor refinement, O(n·M·iters)) constructs the graph, and each
+    hop here is already the right distributed search step — a broadcast
+    of the (tiny) beam against the edge table, candidates scored by one
+    equi-join to the vector table.  Per-query work is O(B·M·hops),
+    INDEPENDENT of corpus size — the property that makes graph ANN the
+    production choice over IVF when recall at low latency matters.
+
+    Honest gauge note: on this synthetic fixture (near-uniform random
+    embeddings) recall@5 sits around 0.2-0.3 while visiting ~3-10% of the
+    corpus — random high-dim vectors have no navigable small-world
+    structure, so neighbor-of-neighbor expansion genuinely cannot home in
+    (the known failure mode graph-ANN papers measure against clustered
+    real embeddings).  The gauge exists to surface exactly that number;
+    the brute-force and IVF paths remain the recall oracles."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    a = v.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("s_emb"),
+        F.col("nrm").alias("s_n"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("d_emb"),
+        F.col("nrm").alias("d_n"),
+    )
+    allp = a.join(F.broadcast(b), F.col("src") != F.col("dst")).withColumn(
+        "cos",
+        dot(F.col("s_emb"), F.col("d_emb"))
+        / F.nullif(F.col("s_n") * F.col("d_n"), F.lit(0.0)),
+    )
+    wk = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    edges = (
+        allp.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= GANN_M)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)  # reused by both hops; truncates the
+        # all-pairs build out of every downstream branch
+    )
+    qv = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_n"),
+    )
+    cv = v.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_n"),
+    )
+
+    def score(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(F.broadcast(qv), "qid")
+            .join(F.broadcast(cv), "cid")
+            .withColumn(
+                "cos",
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / F.nullif(F.col("q_n") * F.col("c_n"), F.lit(0.0)),
+            )
+            .select("qid", "cid", "cos")
+        )
+
+    def beam(scored: DataFrame) -> DataFrame:
+        wb = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+        return (
+            scored.withColumn("rk", F.row_number().over(wb))
+            .filter(F.col("rk") <= GANN_B)
+            .select("qid", "cid")
+        )
+
+    def expand(bm: DataFrame) -> DataFrame:
+        # fresh projection per hop: re-aliasing gives the join its own
+        # attribute ids, so the two hops' edge references never collide
+        ed = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+        return bm.join(ed, bm["cid"] == ed["e_src"]).select(
+            "qid", F.col("e_dst").alias("cid")
+        )
+
+    entries = v.filter(F.col("vec_id") < GANN_ENTRIES).select(
+        F.col("vec_id").alias("cid")
+    )
+    v0 = qv.select("qid").crossJoin(F.broadcast(entries))
+    b0 = beam(score(v0))
+    v1 = v0.unionAll(expand(b0)).distinct()
+    b1 = beam(score(v1))
+    v2 = v1.unionAll(expand(b1)).distinct()
+    s2 = score(v2).filter(F.col("qid") != F.col("cid"))
+    wf = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    hits = (
+        s2.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= K)
+        .select("qid", "cid")
+    )
+    bf = (
+        _pairs(spark, sf_dir)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "cid")
+            ),
+        )
+        .filter(F.col("rk") <= K)
+        .select("qid", F.col("cid").alias("bf_cid"))
+    )
+    vis = s2.groupBy("qid").agg(bcount().alias("n_visited"))
+    hit_agg = (
+        hits.join(
+            bf,
+            (hits["qid"] == bf["qid"]) & (hits["cid"] == bf["bf_cid"]),
+            "left",
+        )
+        .select(hits["qid"].alias("qid"), F.col("bf_cid"))
+        .groupBy("qid")
+        .agg(
+            F.sum(F.when(F.col("bf_cid").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits")
+        )
+    )
+    return (
+        vis.join(hit_agg, "qid")
+        .select(
+            "qid",
+            "n_visited",
+            "n_hits",
+            (F.floor(F.col("n_hits") / K * 1e6 + 0.5) / 1e6).alias("recall"),
+        )
+        .orderBy("qid")
+    )
+
+
+query("q_d3_graph_ann", oracle=_GANN_ORACLE, group="D")(graph_ann)

@@ -455,6 +455,7 @@ def test_round7_graph_plans(spark, sf_dir):
         "q_ext_kcore_bucketed",
         "q_d5_coverage_select",
         "q_d4_bpe_encode",
+        "q_d3_graph_ann",
     ]:
         plan = _plan(spark, name, sf_dir)
         assert "CartesianProduct" not in plan, name
