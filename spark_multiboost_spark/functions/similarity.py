@@ -1528,3 +1528,174 @@ def graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 query("q_d3_graph_ann", oracle=_GANN_ORACLE, group="D")(graph_ann)
+
+
+_NND_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e
+), seed AS (
+  SELECT v.vec_id AS src, (v.vec_id + g.i) % nn.n AS dst
+  FROM e v CROSS JOIN nn, UNNEST(GENERATE_SERIES(1, {GANN_M})) AS g(i)
+), s0 AS (
+  SELECT s.src, s.dst,
+         list_cosine_similarity(a.embedding, b.embedding) AS cos
+  FROM seed s JOIN e a ON a.vec_id = s.src JOIN e b ON b.vec_id = s.dst
+), cand AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM seed
+    UNION ALL
+    SELECT s1.src, s2.dst FROM seed s1 JOIN seed s2 ON s2.src = s1.dst
+  ) WHERE src <> dst
+), sc AS (
+  SELECT c.src, c.dst,
+         list_cosine_similarity(a.embedding, b.embedding) AS cos
+  FROM cand c JOIN e a ON a.vec_id = c.src JOIN e b ON b.vec_id = c.dst
+), s1 AS (
+  SELECT src, dst, cos FROM (
+    SELECT src, dst, cos,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+    FROM sc) WHERE rk <= {GANN_M}
+), truek AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                      b.vec_id) AS rk
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  ) WHERE rk <= {GANN_M}
+), r0 AS (
+  SELECT 0 AS round,
+         FLOOR(CAST(SUM(CAST(FLOOR(s0.cos * 1e6 + 0.5) / 1e6 AS DECIMAL(18,9)))
+               AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS mean_edge_cos,
+         CAST(COUNT(*) AS BIGINT) AS n_edges,
+         FLOOR(CAST(SUM(CASE WHEN t.dst IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) * 1e6 + 0.5) / 1e6 AS knn_overlap
+  FROM s0 LEFT JOIN truek t ON t.src = s0.src AND t.dst = s0.dst
+), r1 AS (
+  SELECT 1 AS round,
+         FLOOR(CAST(SUM(CAST(FLOOR(s1.cos * 1e6 + 0.5) / 1e6 AS DECIMAL(18,9)))
+               AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS mean_edge_cos,
+         CAST(COUNT(*) AS BIGINT) AS n_edges,
+         FLOOR(CAST(SUM(CASE WHEN t.dst IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) * 1e6 + 0.5) / 1e6 AS knn_overlap
+  FROM s1 LEFT JOIN truek t ON t.src = s1.src AND t.dst = s1.dst
+)
+SELECT * FROM r0 UNION ALL SELECT * FROM r1 ORDER BY round
+"""
+
+
+def nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): NN-DESCENT — one refinement round of the scalable
+    kNN-graph BUILD that q_d3_graph_ann's docstring promises for 100 TB
+    (Dong et al. 2011): start from a cheap deterministic seed graph (ring
+    neighbors (id + i) mod n, i = 1..{GANN_M}), then exploit "my
+    neighbor's neighbor is likely my neighbor": candidates = current
+    edges ∪ neighbor-of-neighbor pairs, keep each node's top-{GANN_M} by
+    cosine.  The report shows the convergence signal per round — mean
+    edge cosine and overlap with the TRUE kNN graph — the before/after
+    any NN-descent implementation tracks to decide when to stop.
+
+    Scale shape: a refinement round is one self-join of the edge list
+    (neighbor-of-neighbor expansion, O(n·M²) candidate rows), one scoring
+    join against the vector table, one per-src top-M — never an all-pairs
+    product.  The exact kNN graph appears here ONLY as the quality
+    oracle (corpus², eval-time); production runs rounds until the overlap
+    gauge plateaus.  The fixture's near-uniform embeddings give the seed
+    ring ~0 overlap and one round a visible jump — the same honest-gauge
+    caveat as q_d3_graph_ann applies to absolute levels."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    n_row = F.broadcast(v.agg(F.count(F.lit(1)).alias("n")))
+    seed = (
+        v.select("vec_id")
+        .crossJoin(n_row)
+        .select(
+            F.col("vec_id").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(GANN_M))).alias("i"),
+            F.col("n"),
+        )
+        .select("src", ((F.col("src") + F.col("i")) % F.col("n")).alias("dst"))
+    )
+    av = v.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("s_emb"),
+        F.col("nrm").alias("s_n"),
+    )
+    bv = v.select(
+        F.col("vec_id").alias("dst"), F.col("embedding").alias("d_emb"),
+        F.col("nrm").alias("d_n"),
+    )
+
+    def score(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(F.broadcast(av), "src")
+            .join(F.broadcast(bv), "dst")
+            .withColumn(
+                "cos",
+                dot(F.col("s_emb"), F.col("d_emb"))
+                / F.nullif(F.col("s_n") * F.col("d_n"), F.lit(0.0)),
+            )
+            .select("src", "dst", "cos")
+        )
+
+    s0 = score(seed)
+    nbr2 = seed.alias("s1").join(
+        seed.alias("s2"), F.col("s1.dst") == F.col("s2.src")
+    ).select(F.col("s1.src").alias("src"), F.col("s2.dst").alias("dst"))
+    cand = (
+        seed.unionAll(nbr2).filter(F.col("src") != F.col("dst")).distinct()
+    )
+    wk = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    s1 = (
+        score(cand)
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= GANN_M)
+        .select("src", "dst", "cos")
+    )
+    # exact kNN graph — EVAL ONLY (the thing NN-descent avoids building)
+    truek = (
+        av.join(F.broadcast(bv), F.col("src") != F.col("dst"))
+        .withColumn(
+            "cos",
+            dot(F.col("s_emb"), F.col("d_emb"))
+            / F.nullif(F.col("s_n") * F.col("d_n"), F.lit(0.0)),
+        )
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= GANN_M)
+        .select("src", F.col("dst").alias("t_dst"))
+        .localCheckpoint(eager=True)  # reused by both round reports
+    )
+
+    def report(edges_scored: DataFrame, rnd: int) -> DataFrame:
+        cos6 = (F.floor(F.col("cos") * 1e6 + 0.5) / 1e6).cast("decimal(18,9)")
+        j = edges_scored.join(
+            truek,
+            (edges_scored["src"] == truek["src"])
+            & (edges_scored["dst"] == truek["t_dst"]),
+            "left",
+        )
+        return j.agg(
+            (
+                F.floor(F.sum(cos6).cast("double") / F.count(F.lit(1)) * 1e6 + 0.5)
+                / 1e6
+            ).alias("mean_edge_cos"),
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            (
+                F.floor(
+                    F.sum(F.when(F.col("t_dst").isNotNull(), 1).otherwise(0))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("knn_overlap"),
+        ).select(
+            F.lit(rnd).alias("round"), "mean_edge_cos", "n_edges", "knn_overlap"
+        )
+
+    return report(s0, 0).unionAll(report(s1, 1)).orderBy("round")
+
+
+query("q_d3_nn_descent", oracle=_NND_ORACLE, group="D")(nn_descent)

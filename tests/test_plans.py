@@ -456,6 +456,7 @@ def test_round7_graph_plans(spark, sf_dir):
         "q_d5_coverage_select",
         "q_d4_bpe_encode",
         "q_d3_graph_ann",
+        "q_d3_nn_descent",
     ]:
         plan = _plan(spark, name, sf_dir)
         assert "CartesianProduct" not in plan, name
