@@ -1699,3 +1699,95 @@ def nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 query("q_d3_nn_descent", oracle=_NND_ORACLE, group="D")(nn_descent)
+
+
+FPS_ROUNDS = 3  # greedy picks after the fixed seed (vec_id 0)
+
+
+def _fps_oracle(n_rounds: int = FPS_ROUNDS) -> str:
+    """Farthest-point-sampling oracle: unrolled greedy rounds; the selected
+    set grows one literal CTE per round, min-distance computed against it,
+    argmax tiebroken (dist DESC, vec_id ASC) exactly as the Spark loop."""
+    parts = [
+        """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+), sel0 AS (SELECT vec_id, embedding FROM e WHERE vec_id = 0)"""
+    ]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        parts.append(
+            f""", d{r} AS (
+  SELECT v.vec_id, MIN(list_distance(v.embedding, s.embedding)) AS mind
+  FROM e v CROSS JOIN sel{p} s
+  WHERE v.vec_id NOT IN (SELECT vec_id FROM sel{p})
+  GROUP BY v.vec_id
+), pick{r} AS (
+  SELECT vec_id, mind FROM d{r} ORDER BY mind DESC, vec_id LIMIT 1
+), sel{r} AS (
+  SELECT vec_id, embedding FROM sel{p}
+  UNION ALL
+  SELECT e.vec_id, e.embedding FROM e JOIN pick{r} p ON p.vec_id = e.vec_id
+)"""
+        )
+    sel = "\nUNION ALL ".join(
+        f"""SELECT {r} AS pick_round, (SELECT vec_id FROM pick{r}) AS vec_id,
+       (SELECT FLOOR(mind * 1e6 + 0.5) / 1e6 FROM pick{r}) AS min_dist"""
+        for r in range(1, n_rounds + 1)
+    )
+    parts.append(f"\n{sel}\nORDER BY pick_round")
+    return "".join(parts)
+
+
+def fps_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3/D5 bridge: FARTHEST-POINT SAMPLING (greedy k-center) — the
+    embedding-space diversity selector that pairs with
+    q_d5_coverage_select's lexical set-cover: starting from a fixed seed
+    (vec_id 0), each round picks the vector MAXIMIZING its minimum L2
+    distance to everything already selected (Gonzalez 1985 — the
+    2-approximation for k-center), the classic coreset / diverse-probe
+    selection for embedding-space data curation.  Output: per round, the
+    picked vector and its min-distance (the covering-radius trace —
+    monotonically non-increasing, the stopping gauge).
+
+    Shape per round: min-distance = one join of the corpus against the
+    (tiny, broadcast) selected set + a per-vector MIN, argmax = a 1-row
+    bounded driver fetch (the BPE/coverage pattern).  At 100 TB each
+    round is one broadcast-join scan; production variants amortize scans
+    by picking a BATCH of mutually-far points per round and maintain
+    running min-distances instead of recomputing (the same incremental
+    trick — keep state, join only against the NEW picks)."""
+    from .vector import l2_distance
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    picked_ids = [0]
+    rows = []
+    for r in range(1, FPS_ROUNDS + 1):
+        sel = F.broadcast(
+            e.filter(F.col("vec_id").isin(picked_ids)).select(
+                F.col("vec_id").alias("s_id"), F.col("emb").alias("s_emb")
+            )
+        )
+        top = (
+            e.filter(~F.col("vec_id").isin(picked_ids))
+            .crossJoin(sel)
+            .withColumn("d", l2_distance(F.col("emb"), F.col("s_emb")))
+            .groupBy("vec_id")
+            .agg(F.min("d").alias("mind"))
+            .orderBy(F.col("mind").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        picked_ids.append(int(top["vec_id"]))
+        import math
+
+        rows.append(
+            (r, int(top["vec_id"]), math.floor(top["mind"] * 1e6 + 0.5) / 1e6)
+        )
+    return spark.createDataFrame(
+        rows, "pick_round int, vec_id bigint, min_dist double"
+    ).orderBy("pick_round")
+
+
+query("q_d3_fps_coreset", oracle=_fps_oracle(), group="D")(fps_coreset)
