@@ -123,11 +123,19 @@ def main() -> None:
     }
 
     def time_set(names: list[str]) -> dict[str, float]:
-        timings: dict[str, float] = {}
-        for name in names:
-            fn = qs[name]
-            runs = []
-            for i in range(4):  # first run = warm-up, discarded
+        # INTERLEAVED passes (protocol global-v3): one warm-up pass, then 3
+        # timed passes over the WHOLE set, median per query ACROSS passes.
+        # Back-to-back per-query sampling (v2) put all 3 of a query's
+        # samples inside the same instant of host weather; this shared VM
+        # has multi-minute slow phases (calibration probes swing 4x between
+        # runs — SCALING.md 8f), which could triple-tax one query and blow
+        # the headline total.  Spreading samples across the full bench
+        # window makes the per-query median robust to any phase shorter
+        # than a pass.
+        runs: dict[str, list[float]] = {n: [] for n in names}
+        for p in range(4):  # pass 0 = warm-up, discarded
+            for name in names:
+                fn = qs[name]
                 t0 = time.perf_counter()
                 df = fn(spark, SF_DIR)
                 # noop sink: full execution incl. every output column
@@ -135,10 +143,9 @@ def main() -> None:
                 # to do)
                 df.write.format("noop").mode("overwrite").save()
                 dt = time.perf_counter() - t0
-                if i > 0:
-                    runs.append(dt)
-            timings[name] = round(statistics.median(runs), 4)
-        return timings
+                if p > 0:
+                    runs[name].append(dt)
+        return {n: round(statistics.median(v), 4) for n, v in runs.items()}
 
     # Global warm pass: one untimed execution of every query BEFORE any
     # timing starts.  The per-query warm-up below only warms that query's
@@ -168,10 +175,11 @@ def main() -> None:
                 "extra_queries": extra,
                 "calibration": calibration,
                 # measurement-protocol version so cross-round comparisons can
-                # detect protocol changes mechanically: "global-v2" = one
-                # untimed global warm pass over HEADLINE+SHOWCASE before any
-                # timing (added round 4; rounds 1-3 were per-query warm only)
-                "warm_protocol": "global-v2",
+                # detect protocol changes mechanically: v2 (round 4) added the
+                # global warm pass; v3 (round 7) interleaves the timed passes
+                # across the whole set so per-query medians are robust to the
+                # host's multi-minute slow phases (see SCALING.md 8f)
+                "warm_protocol": "global-v3-interleaved",
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

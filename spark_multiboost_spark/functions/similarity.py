@@ -494,7 +494,19 @@ FROM ranked WHERE rank <= {K}
 ORDER BY qid, rank
 """
 
-query("q_d3_ivf_ann", oracle=_IVF_ORACLE, group="D")(ivf_ann)
+# q_d3_ivf_ann ships the PRODUCTION implementation (the one-Arrow-pass
+# plan, identical output + oracle): Catalyst higher-order-function folds are
+# interpreter-bound (excluded from whole-stage codegen — SCALING.md 8f
+# measured the pure-declarative plan at ~2x the Arrow pass), so the headline
+# query uses the path a real deployment would.  The declarative twin stays
+# registered below as q_d3_ivf_ann_catalyst — same oracle, zero-Python
+# reference for clusters that forbid Python workers.
+def _ivf_ann_headline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_ann_arrow(spark, sf_dir)
+
+
+query("q_d3_ivf_ann", oracle=_IVF_ORACLE, group="D")(_ivf_ann_headline)
+query("q_d3_ivf_ann_catalyst", oracle=_IVF_ORACLE, group="D")(ivf_ann)
 
 
 _RECALL_ORACLE = f"""
