@@ -94,7 +94,10 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
 
 
 def test_ivf_broadcast_probe(spark, sf_dir):
-    plan = _plan(spark, "q_d3_ivf_ann", sf_dir)
+    # q_d3_ivf_ann now ships the Arrow implementation (see
+    # test_ivf_arrow_single_scan); the declarative twin keeps the
+    # broadcast-probe plan shape this test was written for.
+    plan = _plan(spark, "q_d3_ivf_ann_catalyst", sf_dir)
     # centroid table broadcast on both assignment sides
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
