@@ -1781,7 +1781,7 @@ def fps_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("vec_id").alias("s_id"), F.col("emb").alias("s_emb")
             )
         )
-        top = (
+        got = (
             e.filter(~F.col("vec_id").isin(picked_ids))
             .crossJoin(sel)
             .withColumn("d", l2_distance(F.col("emb"), F.col("s_emb")))
@@ -1789,8 +1789,14 @@ def fps_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("d").alias("mind"))
             .orderBy(F.col("mind").desc(), "vec_id")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not got:
+            # degenerate fixture (fewer vectors than rounds): mirror the
+            # oracle's scalar-subquery NULL row instead of IndexError
+            rows.append((r, None, None))
+            continue
+        top = got[0]
         picked_ids.append(int(top["vec_id"]))
         import math
 

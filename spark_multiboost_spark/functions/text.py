@@ -1789,15 +1789,21 @@ def _bpe_merge_rounds(spark: SparkSession, sf_dir: str, apply_last: bool):
         # boosting loop's stump fetch) — attaching the winner as literals
         # breaks cross-round lineage so each superseded dictionary can be
         # unpersisted eagerly instead of leaking until clearCache()
-        top = (
+        got = (
             p.filter(F.col("nxt").isNotNull() & (F.col("sym") != F.col("nxt")))
             .groupBy("sym", "nxt")
             .agg(F.sum("n").cast("bigint").alias("cnt"))
             .select(F.col("sym").alias("a"), F.col("nxt").alias("b"), "cnt")
             .orderBy(F.col("cnt").desc(), "a", "b")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not got:
+            # degenerate corpus (no mergeable adjacent pair left, e.g. all
+            # 1-char words): stop merging instead of IndexError — training
+            # reports the merges found so far, encoding applies only those
+            break
+        top = got[0]
         merges.append((r, top["a"], top["b"], int(top["cnt"])))
         if r == 3 and not apply_last:
             break  # training only reports round 3's winner
@@ -2022,18 +2028,21 @@ def heavy_hitters_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = summaries.collect()  # bounded: SS_SHARDS x SS_K rows
     cnt: dict[str, int] = {}
     err: dict[str, int] = {}
+    shards_seen: dict[str, int] = {}
     for r in rows:
         cnt[r["token"]] = cnt.get(r["token"], 0) + int(r["cnt"])
         err[r["token"]] = err.get(r["token"], 0) + int(r["err"])
+        shards_seen[r["token"]] = shards_seen.get(r["token"], 0) + 1
     # merge semantics: counter-wise and error-wise sums.  The certified
     # interval cnt - err <= true <= cnt holds per shard unconditionally and
     # for the MERGED row whenever the token appears in every shard summary
-    # (a token evicted from some shard may hide occurrences there); genuine
-    # heavy hitters survive in all shards, which is what the test asserts
+    # (a token evicted from some shard may hide occurrences there); the
+    # in_all_shards flag marks exactly those certified rows, so consumers
+    # can tell certified intervals from best-effort ones
     keep = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:SS_K]
-    out = [(t, c, err[t]) for t, c in keep]
+    out = [(t, c, err[t], shards_seen[t] == SS_SHARDS) for t, c in keep]
     return d.sparkSession.createDataFrame(
-        out, "token string, est_count bigint, err bigint"
+        out, "token string, est_count bigint, err bigint, in_all_shards boolean"
     )
 
 
@@ -2126,13 +2135,21 @@ def coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = 0
     for r in (1, 2, 3):
         cand = sh if covered is None else sh.join(covered, "sh", "left_anti")
-        top = (
+        rows = (
             cand.groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
             .orderBy(F.col("gain").desc(), "doc_id")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:
+            # degenerate fixture (every shingle already covered, or corpus
+            # smaller than the round count): the oracle's scalar subqueries
+            # return NULL doc_id/gain and carry covered_total forward —
+            # emit the same NULL row instead of raising IndexError
+            picks.append((r, None, None, total))
+            continue
+        top = rows[0]
         total += int(top["gain"])
         picks.append((r, int(top["doc_id"]), int(top["gain"]), total))
         newly = sh.filter(F.col("doc_id") == top["doc_id"]).select("sh")

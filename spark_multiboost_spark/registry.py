@@ -64,94 +64,124 @@ _QUERY_MODULES = [
 ]
 
 #: query-level window rotation.  The driver's correctness gate checks the
-#: FIRST ~50 registry entries each round, so these names are surfaced ahead
-#: of everything else.  Round-5 window (per VERDICT r4 item 1) = the
-#: never-driver-checked tail, packed with SQL-oracle queries: the
-#: PQ/quantized D3 family, the retrieval family (BM25/inverted-index/PMI/
-#: BPE), the graph family, TPC-H completions, lakehouse ops, and
-#: grouping-sets/percentiles/listagg — plus 3 fresh sentinels from the
-#: round-4 window and <=5 rows-only driver-execution slots.  Names not
-#: listed keep registration order behind these; unknown names are ignored
-#: (module bring-up safety).
+#: FIRST 50 registry entries each round (50 in every CORRECTNESS_r0*.json),
+#: so these names are surfaced ahead of everything else.  Round-6 window
+#: (per VERDICT r5 items 2 and 5) = the last never-driver-checked tail:
+#: 3 fresh sentinels (first-time green in the r5 window, re-checked as
+#: regression canaries), the full never-executed streaming family c8-c15
+#: (rows-only — driver execution is their only hard evidence), and 39
+#: SQL-oracle first-timers covering every SURVEY §2 row whose freshest
+#: evidence is judge(r5)-only.  The remaining 44 never-checked queries are
+#: queued immediately behind for the round-7 window.  Names not listed keep
+#: registration order behind these; unknown names are ignored (module
+#: bring-up safety).
 _PRIORITY = [
-    # sentinels (canaries: hash-green in the round-4 window)
-    "q_d4_token_tf",
-    "q_b35_pandas_udf_token_count",
-    "q_c1_tumbling_window",
-    # PQ / quantized vector family — never driver-checked (verdict #1 pick)
+    # sentinels (canaries: first-time hash-green in the round-5 window)
     "q_d3_pq_encode",
-    "q_d3_pq_adc_topk",
-    "q_d3_ivfpq_topk",
-    "q_d3_pq_recall",
-    "q_d3_ivfpq_residual_topk",
-    "q_d3_sq8_topk",
-    "q_d3_binary_hamming_topk",
-    "q_d3_bq_rerank_topk",
-    "q_d3_pq_packed_codes",
-    # retrieval family (BM25 / inverted index / PMI / BPE / bigram LM)
-    "q_d3_bm25_topk",
-    "q_d3_bm25_snippets",
-    "q_d3_query_expansion",
-    "q_d4_inverted_index",
-    "q_d4_pmi_cooccur",
-    "q_d4_bpe_pair_counts",
-    "q_d4_bpe_train",
-    "q_d5_bigram_lm_ppl",
-    # graph family
     "q_ext_pagerank",
-    "q_ext_pagerank_weighted",
-    "q_ext_pagerank_personalized",
-    "q_ext_bfs_2hop",
-    "q_ext_bfs_2hop_pruned",
-    "q_ext_triangle_count",
-    "q_ext_triangle_degree_oriented",
-    "q_ext_skyline",
-    # TPC-H completions (Q4/Q9/Q12/Q15-Q17/Q19-Q21 shapes)
-    "q_comp_late_lines_by_flag",
-    "q_comp_dominant_suppliers",
-    "q_comp_waiting_orders",
-    "q_comp_order_priority_check",
-    "q_comp_profit_by_nation",
-    "q_comp_top_supplier",
-    "q_comp_parts_supplier_counts",
-    "q_comp_small_quantity_revenue",
-    "q_comp_disjunctive_revenue",
-    # lakehouse ops
-    "q_ext_upsert_scd1",
-    "q_ext_upsert_scd2",
-    "q_ext_ivm_merge",
-    "q_ext_snapshot_asof_read",
-    # SQL-surface stragglers
     "q_b14_grouping_sets",
-    "q_ext_percentiles",
-    "q_ext_listagg",
-    "q_b23_collation_group",
-    "q_b31_recursive_cte",
-    "q_b30_lateral_topk",
-    # rows-only driver-execution slots (<=5 by verdict economics)
-    "q_c6_stateful_sessions",
-    "q_c16_query_progress",
-    "q_d4_heavy_hitters_mg",
-    "q_ext_hll_error_gauge",
-    "q_d7_estimator_end_to_end",
-    # next in line if the window is wider than 50 (all SQL first-timers)
+    # never-executed streaming family (rows-only; VERDICT r5 item 5)
+    "q_c8_stream_stream_join",
+    "q_c9_streaming_similarity",
+    "q_c10_streaming_curation",
+    "q_c11_streaming_curation_sink",
+    "q_c12_streaming_cdc_merge",
+    "q_c13_stream_stream_left_join",
+    "q_c14_streaming_topk",
+    "q_c15_ingestion_metrics",
+    # §2-row upgrades: ML variants (judge(r5) → driver-hard)
+    "q_a14_calibration",
+    "q_a15_feature_importance",
+    "q_a2_multilabel_weight_init",
+    "q_a5_multilabel_stump_z",
+    # SQL-surface stragglers
     "q_b05_null_safe_join",
     "q_b18_range_interval_frame",
     "q_b35_sql_udf",
     "q_b37_sql_tvf",
     "q_b37_udtf_polymorphic",
+    "q_b02_python_datasource",
+    "q_c5_windowed_dedup_twin",
+    # near-dedup tail
+    "q_d2_containment",
+    "q_d2_segment_dedup",
+    "q_d2_repeated_ngrams",
+    "q_d2_lsh_band_sweep",
+    "q_d2_semantic_dedup_arrow",
+    # similarity/ANN tail
+    "q_d3_filtered_ann",
+    "q_d3_mrl_prefix_recall",
+    "q_d3_ivf_cell_balance",
+    "q_d3_graph_ann",
+    "q_d3_nn_descent",
+    "q_d3_fps_coreset",
+    "q_d3_ivf_ann_catalyst",
+    # text-analysis tail
+    "q_d4_sequence_pack_3level",
+    "q_d4_length_batching",
+    "q_d4_interleave",
+    "q_d4_oov_rate",
+    "q_d4_type_token_ratio",
+    "q_d4_bpe_encode",
+    "q_d4_count_min",
+    # curation tail
+    "q_d5_dsir_resample",
+    "q_d5_source_kl",
+    "q_d5_quality_gate",
+    "q_d5_coverage_select",
     "q_d5_priority_sample",
     "q_d5_term_scrub",
-    "q_d2_repeated_ngrams",
-    "q_d3_filtered_ann",
-    "q_a15_feature_importance",
+    # multimodal tail
+    "q_d6_cas_report",
+    "q_d6_shard_manifest",
+    "q_d6_phash_neardup",
+    # ---- window boundary (~50) ----
+    # round-7 queue: remaining never-checked SQL first-timers
     "q_a17_freq_itemsets",
+    "q_d3_filtered_topk_cosine",
+    "q_d3_ivf_nprobe_sweep",
     "q_ext_funnel",
     "q_ext_cohort_retention",
     "q_ext_dates",
     "q_ext_histogram",
     "q_ext_salted_join",
     "q_ext_gapfill_locf",
+    "q_ext_zorder_layout",
+    "q_ext_decayed_engagement",
+    "q_ext_equidepth_hist",
+    "q_ext_rolling_zscore",
+    "q_ext_fuzzy_join",
+    "q_ext_k_anonymity",
+    "q_ext_analyze_stats",
+    "q_ext_hilbert_layout",
+    "q_ext_cusum_changepoint",
+    "q_ext_ppr_multiseed",
+    "q_ext_onion_layers",
+    "q_ext_simrank1",
+    "q_ext_kcore_bucketed",
+    "q_ext_observe_metrics",
+    "q_comp_dataset_card",
+    "q_comp_order_count_distribution",
+    "q_comp_promo_revenue",
+    "q_comp_min_cost_supplier",
+    "q_comp_important_brands",
+    "q_comp_dq_report",
+    # round-7 queue: remaining never-executed rows-only
+    "q_ext_hll_error_gauge",
+    "q_d7_estimator_end_to_end",
+    "q_a16_als_recommend",
+    "q_ext_approx_quantile_gauge",
+    "q_d3_kmeans_train",
+    "q_d3_ivf_trained_recall",
+    "q_d4_heavy_hitters_ss",
+    "q_ext_assign_global_ids",
+    "q_b02_schema_evolution",
+    "q_b03_compaction",
+    "q_b03_dynamic_partition_overwrite",
+    "q_b01_zonemap_skip",
+    "q_d3_pq_train",
+    "q_d3_pq_trained_recall",
+    "q_d3_opq_rotated_recall",
 ]
 
 

@@ -422,6 +422,9 @@ def test_ss_heavy_hitters_interval(spark, sf_dir):
     everywhere = set.intersection(*per_shard)
     checked = 0
     for _, r in rep.iterrows():
+        # the report's certified flag must agree with the recomputed
+        # every-shard membership
+        assert bool(r["in_all_shards"]) == (r["token"] in everywhere), r["token"]
         if r["token"] in everywhere:
             true = int(exact.get(r["token"], 0))
             assert true <= int(r["est_count"]), (r["token"], true, r["est_count"])
