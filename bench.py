@@ -54,8 +54,10 @@ SHOWCASE = [
     "q_d5_contamination",
     "q_d2_removal_rate",
     "q_a5_sparse_stump_z",
-    # same IVF search, plan rebuilt around one Arrow pass (vs q_d3_ivf_ann)
-    "q_d3_ivf_ann_arrow",
+    # q_d3_ivf_ann_arrow was timed here through r5; since the r5 headline
+    # swap it is the SAME implementation as q_d3_ivf_ann (ADVICE r5) —
+    # the declarative twin is timed instead so both plans stay measured
+    "q_d3_ivf_ann_catalyst",
     "q_d4_sequence_pack",
     "q_ext_gapfill_locf",
     # round-4 flagships: PQ/IVF-PQ ANN + the Arrow SemDeDup twin
@@ -77,6 +79,29 @@ SHOWCASE = [
     "q_comp_waiting_orders",
     "q_d4_bpe_train",
 ]
+
+
+# implementation tags for queries whose BODY was ever swapped while the
+# NAME stayed in the frozen headline (ADVICE r5: make cross-round
+# comparisons mechanically detect impl changes).  Absent name = impl
+# unchanged since round 1.
+IMPL_TAGS = {
+    "q_d3_ivf_ann": "arrow-mapinpandas (since r5; catalyst broadcast-probe "
+    "join through r4, kept registered as q_d3_ivf_ann_catalyst)",
+}
+
+# Baseline re-anchor (VERDICT r5 item 3): rounds 1-4 sampled back-to-back
+# (v2 family); round 5+ interleaves passes (v3).  tools/bench_protocols.py
+# measured BOTH protocols in one session (blocks alternated v2,v3,v2,v3):
+# the restated baseline below is r1's 6.715 s scaled by the measured
+# median v3/v2 ratio of that session.  The frozen protocol from round 6
+# on is v3; ratios must be computed against RESTATED_BASELINE_V3_SEC.
+R1_BASELINE_SEC = 6.715
+# round-6 re-anchor session (quiet host: numpy probe 0.009 and shuffle
+# probe 0.31-0.37 across all 5 checkpoints): v2 totals [6.6342, 6.7553]
+# — i.e. 0.99-1.01x the r1 baseline, proving the r5 "1.55x regression"
+# was protocol, not code — v3 totals [8.768, 9.3024], median ratio 1.3496
+RESTATED_BASELINE_V3_SEC = 9.0625
 
 
 def _sf_from_dir(d: str) -> float:
@@ -132,6 +157,8 @@ def main() -> None:
         # the headline total.  Spreading samples across the full bench
         # window makes the per-query median robust to any phase shorter
         # than a pass.
+        from spark_multiboost_spark import plans
+
         runs: dict[str, list[float]] = {n: [] for n in names}
         for p in range(4):  # pass 0 = warm-up, discarded
             for name in names:
@@ -145,6 +172,11 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 if p > 0:
                     runs[name].append(dt)
+            # belt-and-suspenders cache hygiene between passes: finalizers
+            # normally fire when each result df drops, but any retained
+            # reference would silently leak persist() blocks into later
+            # passes' measurements (ADVICE r5)
+            plans.release_outstanding()
         return {n: round(statistics.median(v), 4) for n, v in runs.items()}
 
     # Global warm pass: one untimed execution of every query BEFORE any
@@ -174,6 +206,15 @@ def main() -> None:
                 "queries": timings,
                 "extra_queries": extra,
                 "calibration": calibration,
+                "impl_tags": IMPL_TAGS,
+                # protocol-correct comparison anchor (see RESTATED_* note)
+                "r1_baseline_sec": R1_BASELINE_SEC,
+                "restated_v3_baseline_sec": RESTATED_BASELINE_V3_SEC,
+                "vs_restated_baseline": (
+                    round(total / RESTATED_BASELINE_V3_SEC, 4)
+                    if RESTATED_BASELINE_V3_SEC
+                    else None
+                ),
                 # measurement-protocol version so cross-round comparisons can
                 # detect protocol changes mechanically: v2 (round 4) added the
                 # global warm pass; v3 (round 7) interleaves the timed passes
