@@ -1809,3 +1809,172 @@ def fps_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 query("q_d3_fps_coreset", oracle=_fps_oracle(), group="D")(fps_coreset)
+
+
+MMR_P = 20      # relevance candidates fed to the re-ranker, per query
+MMR_LAM = 0.5   # MMR trade-off: score = LAM*rel - (1-LAM)*max-sim-to-selected
+
+
+def _mmr_oracle() -> str:
+    """MMR oracle: unrolled greedy rounds.  Round 1 picks pure argmax
+    relevance; round r >= 2 scores every unselected candidate as
+    LAM*rel - (1-LAM)*MAX(sim to selected) and picks the per-qid argmax
+    (score DESC, cid ASC).  All doubles come from list_cosine_similarity
+    and one multiply/subtract — bit-identical to the Spark side."""
+    lam, mu = "0.5e0", "0.5e0"
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+), cand AS (
+  SELECT qid, cid, rel FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS cid,
+           list_cosine_similarity(a.embedding, b.embedding) AS rel,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                      b.vec_id) AS rk
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < {N_QUERIES}
+  ) WHERE rk <= {MMR_P}
+), sims AS (
+  SELECT x.qid, x.cid AS ca, y.cid AS cb,
+         list_cosine_similarity(ea.embedding, eb.embedding) AS sim
+  FROM cand x JOIN cand y ON x.qid = y.qid AND x.cid <> y.cid
+  JOIN e ea ON ea.vec_id = x.cid JOIN e eb ON eb.vec_id = y.cid
+), mpick1 AS (
+  SELECT qid, cid, rel, rel AS score FROM (
+    SELECT qid, cid, rel,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rk
+    FROM cand) WHERE rk = 1
+), msel1 AS (SELECT qid, cid FROM mpick1)"""
+    ]
+    for r in range(2, K + 1):
+        parts.append(
+            f""", mscore{r} AS (
+  SELECT c.qid, c.cid, c.rel,
+         {lam} * c.rel - {mu} * MAX(s.sim) AS score
+  FROM cand c
+  JOIN sims s ON s.qid = c.qid AND s.ca = c.cid
+  JOIN msel{r-1} z ON z.qid = s.qid AND z.cid = s.cb
+  LEFT JOIN msel{r-1} x ON x.qid = c.qid AND x.cid = c.cid
+  WHERE x.cid IS NULL
+  GROUP BY c.qid, c.cid, c.rel
+), mpick{r} AS (
+  SELECT qid, cid, rel, score FROM (
+    SELECT qid, cid, rel, score,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rk
+    FROM mscore{r}) WHERE rk = 1
+), msel{r} AS (
+  SELECT qid, cid FROM msel{r-1} UNION ALL SELECT qid, cid FROM mpick{r}
+)"""
+        )
+    unions = "\n  UNION ALL ".join(
+        f"SELECT qid, {r} AS pick_rank, cid, rel, score FROM mpick{r}"
+        for r in range(1, K + 1)
+    )
+    parts.append(
+        f"""
+SELECT qid, pick_rank, cid,
+       FLOOR(rel * 1e6 + 0.5) / 1e6 AS rel,
+       FLOOR(score * 1e6 + 0.5) / 1e6 AS score
+FROM ({unions})
+ORDER BY qid, pick_rank"""
+    )
+    return "".join(parts)
+
+
+@query("q_d3_mmr_rerank", oracle=_mmr_oracle(), group="D")
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): MMR DIVERSIFIED RE-RANK (maximal marginal relevance,
+    Carbonell & Goldstein 1998) — the second stage of a retrieval/curation
+    cascade: take each query's top-{MMR_P} cosine candidates, then greedily
+    select {K} of them where each pick maximizes
+    LAM*relevance - (1-LAM)*max-similarity-to-already-selected.  This is
+    the submodular diversity objective training-data selection and RAG
+    context assembly both use to avoid returning {K} near-duplicates.
+
+    Determinism: every argmax orders on (score DESC, cid ASC) with raw
+    doubles both engines compute bit-identically (cosines via the
+    factored-norm dot discipline; the MMR combine is one multiply/subtract
+    with 0.5, exactly representable).  Rounding to 6dp happens only in the
+    final projection.
+
+    Shape: candidate generation is the standard broadcast-query-side ANN
+    pass (at 100 TB you swap in the IVF/PQ path); from there the problem
+    is per-qid LOCAL — candidate-pair sims are a {MMR_P}^2-bounded
+    self-equi-join on qid, and each greedy round is a per-qid window
+    argmax over at most {MMR_P} rows, never a driver collect.  Cost is
+    O(Q * P^2 + K rounds * Q * P), independent of corpus size.  Selected
+    sets localCheckpoint per round (multi-branch iterative lineage — the
+    onion-layers invariant)."""
+    pairs = _pairs(spark, sf_dir)
+    wq = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "cid")
+    cand_full = (
+        pairs.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= MMR_P)
+        .select("qid", "cid", F.col("cos_raw").alias("rel"), "c_emb", "c_norm")
+        .localCheckpoint(eager=True)  # Q*P rows; reused by sims + all rounds
+    )
+    ca = cand_full.select(
+        "qid",
+        F.col("cid").alias("ca"),
+        F.col("c_emb").alias("a_emb"),
+        F.col("c_norm").alias("a_n"),
+    )
+    cb = cand_full.select(
+        "qid",
+        F.col("cid").alias("cb"),
+        F.col("c_emb").alias("b_emb"),
+        F.col("c_norm").alias("b_n"),
+    )
+    sims = (
+        ca.join(cb, "qid")
+        .filter(F.col("ca") != F.col("cb"))
+        .withColumn(
+            "sim",
+            dot(F.col("a_emb"), F.col("b_emb"))
+            / F.nullif(F.col("a_n") * F.col("b_n"), F.lit(0.0)),
+        )
+        .select("qid", "ca", "cb", "sim")
+        .localCheckpoint(eager=True)  # Q*P^2 rows, bounded
+    )
+    cand = cand_full.select("qid", "cid", "rel")
+    pick = (
+        cand.withColumn("rk", F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.col("rel").desc(), "cid")))
+        .filter(F.col("rk") == 1)
+        .select("qid", F.lit(1).alias("pick_rank"), "cid", "rel",
+                F.col("rel").alias("score"))
+    )
+    picks = pick
+    selected = pick.select("qid", "cid").localCheckpoint(eager=True)
+    for r in range(2, K + 1):
+        rem = cand.join(selected, ["qid", "cid"], "left_anti")
+        maxsim = (
+            sims.join(selected.withColumnRenamed("cid", "cb"), ["qid", "cb"])
+            .groupBy("qid", F.col("ca").alias("cid"))
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        pick = (
+            rem.join(maxsim, ["qid", "cid"])
+            .withColumn(
+                "score",
+                F.lit(MMR_LAM) * F.col("rel")
+                - F.lit(1.0 - MMR_LAM) * F.col("maxsim"),
+            )
+            .withColumn("rk", F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("score").desc(), "cid")))
+            .filter(F.col("rk") == 1)
+            .select("qid", F.lit(r).alias("pick_rank"), "cid", "rel", "score")
+        )
+        picks = picks.unionAll(pick)
+        selected = selected.unionAll(pick.select("qid", "cid")).localCheckpoint(
+            eager=True
+        )
+    return picks.select(
+        "qid",
+        "pick_rank",
+        "cid",
+        (F.floor(F.col("rel") * 1e6 + 0.5) / 1e6).alias("rel"),
+        (F.floor(F.col("score") * 1e6 + 0.5) / 1e6).alias("score"),
+    ).orderBy("qid", "pick_rank")

@@ -8,6 +8,8 @@ whole-stage codegen directly over the parquet scan.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2158,6 +2160,138 @@ def coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).distinct().localCheckpoint(eager=True)
     return spark.createDataFrame(
         picks, "pick_round bigint, doc_id bigint, gain bigint, covered_total bigint"
+    ).orderBy("pick_round")
+
+
+def _weighted_coverage_oracle(n_picks: int = 3) -> str:
+    """Weighted greedy set-cover oracle: per round, argmax of
+    gain/cost over docs with uncovered shingles (ratio DESC, doc_id ASC) —
+    the classic H_n-approximation greedy.  cost = word count; gain * 1.0 /
+    cost is one binary64 division of two exact integers, so the argmax
+    ordering is bit-identical across engines."""
+    parts = [
+        """
+WITH docs AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM docs, UNNEST(GENERATE_SERIES(1, LEN(w) - 2)) AS g(i)
+), cost AS (
+  SELECT doc_id, CAST(LEN(w) AS BIGINT) AS cost FROM docs
+)"""
+    ]
+    prev_cov = None
+    for r in range(1, n_picks + 1):
+        not_cov = f"AND sh NOT IN (SELECT sh FROM wcov{r-1})" if prev_cov else ""
+        parts.append(
+            f""", wgains{r} AS (
+  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS gain, ANY_VALUE(c.cost) AS cost,
+         CAST(COUNT(*) AS BIGINT) * 1.0 / ANY_VALUE(c.cost) AS ratio
+  FROM sh s JOIN cost c ON c.doc_id = s.doc_id
+  WHERE 1=1 {not_cov}
+  GROUP BY s.doc_id
+), wpick{r} AS (
+  SELECT doc_id, gain, cost, ratio
+  FROM wgains{r} ORDER BY ratio DESC, doc_id LIMIT 1
+), wcov{r} AS (
+  SELECT DISTINCT sh FROM sh
+  WHERE doc_id IN (SELECT doc_id FROM wpick{r})
+  {f"UNION SELECT sh FROM wcov{r-1}" if prev_cov else ""}
+)"""
+        )
+        prev_cov = f"wcov{r}"
+    sel = "\nUNION ALL ".join(
+        f"""SELECT {r} AS pick_round, (SELECT doc_id FROM wpick{r}) AS doc_id,
+       (SELECT gain FROM wpick{r}) AS gain,
+       (SELECT cost FROM wpick{r}) AS cost,
+       (SELECT FLOOR(ratio * 1e6 + 0.5) / 1e6 FROM wpick{r}) AS ratio,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM wcov{r}) AS covered_total"""
+        for r in range(1, n_picks + 1)
+    )
+    parts.append(f"\n{sel}\nORDER BY pick_round")
+    return "".join(parts)
+
+
+@query("q_d5_weighted_coverage_select", oracle=_weighted_coverage_oracle(), group="D")
+def weighted_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): WEIGHTED greedy set-cover corpus selection — like
+    q_d5_coverage_select, but each document carries a COST (its word
+    count, a token-budget proxy) and every round picks the document with
+    the best marginal-coverage-per-cost ratio.  This is the classic
+    weighted set-cover greedy (ln-n approximation; Chvatal 1979) and the
+    shape budget-constrained data curation actually runs: "maximize
+    distinct-n-gram coverage per training token spent".
+
+    Output: per pick round, the chosen doc, its marginal gain, cost,
+    gain/cost ratio (6dp), and cumulative distinct shingles covered.
+
+    Shape: identical to the unweighted greedy — the (doc, shingle)
+    relation builds once; each round is one anti-join against the covered
+    set, a count-per-doc agg joined to the (doc, cost) table, and a 1-row
+    argmax fetch.  The ratio argmax compares gain * 1.0 / cost, one
+    binary64 division of exact integers, so Spark and the oracle order
+    identically even without rounding.  At 100 TB the same lazy-greedy
+    batching as coverage_select applies (pick top-B per round); the cost
+    join is a doc-keyed broadcast either way."""
+    d = load_tables(spark, sf_dir)["documents"]
+    w = F.split("text", " ")
+    base = d.select("doc_id", F.col("text"), F.size(w).cast("bigint").alias("cost"))
+    wcol = F.split("text", " ")
+    sh = (
+        base.select(
+            "doc_id",
+            F.explode(
+                # same descending-sequence guard as coverage_select
+                F.when(
+                    F.size(wcol) >= 3,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(wcol) - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(wcol, i),
+                            F.element_at(wcol, i + 1),
+                            F.element_at(wcol, i + 2),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("sh"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cost = base.select("doc_id", "cost")
+    covered = None
+    picks = []
+    total = 0
+    for r in (1, 2, 3):
+        cand = sh if covered is None else sh.join(covered, "sh", "left_anti")
+        rows = (
+            cand.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
+            .join(F.broadcast(cost), "doc_id")
+            .withColumn("ratio", F.col("gain") * F.lit(1.0) / F.col("cost"))
+            .orderBy(F.col("ratio").desc(), "doc_id")
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            # degenerate round: mirror the oracle's NULL scalar subqueries
+            picks.append((r, None, None, None, None, total))
+            continue
+        top = rows[0]
+        total += int(top["gain"])
+        ratio6 = math.floor(float(top["ratio"]) * 1e6 + 0.5) / 1e6
+        picks.append(
+            (r, int(top["doc_id"]), int(top["gain"]), int(top["cost"]), ratio6, total)
+        )
+        newly = sh.filter(F.col("doc_id") == top["doc_id"]).select("sh")
+        covered = (
+            newly if covered is None else covered.unionAll(newly)
+        ).distinct().localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        picks,
+        "pick_round bigint, doc_id bigint, gain bigint, cost bigint, "
+        "ratio double, covered_total bigint",
     ).orderBy("pick_round")
 
 
