@@ -1,10 +1,16 @@
 """Re-measure the q_d2_minhash_lsh sf0.1 -> sf1.0 scale ratio (VERDICT r5
-item 4: the 14.4x-for-10x-data outlier in SCALING.md §8c-bis).
+item 4: the 14.4x-for-10x-data outlier in SCALING.md §8c-bis; resolution in
+§8g).
 
-Protocol: ONE warm session; each timed round interleaves
-[numpy matmul probe, JVM shuffle probe, minhash@sf0.1, minhash@sf1.0] so a
-host slow-phase inflates the probes alongside the query and can be ruled in
-or out.  Medians over N rounds; prints one JSON line.
+Protocol: ONE session; each timed round runs
+[numpy matmul probe, JVM shuffle probe, warm_cache+minhash@sf0.1,
+warm_cache+minhash@sf1.0] so a host slow-phase inflates the probes alongside
+the query.  warm_cache is RE-RUN (untimed) at every dir switch: the session
+table cache (session.py::_TABLE_CACHE) holds ONE sf_dir, so naive
+interleaving silently reverts the other dir to raw un-fanned scans — the
+documents table then serializes its shingle/md5 compute onto one core and
+the measurement is of the wrong plan (this bug produced a bogus first
+re-measure; §8g).  Medians over N rounds; prints one JSON line.
 
 Usage: python tools/remeasure_minhash.py [ROUNDS=5]
 """
@@ -38,15 +44,17 @@ def main() -> None:
     rng = spark.range(0, 5_000_000, 1, 32)
 
     def run(sf_dir: str) -> float:
+        warm_cache(spark, sf_dir)  # untimed: restore this dir's fanned-out
+        # cached base tables after the other dir displaced them
+        q(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm-up
         t = time.perf_counter()
         q(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t
         plans.release_outstanding()
         return dt
 
-    for d in (SF01, SF10):  # warm: file listing, codegen, JIT
-        warm_cache(spark, d)
-        run(d)
+    run(SF01)
+    run(SF10)
 
     samples: dict[str, list[float]] = {"numpy": [], "shuffle": [], "sf0.1": [], "sf1.0": []}
     for _ in range(rounds):

@@ -90,22 +90,29 @@ def main() -> None:
 
 
 def _mark_documents(c: pa.Table, i: int) -> pa.Table:
-    """Insert a replica-distinct marker token every 5 words so replicas are
+    """Insert a replica-distinct marker token every 5 words (every 2 for
+    docs under 10 words, plus one appended to every doc) so replicas are
     NOT near-duplicates of each other (word-shingle Jaccard between marked
     replicas drops well below the 0.5 dedup threshold) while the dup
     structure WITHIN each replica is preserved — pure replication would
     otherwise grow LSH verify pairs ~(reps^2/2)x instead of reps x and
-    distort the dedup scale curve.  n_chars is recomputed to stay
-    consistent with the transformed text."""
+    distort the dedup scale curve.  The short-doc densification matters:
+    the original every-5 rule left <=5-word docs IDENTICAL across replicas
+    (and 5-word docs at Jaccard 0.6 > the 0.5 threshold), which produced
+    1606 cross-replica survivor pairs at sf1.0 — a fixture artifact that
+    read as superlinear dedup cost (SCALING.md §8g).  n_chars is
+    recomputed to stay consistent with the transformed text."""
     mark = f"zrep{i}z"
     texts = []
     for s in c["text"].to_pylist():
         w = s.split(" ")
+        step = 2 if len(w) < 10 else 5
         out_w = []
         for j, tok in enumerate(w):
-            if j and j % 5 == 0:
+            if j and j % step == 0:
                 out_w.append(mark)
             out_w.append(tok)
+        out_w.append(mark)
         texts.append(" ".join(out_w))
     arr = pa.array(texts, type=c.schema.field("text").type)
     c = c.set_column(c.schema.get_field_index("text"), c.schema.field("text"), arr)
