@@ -467,3 +467,14 @@ def test_round7_graph_plans(spark, sf_dir):
         import re
 
         assert not re.search(r"(?<!Broadcast)NestedLoopJoin", plan), name
+
+
+def test_mmr_rerank_bounded_plan(spark, sf_dir):
+    """Round-8 addition: the MMR greedy must stay per-qid local — no
+    cartesian/nested-loop blowup (candidate generation is checkpointed out
+    of the returned plan), and every per-round argmax (rk == 1 over a
+    per-qid window) must rewrite to a map-side WindowGroupLimit."""
+    plan = _plan(spark, "q_d3_mmr_rerank", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
