@@ -631,3 +631,174 @@ def query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.orderBy(
         F.col("fb_df").desc(), F.col("fb_tf").desc(), "token"
     ).limit(PRF_TERMS)
+
+
+_TRIGRAM_BACKOFF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+), train AS (
+  SELECT doc_id, t FROM toks WHERE doc_id % 2 = 0
+), held AS (
+  SELECT doc_id, t FROM toks WHERE doc_id % 2 = 1
+), tg_train AS (
+  SELECT u.w1, u.w2, u.w3
+  FROM train, LATERAL (
+    SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2), i -> t[i])) AS w1,
+           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2), i -> t[i + 1])) AS w2,
+           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2), i -> t[i + 2])) AS w3) u
+), c3 AS (
+  SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3 FROM tg_train GROUP BY w1, w2, w3
+), bg_train AS (
+  SELECT u.w1, u.w2
+  FROM train, LATERAL (
+    SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1), i -> t[i])) AS w1,
+           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1), i -> t[i + 1])) AS w2) u
+), c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg_train GROUP BY w1, w2
+), c1 AS (
+  SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM train, LATERAL (SELECT UNNEST(t) AS tok) u GROUP BY tok
+), nv AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM c1
+), tg_held AS (
+  SELECT held.doc_id, u.w1, u.w2, u.w3
+  FROM held, LATERAL (
+    SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2), i -> t[i])) AS w1,
+           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2), i -> t[i + 1])) AS w2,
+           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2), i -> t[i + 2])) AS w3) u
+), nll AS (
+  SELECT g.doc_id,
+         FLOOR(-LN(
+           CASE
+             WHEN c3.c3 IS NOT NULL
+               THEN CAST(c3.c3 AS DOUBLE) / c2a.c2
+             WHEN c2b.c2 IS NOT NULL
+               THEN 0.4e0 * c2b.c2 / c1b.c1
+             ELSE 0.16e0 * (COALESCE(c1c.c1, 0) + 1) / (nv.n + nv.v)
+           END) * 1e6 + 0.5) / 1e6 AS nll
+  FROM tg_held g
+  LEFT JOIN c3 ON c3.w1 = g.w1 AND c3.w2 = g.w2 AND c3.w3 = g.w3
+  LEFT JOIN c2 c2a ON c2a.w1 = g.w1 AND c2a.w2 = g.w2
+  LEFT JOIN c2 c2b ON c2b.w1 = g.w2 AND c2b.w2 = g.w3
+  LEFT JOIN c1 c1b ON c1b.w = g.w2
+  LEFT JOIN c1 c1c ON c1c.w = g.w3
+  CROSS JOIN nv
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       FLOOR(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 1e6
+             + 0.5) / 1e6 AS xent
+FROM nll GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("q_d5_trigram_backoff_ppl", oracle=_TRIGRAM_BACKOFF_ORACLE, group="D")
+def trigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): HOLDOUT LM QUALITY SCORING with STUPID BACKOFF (Brants
+    et al. 2007) — train trigram/bigram/unigram counts on the even-doc_id
+    half of the corpus, score the odd half: the CCNet shape (a reference-
+    corpus LM scores candidate web data; high cross-entropy = junk).
+    S(w3|w1,w2) = c3/c2(w1,w2) if the trigram was seen, else 0.4*S(w3|w2)
+    = 0.4*c2(w2,w3)/c1(w2), else 0.4^2*(c1(w3)+1)/(N+V) (add-one floor so
+    unseen unigrams stay finite).  Unlike scoring the training corpus
+    itself, the holdout split actually exercises every backoff tier.
+
+    Determinism: the bigram-LM discipline — per-trigram NLLs quantize to
+    6dp before the DECIMAL per-doc sum, so the mean is accumulation-order
+    independent; count ratios and the 0.4 multipliers are identical
+    binary64 on both engines.
+
+    Scale shape: the three count models are vocabulary-sized hash-aggs
+    with map-side partials; they broadcast into the scoring joins and the
+    held-out corpus streams through map-side — same one-tokenize,
+    model-broadcast shape as q_d5_bigram_lm_ppl, one tier deeper.  At
+    100 TB the count tables prune to top-k + count floors before
+    broadcast (entropy contribution of singleton trigrams is bounded),
+    keeping the broadcast model-sized."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).persist()
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    held = toks.filter(F.col("doc_id") % 2 == 1)
+
+    def ngrams(src: DataFrame, n: int, names: list[str]) -> DataFrame:
+        return src.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("t") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                        lambda i: F.struct(
+                            *[
+                                F.element_at("t", i + j).alias(names[j])
+                                for j in range(n)
+                            ]
+                        ),
+                    ),
+                ).otherwise(F.array().cast(
+                    "array<struct<" + ",".join(f"{c}:string" for c in names) + ">>"
+                ))
+            ).alias("g"),
+        ).select("doc_id", *[f"g.{c}" for c in names])
+
+    c3 = (
+        ngrams(train, 3, ["w1", "w2", "w3"])
+        .groupBy("w1", "w2", "w3")
+        .agg(bcount().alias("c3"))
+    )
+    c2 = ngrams(train, 2, ["w1", "w2"]).groupBy("w1", "w2").agg(bcount().alias("c2"))
+    c1 = (
+        train.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(bcount().alias("c1"))
+    )
+    nv = c1.agg(
+        F.sum("c1").cast("bigint").alias("n"), F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    g = ngrams(held, 3, ["w1", "w2", "w3"])
+    c2a = c2.select(F.col("w1"), F.col("w2"), F.col("c2").alias("c2a"))
+    c2b = c2.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c2").alias("c2b")
+    )
+    c1b = c1.select(F.col("w").alias("w2"), F.col("c1").alias("c1b"))
+    c1c = c1.select(F.col("w").alias("w3"), F.col("c1").alias("c1c"))
+    score = (
+        F.when(
+            F.col("c3").isNotNull(), F.col("c3").cast("double") / F.col("c2a")
+        )
+        .when(F.col("c2b").isNotNull(), F.lit(0.4) * F.col("c2b") / F.col("c1b"))
+        .otherwise(
+            F.lit(0.16)
+            * (F.coalesce(F.col("c1c"), F.lit(0)) + 1)
+            / (F.col("n") + F.col("v"))
+        )
+    )
+    nll = (
+        g.join(F.broadcast(c3), ["w1", "w2", "w3"], "left")
+        .join(F.broadcast(c2a), ["w1", "w2"], "left")
+        .join(F.broadcast(c2b), ["w2", "w3"], "left")
+        .join(F.broadcast(c1b), ["w2"], "left")
+        .join(F.broadcast(c1c), ["w3"], "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "doc_id",
+            (F.floor(-F.log(score) * 1e6 + 0.5) / 1e6).alias("nll"),
+        )
+    )
+    return release_with(
+        nll.groupBy("doc_id")
+        .agg(
+            bcount().alias("n_trigrams"),
+            (
+                F.floor(
+                    F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("xent"),
+        )
+        .orderBy("doc_id"),
+        toks,
+    )

@@ -1978,3 +1978,103 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("rel") * 1e6 + 0.5) / 1e6).alias("rel"),
         (F.floor(F.col("score") * 1e6 + 0.5) / 1e6).alias("score"),
     ).orderBy("qid", "pick_rank")
+
+
+_CENTROID_OUTLIER_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), comp AS (
+  SELECT label, vec_id, i AS pos,
+         CAST(FLOOR(emb[i] * 1e9 + 0.5) / 1e9 AS DECIMAL(20,9)) AS x9
+  FROM e, UNNEST(GENERATE_SERIES(1, LEN(emb))) AS g(i)
+), cent AS (
+  SELECT label, pos, CAST(SUM(x9) AS DOUBLE) / COUNT(*) AS c
+  FROM comp GROUP BY label, pos
+), carr AS (
+  SELECT label, LIST(c ORDER BY pos) AS centroid FROM cent GROUP BY label
+), scored AS (
+  SELECT e.label, e.vec_id,
+         list_cosine_similarity(e.emb, carr.centroid) AS cos
+  FROM e JOIN carr USING (label)
+), rk AS (
+  SELECT label, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos ASC, vec_id) AS rnk,
+         COUNT(*) OVER (PARTITION BY label) AS n
+  FROM scored
+)
+SELECT label, vec_id,
+       FLOOR(cos * 1e6 + 0.5) / 1e6 AS cos_to_centroid,
+       rnk AS outlier_rank
+FROM rk WHERE rnk <= CAST(CEIL(n / 10.0) AS BIGINT)
+ORDER BY label, outlier_rank
+"""
+
+
+@query("q_d5_centroid_outlier", oracle=_CENTROID_OUTLIER_ORACLE, group="D")
+def centroid_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): EMBEDDING CENTROID-OUTLIER PRUNING — per-label mean
+    embedding, cosine of every member to its class centroid, flag the
+    bottom decile per label.  This is the embedding-quality curation gate
+    (the cluster-distance pruning half of SemDeDup / CLIP-score-style
+    filtering): points far from their cluster center are mislabeled,
+    noisy, or off-distribution, and 100 TB pipelines drop or down-weight
+    them before training.
+
+    Determinism: centroid components are the pagerank discipline —
+    9dp-quantize each component, DECIMAL-sum (accumulation-order
+    independent), one double division by the member count; the member ->
+    centroid cosine then runs left-to-right over the ordered component
+    array on both engines.  Ranks tiebreak (cos ASC, vec_id).
+
+    Scale shape: the centroid is two hash-aggs with map-side partials
+    ((label, pos) component sums, then label grouping), output is
+    #labels x dims — model-sized — and broadcasts into the scoring join;
+    the corpus streams through map-side, one window per label for the
+    decile rank.  No shuffle touches the embedding payload twice."""
+    e = load_tables(spark, sf_dir)["embeddings"].select("vec_id", "label", "embedding")
+    comp = e.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "label",
+        "pos",
+        (F.floor(F.col("x") * 1e9 + 0.5) / 1e9).cast("decimal(20,9)").alias("x9"),
+    )
+    cent = comp.groupBy("label", "pos").agg(
+        (F.sum("x9").cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    scored = e.join(F.broadcast(carr), "label").select(
+        "label",
+        "vec_id",
+        (
+            dot(F.col("embedding"), F.col("centroid"))
+            / F.nullif(
+                norm(F.col("embedding")) * norm(F.col("centroid")), F.lit(0.0)
+            )
+        ).alias("cos"),
+    )
+    wl = Window.partitionBy("label")
+    rk = scored.select(
+        "label",
+        "vec_id",
+        "cos",
+        F.row_number()
+        .over(Window.partitionBy("label").orderBy(F.col("cos").asc(), "vec_id"))
+        .alias("rnk"),
+        F.count(F.lit(1)).over(wl).alias("n"),
+    )
+    return (
+        rk.filter(F.col("rnk") <= F.ceil(F.col("n") / 10.0).cast("bigint"))
+        .select(
+            "label",
+            "vec_id",
+            (F.floor(F.col("cos") * 1e6 + 0.5) / 1e6).alias("cos_to_centroid"),
+            F.col("rnk").cast("bigint").alias("outlier_rank"),
+        )
+        .orderBy("label", "outlier_rank")
+    )

@@ -136,9 +136,11 @@ _PRIORITY = [
     "q_d6_shard_manifest",
     "q_d6_phash_neardup",
     # ---- window boundary (~50) ----
-    # round-7 queue: round-6 additions (verified MATCH at sf0.001 + sf0.01)
+    # round-7 queue: round-6 additions (verified MATCH at sf0.001/0.01/0.1)
     "q_d5_weighted_coverage_select",
     "q_d3_mmr_rerank",
+    "q_d5_centroid_outlier",
+    "q_d5_trigram_backoff_ppl",
     # round-7 queue: remaining never-checked SQL first-timers
     "q_a17_freq_itemsets",
     "q_d3_filtered_topk_cosine",
