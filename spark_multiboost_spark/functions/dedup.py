@@ -1284,3 +1284,48 @@ def repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occ").desc(), "gram")
         .limit(20)
     )
+
+
+PREFIX_LEN = 24  # leading characters compared for prefix duplication
+
+
+@query(
+    "q_d2_prefix_dup",
+    oracle=f"""
+SELECT SUBSTR(text, 1, {PREFIX_LEN}) AS prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keeper_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY prefix
+HAVING COUNT(*) > 1
+ORDER BY n_docs DESC, prefix
+""",
+    group="D",
+)
+def prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 (cont.): SHARED-PREFIX DUPLICATE DETECTION — group documents by
+    their first {PREFIX_LEN} characters and report groups with more than
+    one member (smallest doc_id as the deterministic keeper).  Crawled
+    corpora are full of boilerplate-led near-copies (mirrored pages,
+    templated articles) that share long prefixes while differing in the
+    tail; prefix grouping catches them for one hash-agg — far cheaper
+    than shingling — and is a standard first pass before MinHash in
+    production dedup cascades.
+
+    Scale shape: ONE hash aggregation with map-side partial combine; at
+    100 TB you group by a fixed-width hash of the prefix (xxhash64) to
+    bound shuffle key width — the plan is identical, the key is 8 bytes.
+    No joins, no windows, no payload shuffle (only prefix + 3 counters
+    move)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.groupBy(F.substring("text", 1, PREFIX_LEN).alias("prefix"))
+        .agg(
+            bcount().alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.col("n_docs").desc(), "prefix")
+    )

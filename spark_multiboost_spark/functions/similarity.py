@@ -2078,3 +2078,133 @@ def centroid_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "outlier_rank")
     )
+
+
+RRF_K = 60       # standard RRF rank damping constant (Cormack et al. 2009)
+RRF_POOL = 20    # per-ranker candidate pool depth fed to the fusion
+
+
+def _rrf_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), cosr AS (
+  SELECT qid, cid, rk AS r_cos FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.emb, b.emb) DESC, b.vec_id) AS rk
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < {N_QUERIES}
+  ) WHERE rk <= {RRF_POOL}
+), hamr AS (
+  SELECT qid, cid, rk AS r_ham FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.emb)),
+               i -> CASE WHEN (a.emb[i] >= 0) = (b.emb[i] >= 0)
+                         THEN 0 ELSE 1 END)) ASC, b.vec_id) AS rk
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < {N_QUERIES}
+  ) WHERE rk <= {RRF_POOL}
+), fused AS (
+  SELECT COALESCE(c.qid, h.qid) AS qid, COALESCE(c.cid, h.cid) AS cid,
+         COALESCE(1.0e0 / ({RRF_K} + c.r_cos), 0.0e0)
+           + COALESCE(1.0e0 / ({RRF_K} + h.r_ham), 0.0e0) AS rrf
+  FROM cosr c FULL OUTER JOIN hamr h ON c.qid = h.qid AND c.cid = h.cid
+)
+SELECT qid, cid, fused_rank,
+       FLOOR(rrf * 1e6 + 0.5) / 1e6 AS rrf_score
+FROM (
+  SELECT qid, cid, rrf,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= {K}
+ORDER BY qid, fused_rank
+"""
+
+
+@query("q_d3_rrf_fusion", oracle=_rrf_oracle(), group="D")
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): RECIPROCAL-RANK FUSION (Cormack et al. 2009) — the
+    standard hybrid-retrieval combiner: each ranker contributes
+    1/({RRF_K}+rank) for its top-{RRF_POOL}, candidates are fused by the
+    sum, final top-{K} per query.  Here the two rankers are the exact
+    cosine ranking and a sign-binarized Hamming ranking (the
+    1-bit-quantized cheap path) — the realistic cascade where a coarse
+    binary index and a dense scorer vote, robust to either ranker's
+    failure modes without score calibration (rank-only fusion is the
+    point).
+
+    Determinism: both input rankings order on raw deterministic keys
+    (bit-identical cosine; integer Hamming distance), ties broken by cid;
+    the fused score is a sum of two exact binary64 reciprocals of small
+    integers — identical across engines; fused ties again break by cid.
+
+    Scale shape: each ranker is the broadcast-query-side pass (at 100 TB:
+    IVF/PQ for the dense arm, a bit-packed popcount scan for the binary
+    arm — see q_d3_binary_hamming_topk); fusion itself touches only
+    2 x Q x {RRF_POOL} (qid, cid, rank) rows — a full-outer equi-join on
+    (qid, cid) and one per-qid window, independent of corpus size."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        norm(F.col("embedding")).alias("q_n"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_n"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
+    cos = pairs.withColumn(
+        "cos",
+        dot(F.col("q_emb"), F.col("c_emb"))
+        / F.nullif(F.col("q_n") * F.col("c_n"), F.lit(0.0)),
+    )
+    wc = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    cosr = (
+        cos.withColumn("r_cos", F.row_number().over(wc))
+        .filter(F.col("r_cos") <= RRF_POOL)
+        .select("qid", "cid", "r_cos")
+    )
+    ham = pairs.withColumn(
+        "ham",
+        F.aggregate(
+            F.zip_with(
+                F.col("q_emb"),
+                F.col("c_emb"),
+                lambda x, y: F.when(
+                    (x >= 0) == (y >= 0), F.lit(0)
+                ).otherwise(F.lit(1)),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    wh = Window.partitionBy("qid").orderBy(F.col("ham").asc(), "cid")
+    hamr = (
+        ham.withColumn("r_ham", F.row_number().over(wh))
+        .filter(F.col("r_ham") <= RRF_POOL)
+        .select("qid", "cid", "r_ham")
+    )
+    fused = (
+        cosr.join(hamr, ["qid", "cid"], "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_cos")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_ham")), F.lit(0.0)),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("rrf").desc(), "cid")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("fused_rank") <= K)
+        .select(
+            "qid",
+            "cid",
+            "fused_rank",
+            (F.floor(F.col("rrf") * 1e6 + 0.5) / 1e6).alias("rrf_score"),
+        )
+        .orderBy("qid", "fused_rank")
+    )

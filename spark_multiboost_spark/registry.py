@@ -141,6 +141,8 @@ _PRIORITY = [
     "q_d3_mmr_rerank",
     "q_d5_centroid_outlier",
     "q_d5_trigram_backoff_ppl",
+    "q_d2_prefix_dup",
+    "q_d3_rrf_fusion",
     # round-7 queue: remaining never-checked SQL first-timers
     "q_a17_freq_itemsets",
     "q_d3_filtered_topk_cosine",
