@@ -2426,3 +2426,117 @@ def count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("exact_count").desc(), "token")
     )
+
+
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+# rule thresholds (Rae et al. 2021 table A1 shape, bounds tuned to the
+# synthetic fixture's ranges so every rule is exercised non-vacuously)
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 30, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MIN_ALPHA = 0.8
+GOPHER_MIN_STOPS = 1
+
+_GOPHER_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id, source,
+         LEN(w) AS n_words,
+         LIST_SUM(LIST_TRANSFORM(w, x -> LENGTH(x))) * 1.0 / LEN(w) AS mean_wl,
+         LEN(LIST_FILTER(w, x -> REGEXP_MATCHES(x, '[a-zA-Z]'))) * 1.0 / LEN(w)
+           AS frac_alpha,
+         LEN(LIST_INTERSECT(LIST_DISTINCT(w),
+             [{", ".join("'" + s + "'" for s in _GOPHER_STOPS)}])) AS stop_hits
+  FROM d
+), r AS (
+  SELECT source,
+         (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+           AS ok_words,
+         (mean_wl >= {GOPHER_MIN_MWL} AND mean_wl <= {GOPHER_MAX_MWL}) AS ok_mwl,
+         (frac_alpha >= {GOPHER_MIN_ALPHA}) AS ok_alpha,
+         (stop_hits >= {GOPHER_MIN_STOPS}) AS ok_stops
+  FROM s
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN ok_words AND ok_mwl AND ok_alpha AND ok_stops
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       FLOOR(SUM(CASE WHEN ok_words AND ok_mwl AND ok_alpha AND ok_stops
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*) * 1e6 + 0.5) / 1e6
+         AS kept_frac,
+       CAST(SUM(CASE WHEN ok_words THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_words,
+       CAST(SUM(CASE WHEN ok_mwl THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_mwl,
+       CAST(SUM(CASE WHEN ok_alpha THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_alpha,
+       CAST(SUM(CASE WHEN ok_stops THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_stops
+FROM r GROUP BY source ORDER BY source
+"""
+
+
+@query("q_d5_gopher_rules", oracle=_GOPHER_ORACLE, group="D")
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): GOPHER QUALITY-RULE BUNDLE (Rae et al. 2021 §A1.1) —
+    the classic heuristic pre-filter every large text pipeline runs before
+    model-based scoring: word-count bounds, mean-word-length window,
+    minimum fraction of words containing an alphabetic character, and a
+    required-stopword floor.  The report aggregates per source: docs
+    kept, kept fraction, and per-rule failure counts (the tuning view a
+    curation team actually reads; thresholds are constants tuned here to
+    the synthetic fixture so each rule exercises both branches).
+
+    Scale shape: every signal is a per-row Catalyst expression over the
+    token array (no UDF, no shuffle before the final per-source
+    hash-agg with map-side partials) — the whole filter runs inside one
+    WholeStageCodegen scan pass, which is why these rules are effectively
+    free at 100 TB."""
+    d = load_tables(spark, sf_dir)["documents"]
+    w = F.split("text", " ")
+    n_words = F.size(w)
+    sum_wl = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, v: a + v
+    )
+    mean_wl = sum_wl * F.lit(1.0) / n_words
+    frac_alpha = (
+        F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]"))) * F.lit(1.0) / n_words
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(w), F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+        )
+    )
+    ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_mwl = (mean_wl >= GOPHER_MIN_MWL) & (mean_wl <= GOPHER_MAX_MWL)
+    ok_alpha = frac_alpha >= GOPHER_MIN_ALPHA
+    ok_stops = stop_hits >= GOPHER_MIN_STOPS
+    keep = ok_words & ok_mwl & ok_alpha & ok_stops
+    flags = d.select(
+        "source",
+        keep.alias("keep"),
+        ok_words.alias("ok_words"),
+        ok_mwl.alias("ok_mwl"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stops.alias("ok_stops"),
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return (
+        flags.groupBy("source")
+        .agg(
+            bcount().alias("n_docs"),
+            cnt(F.col("keep")).alias("n_kept"),
+            (
+                F.floor(
+                    F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                    * F.lit(1.0)
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("kept_frac"),
+            cnt(~F.col("ok_words")).alias("n_fail_words"),
+            cnt(~F.col("ok_mwl")).alias("n_fail_mwl"),
+            cnt(~F.col("ok_alpha")).alias("n_fail_alpha"),
+            cnt(~F.col("ok_stops")).alias("n_fail_stops"),
+        )
+        .orderBy("source")
+    )

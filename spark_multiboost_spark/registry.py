@@ -143,6 +143,7 @@ _PRIORITY = [
     "q_d5_trigram_backoff_ppl",
     "q_d2_prefix_dup",
     "q_d3_rrf_fusion",
+    "q_d5_gopher_rules",
     # round-7 queue: remaining never-checked SQL first-timers
     "q_a17_freq_itemsets",
     "q_d3_filtered_topk_cosine",
