@@ -2540,3 +2540,84 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_TOKEN_ENTROPY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+), tc AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE LENGTH(tok) > 0 GROUP BY doc_id, tok
+), n AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS d
+  FROM tc GROUP BY doc_id
+), terms AS (
+  SELECT tc.doc_id,
+         FLOOR((CAST(tc.c AS DOUBLE) / n.n) * LN(CAST(n.n AS DOUBLE) / tc.c)
+               * 1e9 + 0.5) / 1e9 AS term
+  FROM tc JOIN n USING (doc_id)
+)
+SELECT t.doc_id, n.n AS n_tokens, n.d AS n_distinct,
+       FLOOR(CAST(SUM(CAST(t.term AS DECIMAL(18,9))) AS DOUBLE) * 1e6 + 0.5)
+         / 1e6 AS entropy
+FROM terms t JOIN n ON n.doc_id = t.doc_id
+GROUP BY t.doc_id, n.n, n.d
+ORDER BY t.doc_id
+"""
+
+
+@query("q_d4_token_entropy", oracle=_TOKEN_ENTROPY_ORACLE, group="D")
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): PER-DOCUMENT TOKEN-DISTRIBUTION ENTROPY —
+    H(doc) = Σ_t (c_t/n)·ln(n/c_t) over the doc's within-document token
+    counts, plus token/distinct counts.  Low entropy = repetitive/spammy
+    text (keyword stuffing, boilerplate loops), the information-theoretic
+    sibling of q_d5_repetition_score that curation stacks threshold on.
+
+    Determinism: each per-token term is quantized to 9dp then
+    DECIMAL-summed per doc (accumulation-order independent — the
+    bigram-LM discipline), output rounded to 6dp.
+
+    Scale shape: two hash-aggs with map-side partial combine
+    ((doc, token) counts, then per-doc roll-up joined back on doc_id —
+    a co-partitioned join, both sides already hashed by doc_id).  No
+    window, no broadcast, nothing driver-side; entropy of a 100 TB
+    corpus is exactly this plan."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("doc_id", "tok")
+        .agg(bcount().alias("c"))
+    )
+    n = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+    )
+    terms = tc.join(n, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        (
+            F.floor(
+                (F.col("c").cast("double") / F.col("n_tokens"))
+                * F.log(F.col("n_tokens").cast("double") / F.col("c"))
+                * 1e9
+                + 0.5
+            )
+            / 1e9
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("term").cast("decimal(18,9)")).cast("double") * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("entropy")
+        )
+        .orderBy("doc_id")
+    )

@@ -144,6 +144,7 @@ _PRIORITY = [
     "q_d2_prefix_dup",
     "q_d3_rrf_fusion",
     "q_d5_gopher_rules",
+    "q_d4_token_entropy",
     # round-7 queue: remaining never-checked SQL first-timers
     "q_a17_freq_itemsets",
     "q_d3_filtered_topk_cosine",
