@@ -2436,8 +2436,8 @@ GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
 GOPHER_MIN_ALPHA = 0.8
 GOPHER_MIN_STOPS = 1
 
-_GOPHER_ORACLE = f"""
-WITH d AS (
+# shared signal CTE: per-doc Gopher rule booleans (reused by the funnel)
+_GOPHER_FLAGS_SQL = f"""d AS (
   SELECT doc_id, source, STRING_SPLIT(text, ' ') AS w
   FROM documents
 ), s AS (
@@ -2450,14 +2450,17 @@ WITH d AS (
              [{", ".join("'" + s + "'" for s in _GOPHER_STOPS)}])) AS stop_hits
   FROM d
 ), r AS (
-  SELECT source,
+  SELECT doc_id, source,
          (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
            AS ok_words,
          (mean_wl >= {GOPHER_MIN_MWL} AND mean_wl <= {GOPHER_MAX_MWL}) AS ok_mwl,
          (frac_alpha >= {GOPHER_MIN_ALPHA}) AS ok_alpha,
          (stop_hits >= {GOPHER_MIN_STOPS}) AS ok_stops
   FROM s
-)
+)"""
+
+_GOPHER_ORACLE = f"""
+WITH {_GOPHER_FLAGS_SQL}
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN ok_words AND ok_mwl AND ok_alpha AND ok_stops
@@ -2473,23 +2476,10 @@ FROM r GROUP BY source ORDER BY source
 """
 
 
-@query("q_d5_gopher_rules", oracle=_GOPHER_ORACLE, group="D")
-def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D5 (cont.): GOPHER QUALITY-RULE BUNDLE (Rae et al. 2021 §A1.1) —
-    the classic heuristic pre-filter every large text pipeline runs before
-    model-based scoring: word-count bounds, mean-word-length window,
-    minimum fraction of words containing an alphabetic character, and a
-    required-stopword floor.  The report aggregates per source: docs
-    kept, kept fraction, and per-rule failure counts (the tuning view a
-    curation team actually reads; thresholds are constants tuned here to
-    the synthetic fixture so each rule exercises both branches).
-
-    Scale shape: every signal is a per-row Catalyst expression over the
-    token array (no UDF, no shuffle before the final per-source
-    hash-agg with map-side partials) — the whole filter runs inside one
-    WholeStageCodegen scan pass, which is why these rules are effectively
-    free at 100 TB."""
-    d = load_tables(spark, sf_dir)["documents"]
+def _gopher_flag_cols() -> list:
+    """Per-document Gopher rule booleans (keep + one per rule), as Catalyst
+    expressions over an implicit ``text`` column — shared by
+    q_d5_gopher_rules and q_d5_curation_funnel."""
     w = F.split("text", " ")
     n_words = F.size(w)
     sum_wl = F.aggregate(
@@ -2509,14 +2499,33 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok_alpha = frac_alpha >= GOPHER_MIN_ALPHA
     ok_stops = stop_hits >= GOPHER_MIN_STOPS
     keep = ok_words & ok_mwl & ok_alpha & ok_stops
-    flags = d.select(
-        "source",
+    return [
         keep.alias("keep"),
         ok_words.alias("ok_words"),
         ok_mwl.alias("ok_mwl"),
         ok_alpha.alias("ok_alpha"),
         ok_stops.alias("ok_stops"),
-    )
+    ]
+
+
+@query("q_d5_gopher_rules", oracle=_GOPHER_ORACLE, group="D")
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): GOPHER QUALITY-RULE BUNDLE (Rae et al. 2021 §A1.1) —
+    the classic heuristic pre-filter every large text pipeline runs before
+    model-based scoring: word-count bounds, mean-word-length window,
+    minimum fraction of words containing an alphabetic character, and a
+    required-stopword floor.  The report aggregates per source: docs
+    kept, kept fraction, and per-rule failure counts (the tuning view a
+    curation team actually reads; thresholds are constants tuned here to
+    the synthetic fixture so each rule exercises both branches).
+
+    Scale shape: every signal is a per-row Catalyst expression over the
+    token array (no UDF, no shuffle before the final per-source
+    hash-agg with map-side partials) — the whole filter runs inside one
+    WholeStageCodegen scan pass, which is why these rules are effectively
+    free at 100 TB."""
+    d = load_tables(spark, sf_dir)["documents"]
+    flags = d.select("source", *_gopher_flag_cols())
     cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
     return (
         flags.groupBy("source")
@@ -2620,4 +2629,82 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy")
         )
         .orderBy("doc_id")
+    )
+
+
+_FUNNEL_ORACLE = f"""
+WITH {_GOPHER_FLAGS_SQL}, dup AS (
+  SELECT doc_id,
+         (doc_id <> MIN(doc_id) OVER (PARTITION BY SUBSTR(text, 1, 24)))
+           AS is_dup
+  FROM documents
+)
+SELECT r.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN dup.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_removed,
+       CAST(SUM(CASE WHEN NOT dup.is_dup
+                      AND NOT (ok_words AND ok_mwl AND ok_alpha AND ok_stops)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_removed,
+       CAST(SUM(CASE WHEN NOT dup.is_dup
+                      AND (ok_words AND ok_mwl AND ok_alpha AND ok_stops)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       FLOOR(SUM(CASE WHEN NOT dup.is_dup
+                       AND (ok_words AND ok_mwl AND ok_alpha AND ok_stops)
+                      THEN 1 ELSE 0 END) * 1.0 / COUNT(*) * 1e6 + 0.5) / 1e6
+         AS survivor_frac
+FROM r JOIN dup ON dup.doc_id = r.doc_id
+GROUP BY r.source ORDER BY r.source
+"""
+
+
+@query("q_d5_curation_funnel", oracle=_FUNNEL_ORACLE, group="D")
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): CURATION FUNNEL REPORT — the standard two-stage
+    pipeline accounting view: stage 1 removes shared-prefix duplicates
+    (keep-lowest-id per 24-char prefix group, the q_d2_prefix_dup
+    decision), stage 2 applies the Gopher quality gate to the dedup
+    survivors; the report shows, per source, how many documents each
+    stage removed and what fraction survives end-to-end.  This is the
+    attrition table every dataset card publishes (what % died at dedup
+    vs quality), and source-level skew in it is how curation teams catch
+    a feed gone bad.
+
+    Scale shape: one window over the prefix groups (hash shuffle on a
+    24-char key — at 100 TB, on its xxhash64), the Gopher flags computed
+    in the same scan pass (pure Catalyst expressions, shared via
+    _gopher_flag_cols with q_d5_gopher_rules), then one per-source
+    hash-agg with map-side partials.  The two stages share a single
+    pass over the corpus."""
+    d = load_tables(spark, sf_dir)["documents"]
+    wp = Window.partitionBy(F.substring("text", 1, 24))
+    flagged = d.select(
+        "source",
+        (F.col("doc_id") != F.min("doc_id").over(wp)).alias("is_dup"),
+        *_gopher_flag_cols(),
+    )
+    surv = (~F.col("is_dup")) & F.col("keep")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            bcount().alias("n_docs"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_removed"),
+            F.sum(F.when((~F.col("is_dup")) & (~F.col("keep")), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_quality_removed"),
+            F.sum(F.when(surv, 1).otherwise(0)).cast("bigint").alias("n_survivors"),
+            (
+                F.floor(
+                    F.sum(F.when(surv, 1).otherwise(0))
+                    * F.lit(1.0)
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("survivor_frac"),
+        )
+        .orderBy("source")
     )
