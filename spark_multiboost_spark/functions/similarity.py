@@ -2140,11 +2140,15 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fused score is a sum of two exact binary64 reciprocals of small
     integers — identical across engines; fused ties again break by cid.
 
-    Scale shape: each ranker is the broadcast-query-side pass (at 100 TB:
-    IVF/PQ for the dense arm, a bit-packed popcount scan for the binary
-    arm — see q_d3_binary_hamming_topk); fusion itself touches only
-    2 x Q x {RRF_POOL} (qid, cid, rank) rows — a full-outer equi-join on
-    (qid, cid) and one per-qid window, independent of corpus size."""
+    Scale shape: both arms score in ONE projection of the
+    broadcast-query-side pair pass and rank over ONE qid shuffle (two
+    Window nodes share the exchange — the pair set moves once, not once
+    per ranker; the oracle's full-outer join of the two top-N lists is
+    equivalent to the OR-filter on the two ranks).  At 100 TB each arm
+    swaps in its index path (IVF/PQ dense, bit-packed popcount binary —
+    see q_d3_binary_hamming_topk) emitting (qid, cid, rank) candidate
+    lists, and the fusion join then touches only 2 x Q x {RRF_POOL}
+    rows, independent of corpus size."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
@@ -2157,19 +2161,17 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm(F.col("embedding")).alias("c_n"),
     )
     pairs = c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
-    cos = pairs.withColumn(
-        "cos",
-        dot(F.col("q_emb"), F.col("c_emb"))
-        / F.nullif(F.col("q_n") * F.col("c_n"), F.lit(0.0)),
-    )
-    wc = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
-    cosr = (
-        cos.withColumn("r_cos", F.row_number().over(wc))
-        .filter(F.col("r_cos") <= RRF_POOL)
-        .select("qid", "cid", "r_cos")
-    )
-    ham = pairs.withColumn(
-        "ham",
+    # both arms score in ONE projection and rank over ONE qid shuffle —
+    # two windows share the exchange, so the pair set moves once instead
+    # of once per ranker (the full-outer join of the two top-N lists in
+    # the oracle is equivalent to the OR-filter below)
+    scored = pairs.select(
+        "qid",
+        "cid",
+        (
+            dot(F.col("q_emb"), F.col("c_emb"))
+            / F.nullif(F.col("q_n") * F.col("c_n"), F.lit(0.0))
+        ).alias("cos"),
         F.aggregate(
             F.zip_with(
                 F.col("q_emb"),
@@ -2180,21 +2182,23 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit(0),
             lambda acc, v: acc + v,
-        ),
+        ).alias("ham"),
     )
+    wc = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
     wh = Window.partitionBy("qid").orderBy(F.col("ham").asc(), "cid")
-    hamr = (
-        ham.withColumn("r_ham", F.row_number().over(wh))
-        .filter(F.col("r_ham") <= RRF_POOL)
-        .select("qid", "cid", "r_ham")
+    both = scored.withColumn("r_cos", F.row_number().over(wc)).withColumn(
+        "r_ham", F.row_number().over(wh)
     )
-    fused = (
-        cosr.join(hamr, ["qid", "cid"], "full_outer")
-        .withColumn(
-            "rrf",
-            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_cos")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_ham")), F.lit(0.0)),
-        )
+    fused = both.filter(
+        (F.col("r_cos") <= RRF_POOL) | (F.col("r_ham") <= RRF_POOL)
+    ).withColumn(
+        "rrf",
+        F.when(
+            F.col("r_cos") <= RRF_POOL, F.lit(1.0) / (F.lit(RRF_K) + F.col("r_cos"))
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("r_ham") <= RRF_POOL, F.lit(1.0) / (F.lit(RRF_K) + F.col("r_ham"))
+        ).otherwise(F.lit(0.0)),
     )
     wf = Window.partitionBy("qid").orderBy(F.col("rrf").desc(), "cid")
     return (

@@ -478,3 +478,25 @@ def test_mmr_rerank_bounded_plan(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_round8_scan_pass_aggs(spark, sf_dir):
+    """Round-8 curation additions must stay join-free single-scan shapes:
+    gopher_rules and prefix_dup are one partial+final hash-agg pair (plus
+    the output sort) with no join of any kind."""
+    for name in ("q_d5_gopher_rules", "q_d2_prefix_dup"):
+        plan = _plan(spark, name, sf_dir)
+        for node in ("Join", "CartesianProduct"):
+            assert node not in plan, f"{name}: unexpected {node}"
+        assert "HashAggregate" in plan
+
+
+def test_rrf_single_pair_shuffle(spark, sf_dir):
+    """RRF fusion scores both arms in one projection and ranks over one
+    qid shuffle — no sort-merge join may appear (the only join is the
+    broadcast query-side pair generation), and both rankings must ride
+    Window nodes over the shared exchange."""
+    plan = _plan(spark, "q_d3_rrf_fusion", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
