@@ -78,6 +78,14 @@ SHOWCASE = [
     "q_d5_priority_sample",
     "q_comp_waiting_orders",
     "q_d4_bpe_train",
+    # round-8 flagships: curation gates + hybrid retrieval + diversity
+    "q_d5_gopher_rules",
+    "q_d5_curation_funnel",
+    "q_d4_token_entropy",
+    "q_d3_rrf_fusion",
+    "q_d3_mmr_rerank",
+    "q_d5_centroid_outlier",
+    "q_d5_trigram_backoff_ppl",
 ]
 
 
