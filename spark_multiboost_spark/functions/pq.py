@@ -29,6 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.vector import hamming_packed, sign_bits
 from ..registry import query
 from ..session import load_tables
 
@@ -934,31 +935,30 @@ def binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     common at d=64) hash-matches the oracle.
 
     Plan: the broadcast-queries WindowGroupLimit shape of the exact
-    flagship with an integer fold instead of a float dot product; at
-    100 TB the corpus side would be a packed-bitmap column and the fold a
-    handful of 64-bit XOR+popcounts per pair."""
+    flagship, with the packed-bitmap column REAL (vector.sign_bits): each
+    side packs its sign bits into one BIGINT per vector up front, so the
+    per-pair distance is a single codegen'd bit_count(xor) — not a
+    64-step interpreted higher-order fold (HOFs are excluded from
+    whole-stage codegen).  At 100 TB / wider dims the packed column is
+    ceil(d/64) words and the fold a handful of XOR+popcounts per pair."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    e = emb.select(
+        "vec_id",
+        sign_bits(F.col("embedding").cast("array<double>")).alias("bits"),
+    )
     qb = F.broadcast(
         e.filter(F.col("vec_id") < PQ_N_QUERIES).select(
-            F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+            F.col("vec_id").alias("qid"), F.col("bits").alias("qbits")
         )
-    )
-    hamming = F.aggregate(
-        F.zip_with(
-            "qemb",
-            "emb",
-            lambda x, y: ((x >= 0) != (y >= 0)).cast("int"),
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
     )
     w = Window.partitionBy("qid").orderBy("hamming", "cid")
     return (
-        e.select(F.col("vec_id").alias("cid"), "emb")
+        e.select(F.col("vec_id").alias("cid"), "bits")
         .crossJoin(qb)
         .filter(F.col("cid") != F.col("qid"))
-        .withColumn("hamming", hamming.cast("bigint"))
+        .withColumn(
+            "hamming", hamming_packed(F.col("qbits"), F.col("bits")).cast("bigint")
+        )
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= PQ_TOPK)
         .select("qid", "cid", "rank", "hamming")
@@ -1010,25 +1010,27 @@ def bq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import cosine
 
     emb = load_tables(spark, sf_dir)["embeddings"]
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    # full vectors ride along for the stage-2 exact re-rank; the stage-1
+    # filter itself runs on packed sign bits (one bit_count(xor) per pair,
+    # codegen'd — see q_d3_binary_hamming_topk)
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        sign_bits(F.col("embedding").cast("array<double>")).alias("bits"),
+    )
     qb = F.broadcast(
         e.filter(F.col("vec_id") < PQ_N_QUERIES).select(
-            F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+            F.col("vec_id").alias("qid"),
+            F.col("emb").alias("qemb"),
+            F.col("bits").alias("qbits"),
         )
-    )
-    hamming = F.aggregate(
-        F.zip_with(
-            "qemb", "emb", lambda x, y: ((x >= 0) != (y >= 0)).cast("int")
-        ),
-        F.lit(0),
-        lambda acc, v: acc + v,
     )
     wh = Window.partitionBy("qid").orderBy("hamming", "cid")
     shortlist = (
-        e.select(F.col("vec_id").alias("cid"), "emb")
+        e.select(F.col("vec_id").alias("cid"), "emb", "bits")
         .crossJoin(qb)
         .filter(F.col("cid") != F.col("qid"))
-        .withColumn("hamming", hamming)
+        .withColumn("hamming", hamming_packed(F.col("qbits"), F.col("bits")))
         .withColumn("hrank", F.row_number().over(wh))
         .filter(F.col("hrank") <= BQ_SHORTLIST)
     )

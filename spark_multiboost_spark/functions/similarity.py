@@ -27,7 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine, dot, norm
+from ..functions.vector import cosine, dot, hamming_packed, norm, sign_bits
 from ..functions.parity import bcount
 from ..registry import query
 from ..session import load_tables
@@ -2150,15 +2150,20 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists, and the fusion join then touches only 2 x Q x {RRF_POOL}
     rows, independent of corpus size."""
     emb = load_tables(spark, sf_dir)["embeddings"]
+    # sign bits pack ONCE per vector (vector.sign_bits), so the binary
+    # arm's per-pair work is a single codegen'd bit_count(xor) instead of
+    # a 64-step interpreted higher-order fold (~6x per-pair at 200k pairs)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("q_emb"),
         norm(F.col("embedding")).alias("q_n"),
+        sign_bits(F.col("embedding")).alias("q_bits"),
     )
     c = emb.select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("c_emb"),
         norm(F.col("embedding")).alias("c_n"),
+        sign_bits(F.col("embedding")).alias("c_bits"),
     )
     pairs = c.join(F.broadcast(q), F.col("qid") != F.col("cid"))
     # both arms score in ONE projection and rank over ONE qid shuffle —
@@ -2172,17 +2177,7 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot(F.col("q_emb"), F.col("c_emb"))
             / F.nullif(F.col("q_n") * F.col("c_n"), F.lit(0.0))
         ).alias("cos"),
-        F.aggregate(
-            F.zip_with(
-                F.col("q_emb"),
-                F.col("c_emb"),
-                lambda x, y: F.when(
-                    (x >= 0) == (y >= 0), F.lit(0)
-                ).otherwise(F.lit(1)),
-            ),
-            F.lit(0),
-            lambda acc, v: acc + v,
-        ).alias("ham"),
+        hamming_packed(F.col("q_bits"), F.col("c_bits")).alias("ham"),
     )
     wc = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
     wh = Window.partitionBy("qid").orderBy(F.col("ham").asc(), "cid")
