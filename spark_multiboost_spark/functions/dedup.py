@@ -1329,3 +1329,73 @@ def prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy(F.col("n_docs").desc(), "prefix")
     )
+
+
+@query(
+    "q_d5_dup_weights",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, source,
+         CAST(COUNT(*) OVER (PARTITION BY SUBSTR(text, 1, {PREFIX_LEN}))
+              AS BIGINT) AS group_size,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+       FLOOR(SUM(CAST(FLOOR(n_tokens * 1.0 / group_size * 1e6 + 0.5) / 1e6
+                      AS DECIMAL(18,6))) * 1e0 * 1e6 + 0.5) / 1e6
+         AS effective_tokens,
+       CAST(SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_downweighted
+FROM g GROUP BY source ORDER BY source
+""",
+    group="D",
+)
+def dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): SOFT DEDUP — instead of dropping duplicates, weight
+    each document by 1/group_size of its shared-prefix duplicate group
+    (the loss-reweighting alternative to removal: duplicated content
+    contributes one document's worth of gradient in total, however many
+    copies exist).  The report shows, per source, raw vs EFFECTIVE token
+    counts (Σ n_tokens/group_size) and how many docs were down-weighted —
+    the number a data-mixing plan budgets against.
+
+    Determinism: per-doc effective tokens quantize to 6dp before the
+    DECIMAL per-source sum (order-independent), final output re-rounded.
+
+    Scale shape: one window over the prefix groups (same hash shuffle as
+    q_d2_prefix_dup — at 100 TB the key is the prefix's xxhash64) and one
+    per-source hash-agg with map-side partials; weights never materialize
+    a join against a dup table."""
+    d = load_tables(spark, sf_dir)["documents"]
+    wp = Window.partitionBy(F.substring("text", 1, PREFIX_LEN))
+    g = d.select(
+        "source",
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("group_size"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    eff = (
+        F.floor(
+            F.col("n_tokens") * F.lit(1.0) / F.col("group_size") * 1e6 + 0.5
+        )
+        / 1e6
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            bcount().alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("raw_tokens"),
+            (
+                F.floor(
+                    F.sum(eff.cast("decimal(18,6)")).cast("double") * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("effective_tokens"),
+            F.sum(F.when(F.col("group_size") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_downweighted"),
+        )
+        .orderBy("source")
+    )

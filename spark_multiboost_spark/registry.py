@@ -146,6 +146,7 @@ _PRIORITY = [
     "q_d5_gopher_rules",
     "q_d4_token_entropy",
     "q_d5_curation_funnel",
+    "q_d5_dup_weights",
     # round-7 queue: remaining never-checked SQL first-timers
     "q_a17_freq_itemsets",
     "q_d3_filtered_topk_cosine",
