@@ -2207,3 +2207,73 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "fused_rank")
     )
+
+
+HN_POS = 5      # ranks 1..HN_POS are positives (the top-k a labeler keeps)
+HN_NEG = 10     # ranks HN_POS+1 .. HN_POS+HN_NEG mined as hard negatives
+
+_HARD_NEG_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+), ranked AS (
+  SELECT a.vec_id AS qid, b.vec_id AS cid,
+         list_cosine_similarity(a.emb, b.emb) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(a.emb, b.emb) DESC, b.vec_id) AS rk
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < {N_QUERIES}
+), anchor AS (
+  SELECT qid, cos AS pos_floor FROM ranked WHERE rk = {HN_POS}
+)
+SELECT r.qid, r.cid, r.rk AS neg_rank,
+       FLOOR(r.cos * 1e6 + 0.5) / 1e6 AS cos_sim,
+       FLOOR((a.pos_floor - r.cos) * 1e6 + 0.5) / 1e6 AS margin
+FROM ranked r JOIN anchor a ON a.qid = r.qid
+WHERE r.rk > {HN_POS} AND r.rk <= {HN_POS} + {HN_NEG}
+ORDER BY r.qid, r.rk
+"""
+
+
+@query("q_d3_hard_negatives", oracle=_HARD_NEG_ORACLE, group="D")
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): HARD-NEGATIVE MINING — for each query, the {HN_NEG}
+    corpus items ranked immediately BELOW the top-{HN_POS} positives,
+    with each negative's margin to the weakest positive.  This is the
+    standard contrastive-training data prep (DPR/ANCE family): random
+    negatives are too easy, so retrieval training mines near-miss
+    candidates from the current index — exactly these ranks.  The margin
+    column is the curriculum signal (small margin = hardest).
+
+    Determinism: one ranking pass ordered on raw bit-identical cosine
+    (ties by cid); the anchor (rank-{HN_POS} cosine) joins back per qid;
+    rounding only in the final projection.
+
+    Scale shape: the same broadcast-query-side ranking pass as the
+    flagship (at 100 TB: the ANN index path emits the candidate ranks
+    instead); the anchor join is Q rows broadcast against the Q x
+    {HN_NEG} negative band.  One corpus pass, no extra shuffle beyond
+    the per-qid rank."""
+    pairs = _pairs(spark, sf_dir)
+    wq = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    ranked = pairs.select("qid", "cid", F.col("cos_raw").alias("cos")).withColumn(
+        "rk", F.row_number().over(wq)
+    )
+    band = ranked.filter(
+        (F.col("rk") > HN_POS) & (F.col("rk") <= HN_POS + HN_NEG)
+    )
+    anchor = ranked.filter(F.col("rk") == HN_POS).select(
+        "qid", F.col("cos").alias("pos_floor")
+    )
+    return (
+        band.join(F.broadcast(anchor), "qid")
+        .select(
+            "qid",
+            "cid",
+            F.col("rk").cast("bigint").alias("neg_rank"),
+            (F.floor(F.col("cos") * 1e6 + 0.5) / 1e6).alias("cos_sim"),
+            (F.floor((F.col("pos_floor") - F.col("cos")) * 1e6 + 0.5) / 1e6).alias(
+                "margin"
+            ),
+        )
+        .orderBy("qid", "neg_rank")
+    )

@@ -147,6 +147,7 @@ _PRIORITY = [
     "q_d4_token_entropy",
     "q_d5_curation_funnel",
     "q_d5_dup_weights",
+    "q_d3_hard_negatives",
     # round-7 queue: remaining never-checked SQL first-timers
     "q_a17_freq_itemsets",
     "q_d3_filtered_topk_cosine",
