@@ -151,3 +151,37 @@ def test_join_strategy_independence(spark, sf_dir):
 
     res = {h: run(h) for h in ("broadcast", "merge", "shuffle_hash")}
     assert res["broadcast"] == res["merge"] == res["shuffle_hash"]
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=64,
+    ),
+    st.lists(
+        st.floats(
+            min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=64,
+    ),
+)
+@settings(max_examples=20, deadline=None)
+def test_packed_hamming_equals_fold(spark, a, b):
+    """vector.sign_bits + bit_count(xor) must equal the per-element
+    sign-mismatch fold for any pair of equal-length vectors (the packed
+    path replaced the interpreted HOF fold in the 1-bit family — this is
+    the equivalence that swap relies on)."""
+    from spark_multiboost_spark.functions.vector import hamming_packed, sign_bits
+
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    df = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+    packed = df.select(
+        hamming_packed(sign_bits(F.col("a")), sign_bits(F.col("b"))).alias("h")
+    ).collect()[0]["h"]
+    expected = sum(1 for x, y in zip(a, b) if (x >= 0) != (y >= 0))
+    assert packed == expected
