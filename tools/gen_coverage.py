@@ -18,6 +18,7 @@ GROUP_TITLES = {
     "B": "Group B — relational surface",
     "C": "Group C — streaming",
     "D": "Group D — LLM-pipeline extensions",
+    "E": "Group E — engine/ops extensions (lakehouse, layout, time-series)",
 }
 
 
@@ -32,9 +33,11 @@ def main() -> None:
           "exact DuckDB oracles, the rest rows-only (iterative/streaming/"
           "engine-specific per SURVEY §2).\n")
     print("Regenerate: `python tools/gen_coverage.py > COVERAGE.md`\n")
-    for g in ["A", "B", "C", "D"]:
+    # every group present in the registry gets a section; missing a new
+    # group letter here once silently dropped 9 rows from the audit table
+    for g in sorted(set(list("ABCDE")) | set(by_group)):
         rows = sorted(by_group.get(g, []), key=lambda q: q.name)
-        print(f"## {GROUP_TITLES[g]} ({len(rows)})\n")
+        print(f"## {GROUP_TITLES.get(g, f'Group {g}')} ({len(rows)})\n")
         print("| query | oracle | source | summary |")
         print("|---|---|---|---|")
         for q in rows:
