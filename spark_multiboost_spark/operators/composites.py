@@ -4033,3 +4033,74 @@ def kcore_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         nodes, g = new_nodes, new_g
     return rows[0].unionAll(rows[1]).unionAll(rows[2]).orderBy("peel_round")
+
+
+MAD_K = 3  # robust outlier threshold: |x - median| > MAD_K * MAD
+
+
+@query(
+    "q_ext_mad_outliers",
+    oracle=f"""
+WITH med AS (
+  SELECT source, MEDIAN(n_chars) AS med FROM documents GROUP BY source
+), dev AS (
+  SELECT d.source, d.doc_id, ABS(d.n_chars - m.med) AS adev
+  FROM documents d JOIN med m ON m.source = d.source
+), mad AS (
+  SELECT source, MEDIAN(adev) AS mad FROM dev GROUP BY source
+)
+SELECT dev.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ANY_VALUE(med.med) AS med_chars,
+       ANY_VALUE(mad.mad) AS mad_chars,
+       CAST(SUM(CASE WHEN dev.adev > {MAD_K} * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev
+JOIN med ON med.source = dev.source
+JOIN mad ON mad.source = dev.source
+GROUP BY dev.source ORDER BY dev.source
+""",
+    group="E",
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E: ROBUST OUTLIER DETECTION via median absolute deviation — per
+    source, the exact median document length, the MAD around it, and how
+    many documents deviate more than {MAD_K}x MAD.  Mean/stddev z-scores
+    (q_ext_rolling_zscore) break down when the outliers themselves inflate
+    the spread estimate; MAD has a 50% breakdown point, which is why data
+    QA monitors (feed-anomaly detection, schema-drift tripwires) run on
+    it.
+
+    Determinism: Spark's exact `percentile` and DuckDB's MEDIAN both
+    linearly interpolate the middle pair on even counts, over integers and
+    integer-difference absolute deviations — every intermediate is an
+    exactly-representable x.0/x.5 double, so no rounding discipline is
+    even needed.
+
+    Scale shape: exact medians are two sort-based aggs over a NARROW
+    (source, n_chars) projection — the heavy text column is pruned at the
+    scan.  The two model-sized (per-source) tables broadcast back into
+    one counting pass.  At 100 TB you'd swap exact percentile for
+    approx_percentile (same plan, sketch-mergeable) once the per-source
+    row counts stop fitting a sort."""
+    d = load_tables(spark, sf_dir)["documents"].select("source", "doc_id", "n_chars")
+    med = d.groupBy("source").agg(F.expr("percentile(n_chars, 0.5)").alias("med"))
+    dev = d.join(F.broadcast(med), "source").select(
+        "source", "doc_id", "med", F.abs(F.col("n_chars") - F.col("med")).alias("adev")
+    )
+    mad = dev.groupBy("source").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            bcount().alias("n_docs"),
+            F.first("med").alias("med_chars"),
+            F.first("mad").alias("mad_chars"),
+            F.sum(
+                F.when(F.col("adev") > MAD_K * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .orderBy("source")
+    )

@@ -148,6 +148,7 @@ _PRIORITY = [
     "q_d5_curation_funnel",
     "q_d5_dup_weights",
     "q_d3_hard_negatives",
+    "q_ext_mad_outliers",
     # round-7 queue: remaining never-checked SQL first-timers
     "q_a17_freq_itemsets",
     "q_d3_filtered_topk_cosine",
