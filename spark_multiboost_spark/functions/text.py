@@ -2708,3 +2708,83 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+MIX_T = 2.0           # sampling temperature (w_s ∝ tokens^(1/T); T=2 → sqrt)
+MIX_BUDGET = 100_000  # token budget the allocation targets
+
+
+@query(
+    "q_d5_temperature_mix",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS raw_tokens
+  FROM documents GROUP BY source
+), p AS (
+  SELECT source, raw_tokens,
+         CAST(FLOOR(SQRT(CAST(raw_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6
+              AS DECIMAL(18,6)) AS pow6
+  FROM per_src
+), tot AS (
+  SELECT CAST(SUM(pow6) AS DOUBLE) AS z FROM p
+)
+SELECT p.source, p.raw_tokens,
+       FLOOR(CAST(p.pow6 AS DOUBLE) / tot.z * 1e6 + 0.5) / 1e6 AS weight,
+       FLOOR(LEAST(1.0e0,
+             {MIX_BUDGET} * (CAST(p.pow6 AS DOUBLE) / tot.z) / p.raw_tokens)
+             * 1e6 + 0.5) / 1e6 AS alloc_rate,
+       ({MIX_BUDGET} * (CAST(p.pow6 AS DOUBLE) / tot.z) / p.raw_tokens
+        >= 1.0e0) AS saturated
+FROM p CROSS JOIN tot
+ORDER BY p.source
+""",
+    group="D",
+)
+def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): TEMPERATURE-BASED MIX ALLOCATION — the multilingual
+    sampling rule (mBERT/XLM-R): source weight ∝ raw_tokens^(1/T) with
+    T={MIX_T}, which up-samples small sources relative to proportional
+    mixing without letting giants drown them.  Given a {MIX_BUDGET}-token
+    budget, each source gets alloc_rate = min(1, budget·w/raw) — the
+    per-source sampling rate a mixing plan feeds to the sampler
+    (q_d5_stratified_sample / q_d5_dsir_resample); saturated sources
+    (rate capped at 1) mark where production allocators run another
+    waterfilling round to redistribute surplus.
+
+    Determinism: the only cross-row float reduction (Σ tokens^(1/2))
+    quantizes each term to 6dp and DECIMAL-sums — order-independent; all
+    downstream arithmetic is scalar binary64 on identical inputs.
+
+    Scale shape: one hash-agg over (source, token count) with map-side
+    partials; the allocation itself is #sources rows of scalar math with
+    a broadcast 1-row normalizer.  Free at any corpus size."""
+    d = load_tables(spark, sf_dir)["documents"]
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("raw_tokens")
+    )
+    p = per_src.select(
+        "source",
+        "raw_tokens",
+        (
+            F.floor(F.sqrt(F.col("raw_tokens").cast("double")) * 1e6 + 0.5) / 1e6
+        )
+        .cast("decimal(18,6)")
+        .alias("pow6"),
+    )
+    tot = p.agg(F.sum("pow6").cast("double").alias("z"))
+    w = F.col("pow6").cast("double") / F.col("z")
+    rate_raw = F.lit(MIX_BUDGET) * w / F.col("raw_tokens")
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "raw_tokens",
+            (F.floor(w * 1e6 + 0.5) / 1e6).alias("weight"),
+            (F.floor(F.least(F.lit(1.0), rate_raw) * 1e6 + 0.5) / 1e6).alias(
+                "alloc_rate"
+            ),
+            (rate_raw >= 1.0).alias("saturated"),
+        )
+        .orderBy("source")
+    )

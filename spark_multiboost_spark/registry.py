@@ -149,6 +149,7 @@ _PRIORITY = [
     "q_d5_dup_weights",
     "q_d3_hard_negatives",
     "q_ext_mad_outliers",
+    "q_d5_temperature_mix",
     # round-7 queue: remaining never-checked SQL first-timers
     "q_a17_freq_itemsets",
     "q_d3_filtered_topk_cosine",
