@@ -4104,3 +4104,71 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_ext_benford_audit",
+    oracle="""
+WITH cents AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+), digits AS (
+  SELECT CAST(SUBSTR(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM cents
+), obs AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY digit
+), tot AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS t FROM obs
+)
+SELECT obs.digit, obs.n,
+       FLOOR(obs.n / tot.t * 1e6 + 0.5) / 1e6 AS obs_frac,
+       FLOOR(LN(1 + 1.0 / obs.digit) / LN(10) * 1e6 + 0.5) / 1e6 AS exp_frac,
+       FLOOR((obs.n / tot.t - LN(1 + 1.0 / obs.digit) / LN(10)) * 1e6 + 0.5)
+         / 1e6 AS deviation
+FROM obs CROSS JOIN tot
+ORDER BY obs.digit
+""",
+    group="E",
+)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E: BENFORD FIRST-DIGIT AUDIT over extended prices — observed
+    leading-significant-digit frequencies vs Benford's log10(1+1/d)
+    expectation, with the per-digit deviation.  Fabricated, truncated, or
+    unit-mangled monetary feeds break the Benford curve long before
+    aggregate totals look wrong, which is why financial data-quality
+    monitors run exactly this 9-row report.
+
+    Determinism: prices quantize to exact integer cents via
+    floor(x*100 + 0.5) BEFORE digit extraction (a raw double->bigint cast
+    TRUNCATES in Spark but ROUNDS in DuckDB — the one cross-engine trap
+    here); integer-to-string formatting is unambiguous in both engines;
+    the Benford expectation is scalar libm arithmetic quantized at 6dp.
+
+    Scale shape: one projection (digit extraction rides the scan) + one
+    9-group hash-agg with map-side partials + a broadcast 1-row total.
+    Free at any corpus size."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    digits = li.select(
+        F.substring(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(bcount().alias("n"))
+    tot = obs.agg(F.sum("n").cast("double").alias("t"))
+    exp_frac = F.log(1 + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            (F.floor(F.col("n") / F.col("t") * 1e6 + 0.5) / 1e6).alias("obs_frac"),
+            (F.floor(exp_frac * 1e6 + 0.5) / 1e6).alias("exp_frac"),
+            (
+                F.floor((F.col("n") / F.col("t") - exp_frac) * 1e6 + 0.5) / 1e6
+            ).alias("deviation"),
+        )
+        .orderBy("digit")
+    )

@@ -150,6 +150,7 @@ _PRIORITY = [
     "q_d3_hard_negatives",
     "q_ext_mad_outliers",
     "q_d5_temperature_mix",
+    "q_ext_benford_audit",
     # round-7 queue: remaining never-checked SQL first-timers
     "q_a17_freq_itemsets",
     "q_d3_filtered_topk_cosine",
