@@ -2788,3 +2788,125 @@ def temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_d5_mix_waterfill",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS raw_tokens
+  FROM documents GROUP BY source
+), p AS (
+  SELECT source, raw_tokens,
+         CAST(FLOOR(SQRT(CAST(raw_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6
+              AS DECIMAL(18,6)) AS pow6
+  FROM per_src
+), tot AS (
+  SELECT CAST(SUM(pow6) AS DOUBLE) AS z FROM p
+), r1 AS (
+  SELECT p.source, p.raw_tokens, p.pow6,
+         {MIX_BUDGET} * (CAST(p.pow6 AS DOUBLE) / tot.z) AS want1,
+         LEAST(CAST(p.raw_tokens AS DOUBLE),
+               {MIX_BUDGET} * (CAST(p.pow6 AS DOUBLE) / tot.z)) AS got1
+  FROM p CROSS JOIN tot
+), spare AS (
+  SELECT CAST({MIX_BUDGET} AS DOUBLE)
+           - CAST(SUM(CAST(FLOOR(got1 * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)))
+                  AS DOUBLE) AS surplus,
+         CAST(SUM(CASE WHEN want1 < raw_tokens THEN pow6
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS z2
+  FROM r1
+), r2 AS (
+  SELECT r1.source, r1.raw_tokens,
+         CASE WHEN r1.want1 < r1.raw_tokens AND spare.z2 > 0
+              THEN LEAST(CAST(r1.raw_tokens AS DOUBLE),
+                         r1.got1 + spare.surplus
+                           * (CAST(r1.pow6 AS DOUBLE) / spare.z2))
+              ELSE r1.got1 END AS got2,
+         (r1.want1 >= r1.raw_tokens) AS saturated_r1
+  FROM r1 CROSS JOIN spare
+)
+SELECT source, raw_tokens,
+       FLOOR(got2 * 1e6 + 0.5) / 1e6 AS alloc_tokens,
+       FLOOR(got2 / raw_tokens * 1e6 + 0.5) / 1e6 AS rate,
+       saturated_r1
+FROM r2 ORDER BY source
+""",
+    group="D",
+)
+def mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): WATERFILLING MIX ALLOCATION — the round-2 that
+    q_d5_temperature_mix's `saturated` flag calls for: sources whose
+    temperature share exceeds their actual token supply cap at supply,
+    and the stranded budget is redistributed over the UNSATURATED sources
+    in proportion to their temperature weights (one unrolled waterfill
+    round — production allocators loop this to a fixpoint; two rounds
+    already recover the vast majority of a {MIX_BUDGET}-token budget).
+    Output per source: allocated tokens, realized sampling rate, and
+    whether round 1 saturated it.
+
+    Determinism: both cross-row reductions (the global Σ tokens^(1/2)
+    normalizer and the round-1 allocation total that defines the surplus)
+    quantize terms to 6dp and DECIMAL-sum; everything else is scalar
+    binary64 on identical inputs.
+
+    Scale shape: same as temperature_mix — one map-side-combined
+    hash-agg over the corpus, then #sources rows of scalar math with two
+    broadcast 1-row reducers.  Free at any corpus size."""
+    d = load_tables(spark, sf_dir)["documents"]
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("raw_tokens")
+    )
+    p = per_src.select(
+        "source",
+        "raw_tokens",
+        (
+            F.floor(F.sqrt(F.col("raw_tokens").cast("double")) * 1e6 + 0.5) / 1e6
+        )
+        .cast("decimal(18,6)")
+        .alias("pow6"),
+    )
+    tot = p.agg(F.sum("pow6").cast("double").alias("z"))
+    want1 = F.lit(float(MIX_BUDGET)) * (F.col("pow6").cast("double") / F.col("z"))
+    r1 = p.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "raw_tokens",
+        "pow6",
+        want1.alias("want1"),
+        F.least(F.col("raw_tokens").cast("double"), want1).alias("got1"),
+    )
+    spare = r1.agg(
+        (
+            F.lit(float(MIX_BUDGET))
+            - F.sum(
+                (F.floor(F.col("got1") * 1e6 + 0.5) / 1e6).cast("decimal(18,6)")
+            ).cast("double")
+        ).alias("surplus"),
+        F.sum(
+            F.when(F.col("want1") < F.col("raw_tokens"), F.col("pow6")).otherwise(
+                F.lit(0).cast("decimal(18,6)")
+            )
+        )
+        .cast("double")
+        .alias("z2"),
+    )
+    got2 = F.when(
+        (F.col("want1") < F.col("raw_tokens")) & (F.col("z2") > 0),
+        F.least(
+            F.col("raw_tokens").cast("double"),
+            F.col("got1")
+            + F.col("surplus") * (F.col("pow6").cast("double") / F.col("z2")),
+        ),
+    ).otherwise(F.col("got1"))
+    return (
+        r1.crossJoin(F.broadcast(spare))
+        .select(
+            "source",
+            "raw_tokens",
+            (F.floor(got2 * 1e6 + 0.5) / 1e6).alias("alloc_tokens"),
+            (F.floor(got2 / F.col("raw_tokens") * 1e6 + 0.5) / 1e6).alias("rate"),
+            (F.col("want1") >= F.col("raw_tokens")).alias("saturated_r1"),
+        )
+        .orderBy("source")
+    )

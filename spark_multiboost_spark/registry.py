@@ -151,6 +151,7 @@ _PRIORITY = [
     "q_ext_mad_outliers",
     "q_d5_temperature_mix",
     "q_ext_benford_audit",
+    "q_d5_mix_waterfill",
     # round-7 queue: remaining never-checked SQL first-timers
     "q_a17_freq_itemsets",
     "q_d3_filtered_topk_cosine",
