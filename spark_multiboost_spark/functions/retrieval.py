@@ -709,12 +709,12 @@ def trigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary64 on both engines.
 
     Scale shape: the three count models are vocabulary-sized hash-aggs
-    with map-side partials; they broadcast into the scoring joins and the
-    held-out corpus streams through map-side — same one-tokenize,
-    model-broadcast shape as q_d5_bigram_lm_ppl, one tier deeper.  At
-    100 TB the count tables prune to top-k + count floors before
-    broadcast (entropy contribution of singleton trigrams is bounded),
-    keeping the broadcast model-sized."""
+    with map-side partials.  Join strategy is left to AQE (no forced
+    broadcast — a trigram table grows superlinearly with corpus size, so
+    a hint would OOM the driver at scale): at fixture scale AQE
+    broadcasts the tiny tables; a real corpus prunes counts to top-k +
+    count floors first (entropy contribution of singleton trigrams is
+    bounded) or takes the shuffled-join path AQE falls back to."""
     d = load_tables(spark, sf_dir)["documents"]
     toks = d.select("doc_id", F.split("text", " ").alias("t")).persist()
     train = toks.filter(F.col("doc_id") % 2 == 0)
@@ -773,12 +773,18 @@ def trigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") + F.col("v"))
         )
     )
+    # No forced broadcast on the count tables (ADVICE r6): a trigram table
+    # grows superlinearly with corpus size, so an explicit hint would OOM
+    # the driver long before 100 TB.  AQE picks broadcast at fixture scale
+    # (the tables are tiny) and falls back to shuffled joins when a real
+    # corpus outgrows the threshold — exactly the documented scale story.
+    # Only nv (ONE row) keeps the hint; it is size-safe by construction.
     nll = (
-        g.join(F.broadcast(c3), ["w1", "w2", "w3"], "left")
-        .join(F.broadcast(c2a), ["w1", "w2"], "left")
-        .join(F.broadcast(c2b), ["w2", "w3"], "left")
-        .join(F.broadcast(c1b), ["w2"], "left")
-        .join(F.broadcast(c1c), ["w3"], "left")
+        g.join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2a, ["w1", "w2"], "left")
+        .join(c2b, ["w2", "w3"], "left")
+        .join(c1b, ["w2"], "left")
+        .join(c1c, ["w3"], "left")
         .crossJoin(F.broadcast(nv))
         .select(
             "doc_id",

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import cosine, dot, hamming_packed, norm, sign_bits
 from ..functions.parity import bcount
+from ..plans import release_with
 from ..registry import query
 from ..session import load_tables
 
@@ -647,7 +648,11 @@ def ivf_ann_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-query("q_d3_ivf_ann_arrow", oracle=_IVF_ORACLE, group="D")(ivf_ann_arrow)
+# NOTE (registry hygiene, VERDICT r6 item 6): ivf_ann_arrow is NOT
+# separately registered — since the r5 headline swap it IS q_d3_ivf_ann
+# (registered above via _ivf_ann_headline); a second name over the same
+# code would double-count coverage.  The genuinely different declarative
+# plan stays registered as q_d3_ivf_ann_catalyst.
 
 
 N_KMEANS_ITERS = 4
@@ -1762,50 +1767,65 @@ def fps_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked vector and its min-distance (the covering-radius trace —
     monotonically non-increasing, the stopping gauge).
 
-    Shape per round: min-distance = one join of the corpus against the
-    (tiny, broadcast) selected set + a per-vector MIN, argmax = a 1-row
-    bounded driver fetch (the BPE/coverage pattern).  At 100 TB each
-    round is one broadcast-join scan; production variants amortize scans
-    by picking a BATCH of mutually-far points per round and maintain
-    running min-distances instead of recomputing (the same incremental
-    trick — keep state, join only against the NEW picks)."""
+    Shape per round (INCREMENTAL — the production form): a persisted
+    running min-distance column ``mind`` over the unselected pool, updated
+    as ``least(mind, dist-to-NEW-pick)`` — a pure narrow projection against
+    the 1-row pick (its embedding inlined as a constant-size literal, so
+    there is no join at all and nothing grows with k) — plus a 1-row argmax
+    fetch.  Each round therefore touches the corpus exactly ONCE, vs the
+    naive form's rescan against the ENTIRE selected set (k× the work by
+    round k, plus a growing ``isin`` literal).  min(min(a..),c) == min(a..c)
+    exactly (no rounding), so the trace is bit-identical to the rescan
+    oracle.  At 100 TB: pool persisted columnar, one narrow pass per round;
+    batch variants pick several mutually-far points per update to amortize
+    passes further."""
+    import math
+
     from .vector import l2_distance
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    picked_ids = [0]
+    seed = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("s_emb"))
+    )
+    cur = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(seed)
+        .select(
+            "vec_id", "emb", l2_distance(F.col("emb"), F.col("s_emb")).alias("mind")
+        )
+        .persist()
+    )
+    caches = [cur]
     rows = []
     for r in range(1, FPS_ROUNDS + 1):
-        sel = F.broadcast(
-            e.filter(F.col("vec_id").isin(picked_ids)).select(
-                F.col("vec_id").alias("s_id"), F.col("emb").alias("s_emb")
-            )
-        )
         got = (
-            e.filter(~F.col("vec_id").isin(picked_ids))
-            .crossJoin(sel)
-            .withColumn("d", l2_distance(F.col("emb"), F.col("s_emb")))
-            .groupBy("vec_id")
-            .agg(F.min("d").alias("mind"))
-            .orderBy(F.col("mind").desc(), "vec_id")
-            .limit(1)
-            .collect()
-        )
+            cur.orderBy(F.col("mind").desc(), "vec_id").limit(1).collect()
+        )  # bounded: 1-row argmax fetch
         if not got:
             # degenerate fixture (fewer vectors than rounds): mirror the
             # oracle's scalar-subquery NULL row instead of IndexError
             rows.append((r, None, None))
             continue
         top = got[0]
-        picked_ids.append(int(top["vec_id"]))
-        import math
-
-        rows.append(
-            (r, int(top["vec_id"]), math.floor(top["mind"] * 1e6 + 0.5) / 1e6)
-        )
-    return spark.createDataFrame(
+        pick_id = int(top["vec_id"])
+        rows.append((r, pick_id, math.floor(top["mind"] * 1e6 + 0.5) / 1e6))
+        if r < FPS_ROUNDS:
+            # constant-size literal (one embedding), NOT a growing isin list
+            pick_emb = F.array(*[F.lit(float(x)) for x in top["emb"]])
+            nxt = cur.filter(F.col("vec_id") != pick_id).select(
+                "vec_id",
+                "emb",
+                F.least(
+                    F.col("mind"), l2_distance(F.col("emb"), pick_emb)
+                ).alias("mind"),
+            ).persist()
+            caches.append(nxt)
+            cur = nxt
+    out = spark.createDataFrame(
         rows, "pick_round int, vec_id bigint, min_dist double"
     ).orderBy("pick_round")
+    return release_with(out, *caches)
 
 
 query("q_d3_fps_coreset", oracle=_fps_oracle(), group="D")(fps_coreset)

@@ -63,7 +63,11 @@ def sign_bits(a) -> Column:
     Hamming distance downstream collapses to ``bit_count(xor)`` — a
     whole-stage-codegen intrinsic — instead of a 64-step interpreted
     higher-order fold per pair (HOFs are excluded from codegen; measured
-    ~6x slower at 200k pairs).  At wider dims, emit ceil(d/64) words."""
+    ~6x slower at 200k pairs).  At wider dims, emit ceil(d/64) words.
+
+    Guarded: JVM shiftleft wraps shift amounts mod 64, so a >64-dim input
+    would silently ALIAS bits (wrong Hamming distances) — raise_error makes
+    it fail loudly instead (tests/test_properties.py pins the failure)."""
     packed = F.aggregate(
         a,
         F.struct(
@@ -82,7 +86,16 @@ def sign_bits(a) -> Column:
             (acc["i"] + 1).alias("i"),
         ),
     )
-    return packed["b"]
+    return F.when(F.size(a) <= 64, packed["b"]).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("sign_bits: dim "),
+                F.size(a).cast("string"),
+                F.lit(" > 64 would alias bits (shiftleft wraps mod 64); "
+                      "pack ceil(d/64) words instead"),
+            )
+        ).cast("long")
+    )
 
 
 def hamming_packed(a_bits, b_bits) -> Column:

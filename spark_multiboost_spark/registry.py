@@ -65,94 +65,42 @@ _QUERY_MODULES = [
 
 #: query-level window rotation.  The driver's correctness gate checks the
 #: FIRST 50 registry entries each round (50 in every CORRECTNESS_r0*.json),
-#: so these names are surfaced ahead of everything else.  Round-6 window
-#: (per VERDICT r5 items 2 and 5) = the last never-driver-checked tail:
-#: 3 fresh sentinels (first-time green in the r5 window, re-checked as
-#: regression canaries), the full never-executed streaming family c8-c15
-#: (rows-only — driver execution is their only hard evidence), and 39
-#: SQL-oracle first-timers covering every SURVEY §2 row whose freshest
-#: evidence is judge(r5)-only.  The remaining 44 never-checked queries are
-#: queued immediately behind for the round-7 window.  Names not listed keep
-#: registration order behind these; unknown names are ignored (module
-#: bring-up safety).
+#: so these names are surfaced ahead of everything else.  Round-7 window
+#: (per VERDICT r6 item 1) = the never-driver-checked residue: 2 fresh
+#: sentinels (first-time hash-green in the r6 window, re-checked as
+#: regression canaries), the 4 highest-value rows-only first-timers
+#: (q_d7_estimator_end_to_end — the reference's whole purpose end-to-end —
+#: plus the trainer loops; driver execution is their only hard evidence),
+#: then all 44 judge(r6)-green SQL first-timers (the 15 round-8 additions
+#: first).  The 11 remaining rows-only queries queue immediately behind for
+#: the round-8 window.  Names not listed keep registration order behind
+#: these; unknown names are ignored (module bring-up safety).
 _PRIORITY = [
-    # sentinels (canaries: first-time hash-green in the round-5 window)
-    "q_d3_pq_encode",
-    "q_ext_pagerank",
-    "q_b14_grouping_sets",
-    # never-executed streaming family (rows-only; VERDICT r5 item 5)
-    "q_c8_stream_stream_join",
-    "q_c9_streaming_similarity",
-    "q_c10_streaming_curation",
-    "q_c11_streaming_curation_sink",
-    "q_c12_streaming_cdc_merge",
-    "q_c13_stream_stream_left_join",
-    "q_c14_streaming_topk",
-    "q_c15_ingestion_metrics",
-    # §2-row upgrades: ML variants (judge(r5) → driver-hard)
-    "q_a14_calibration",
-    "q_a15_feature_importance",
-    "q_a2_multilabel_weight_init",
-    "q_a5_multilabel_stump_z",
-    # SQL-surface stragglers
-    "q_b05_null_safe_join",
-    "q_b18_range_interval_frame",
-    "q_b35_sql_udf",
-    "q_b37_sql_tvf",
-    "q_b37_udtf_polymorphic",
-    "q_b02_python_datasource",
-    "q_c5_windowed_dedup_twin",
-    # near-dedup tail
-    "q_d2_containment",
-    "q_d2_segment_dedup",
-    "q_d2_repeated_ngrams",
+    # sentinels (canaries: first-time hash-green in the round-6 window)
     "q_d2_lsh_band_sweep",
-    "q_d2_semantic_dedup_arrow",
-    # similarity/ANN tail
-    "q_d3_filtered_ann",
-    "q_d3_mrl_prefix_recall",
-    "q_d3_ivf_cell_balance",
-    "q_d3_graph_ann",
-    "q_d3_nn_descent",
-    "q_d3_fps_coreset",
-    "q_d3_ivf_ann_catalyst",
-    # text-analysis tail
-    "q_d4_sequence_pack_3level",
-    "q_d4_length_batching",
-    "q_d4_interleave",
-    "q_d4_oov_rate",
-    "q_d4_type_token_ratio",
-    "q_d4_bpe_encode",
-    "q_d4_count_min",
-    # curation tail
-    "q_d5_dsir_resample",
-    "q_d5_source_kl",
-    "q_d5_quality_gate",
-    "q_d5_coverage_select",
-    "q_d5_priority_sample",
-    "q_d5_term_scrub",
-    # multimodal tail
-    "q_d6_cas_report",
-    "q_d6_shard_manifest",
-    "q_d6_phash_neardup",
-    # ---- window boundary (~50) ----
-    # round-7 queue: round-6 additions (verified MATCH at sf0.001/0.01/0.1)
-    "q_d5_weighted_coverage_select",
+    "q_a5_multilabel_stump_z",
+    # highest-value never-executed rows-only (VERDICT r6 item 1)
+    "q_d7_estimator_end_to_end",
+    "q_a16_als_recommend",
+    "q_d3_pq_train",
+    "q_d3_ivf_trained_recall",
+    # round-8 additions (judge(r6) MATCH; builder-verified at 3 SFs)
     "q_d3_mmr_rerank",
-    "q_d5_centroid_outlier",
-    "q_d5_trigram_backoff_ppl",
-    "q_d2_prefix_dup",
     "q_d3_rrf_fusion",
+    "q_d5_trigram_backoff_ppl",
     "q_d5_gopher_rules",
-    "q_d4_token_entropy",
     "q_d5_curation_funnel",
+    "q_ext_benford_audit",
+    "q_d5_mix_waterfill",
+    "q_d5_weighted_coverage_select",
+    "q_d5_centroid_outlier",
+    "q_d2_prefix_dup",
+    "q_d4_token_entropy",
     "q_d5_dup_weights",
     "q_d3_hard_negatives",
     "q_ext_mad_outliers",
     "q_d5_temperature_mix",
-    "q_ext_benford_audit",
-    "q_d5_mix_waterfill",
-    # round-7 queue: remaining never-checked SQL first-timers
+    # remaining never-checked SQL first-timers (judge(r6) MATCH)
     "q_a17_freq_itemsets",
     "q_d3_filtered_topk_cosine",
     "q_d3_ivf_nprobe_sweep",
@@ -182,22 +130,19 @@ _PRIORITY = [
     "q_comp_min_cost_supplier",
     "q_comp_important_brands",
     "q_comp_dq_report",
-    # round-7 queue: remaining never-executed rows-only
+    # ---- window boundary (50) ----
+    # round-8 queue: remaining never-executed rows-only
     "q_ext_hll_error_gauge",
-    "q_d7_estimator_end_to_end",
-    "q_a16_als_recommend",
     "q_ext_approx_quantile_gauge",
     "q_d3_kmeans_train",
-    "q_d3_ivf_trained_recall",
+    "q_d3_pq_trained_recall",
+    "q_d3_opq_rotated_recall",
     "q_d4_heavy_hitters_ss",
     "q_ext_assign_global_ids",
     "q_b02_schema_evolution",
     "q_b03_compaction",
     "q_b03_dynamic_partition_overwrite",
     "q_b01_zonemap_skip",
-    "q_d3_pq_train",
-    "q_d3_pq_trained_recall",
-    "q_d3_opq_rotated_recall",
 ]
 
 

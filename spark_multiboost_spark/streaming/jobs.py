@@ -596,9 +596,11 @@ def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C14: GLOBAL TOP-K MAINTAINED ACROSS MICRO-BATCHES — each foreachBatch
     merges the batch's per-user value maxima into a running top-10 state
     table (merge-then-truncate, the streaming analogue of
-    TakeOrderedAndProject's partial heaps).  The state never exceeds
-    K + batch-distinct rows, so the pattern holds at any stream volume —
-    this is how leaderboards ride a firehose without a full-history store.
+    TakeOrderedAndProject's partial heaps).  Each batch is truncated to its
+    own top-K EXECUTOR-SIDE before the collect, so both the driver transfer
+    (<= K rows per batch) and the state (<= K entries) are bounded at any
+    stream volume — this is how leaderboards ride a firehose without a
+    full-history store.
 
     Rows-only by contract (true streaming), but the final table must equal
     the batch top-10 by construction; tests/test_streaming.py asserts it.
@@ -607,10 +609,17 @@ def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     state: dict[int, float] = {}
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Executor-side pre-truncate: only the batch's OWN top-10 can alter
+        # the merged top-10 (any user outside it is outranked by >= 10 users
+        # whose global maxima are at least their batch maxima — max is
+        # monotone across batches), so the collect is provably <= K rows per
+        # micro-batch no matter how many distinct users the batch holds.
         rows = (
             batch_df.groupBy("user_id")
             .agg(F.max("value").alias("vmax"))
-            .collect()  # bounded: distinct users per micro-batch
+            .orderBy(F.col("vmax").desc(), F.col("user_id").asc())
+            .limit(10)
+            .collect()  # bounded: <= K rows by construction
         )
         for r in rows:
             u, v = int(r["user_id"]), float(r["vmax"])

@@ -25,7 +25,9 @@ def test_bucketed_ann_oracle(spark, sf_dir):
 
 
 def test_ivf_arrow_oracle(spark, sf_dir):
-    compare(spark, "q_d3_ivf_ann_arrow", sf_dir)
+    # q_d3_ivf_ann IS the Arrow implementation (duplicate registration
+    # q_d3_ivf_ann_arrow dropped in r7 — VERDICT r6 item 6)
+    compare(spark, "q_d3_ivf_ann", sf_dir)
 
 
 def test_ivf_arrow_equals_catalyst(spark, sf_dir):
@@ -34,8 +36,10 @@ def test_ivf_arrow_equals_catalyst(spark, sf_dir):
     from spark_multiboost_spark.registry import all_queries
 
     qs = all_queries()
-    arrow = sorted(map(str, qs["q_d3_ivf_ann_arrow"].fn(spark, sf_dir).collect()))
-    cat = sorted(map(str, qs["q_d3_ivf_ann"].fn(spark, sf_dir).collect()))
+    arrow = sorted(map(str, qs["q_d3_ivf_ann"].fn(spark, sf_dir).collect()))
+    cat = sorted(
+        map(str, qs["q_d3_ivf_ann_catalyst"].fn(spark, sf_dir).collect())
+    )
     assert arrow == cat
 
 

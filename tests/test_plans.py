@@ -107,7 +107,9 @@ def test_ivf_arrow_single_scan(spark, sf_dir):
     assignment + probe masking + partial top-k all happen inside ONE
     mapInPandas pass — no crossJoin, no probe join, and no exchange before
     the candidate merge window (exactly one, for the global top-k)."""
-    plan = _plan(spark, "q_d3_ivf_ann_arrow", sf_dir)
+    # q_d3_ivf_ann IS the Arrow implementation since the r5 headline swap
+    # (the duplicate q_d3_ivf_ann_arrow registration was dropped in r7).
+    plan = _plan(spark, "q_d3_ivf_ann", sf_dir)
     assert "MapInPandas" in plan
     assert "Join" not in plan
     # one exchange for the candidate-merge window + one range partition for

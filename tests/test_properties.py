@@ -185,3 +185,19 @@ def test_packed_hamming_equals_fold(spark, a, b):
     ).collect()[0]["h"]
     expected = sum(1 for x, y in zip(a, b) if (x >= 0) != (y >= 0))
     assert packed == expected
+
+
+def test_sign_bits_rejects_wide_vectors(spark):
+    """sign_bits must FAIL LOUDLY above 64 dims: JVM shiftleft wraps shift
+    amounts mod 64, so without the guard a 65-dim vector would silently
+    alias bit 64 onto bit 0 and produce wrong Hamming distances (ADVICE r6).
+    At exactly 64 dims it must still work."""
+    import pytest
+
+    from spark_multiboost_spark.functions.vector import sign_bits
+
+    ok = spark.createDataFrame([([1.0] * 64,)], "a array<double>")
+    assert ok.select(sign_bits(F.col("a")).alias("s")).collect()[0]["s"] == -1
+    wide = spark.createDataFrame([([1.0] * 65,)], "a array<double>")
+    with pytest.raises(Exception, match="sign_bits"):
+        wide.select(sign_bits(F.col("a")).alias("s")).collect()

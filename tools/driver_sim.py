@@ -1,0 +1,83 @@
+"""Driver-window simulation: run the first N registry entries exactly the
+way the driver's correctness gate does — Spark query + DuckDB oracle at the
+given sf_dir, hash-compared after column-name sort — and print one status
+line per query plus a JSON summary.
+
+Usage: python tools/driver_sim.py [N] [SF_DIR]
+e.g.   cd /tmp && python /root/repo/tools/driver_sim.py 50 /root/testdata/sf0.01
+
+Run from /tmp (not the repo root) to mirror the driver's cwd, with the repo
+on sys.path; a 6g driver heap and a cache clear every ~25 queries keep the
+single-JVM session healthy across the window (NEXT.md invariants).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "6g")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+    from spark_multiboost_spark.registry import all_queries
+    from spark_multiboost_spark.session import get_spark
+    from tests.harness import compare, run_rows_only
+
+    spark = get_spark("driver_sim")
+    qs = all_queries()
+    names = list(qs)[:n]
+    summary: dict[str, str] = {}
+    t_start = time.time()
+    for i, name in enumerate(names):
+        if i and i % 25 == 0:
+            spark.catalog.clearCache()
+            try:
+                from spark_multiboost_spark.plans import release_outstanding
+
+                release_outstanding()
+            except ImportError:
+                pass
+        t0 = time.time()
+        try:
+            if qs[name].oracle is not None:
+                compare(spark, name, sf_dir)
+                status = "MATCH"
+            else:
+                rows = run_rows_only(spark, name, sf_dir)
+                status = f"rows_only({rows})"
+        except AssertionError as e:
+            status = f"MISMATCH: {str(e)[:300]}"
+        except Exception:
+            status = f"ERROR: {traceback.format_exc(limit=3)[:300]}"
+        summary[name] = status
+        print(f"[{i + 1}/{len(names)}] {name}: {status} ({time.time() - t0:.1f}s)", flush=True)
+
+    ok = sum(1 for s in summary.values() if s == "MATCH")
+    rows_only = sum(1 for s in summary.values() if s.startswith("rows_only"))
+    bad = {k: v for k, v in summary.items() if not (v == "MATCH" or v.startswith("rows_only"))}
+    print(
+        json.dumps(
+            {
+                "sf_dir": sf_dir,
+                "n": len(names),
+                "match": ok,
+                "rows_only": rows_only,
+                "failures": bad,
+                "wall_sec": round(time.time() - t_start, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
