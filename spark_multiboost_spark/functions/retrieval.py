@@ -808,3 +808,239 @@ def trigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"),
         toks,
     )
+
+
+PRUNE_MINCOUNTS = [1, 2, 3, 5]  # count-cutoff sweep; t=1 == unpruned model
+
+_PRUNED_TRIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+), train AS (
+  SELECT doc_id, t FROM toks WHERE doc_id % 2 = 0
+), held AS (
+  SELECT doc_id, t FROM toks WHERE doc_id % 2 = 1
+), tg_train AS (
+  SELECT u.w1, u.w2, u.w3
+  FROM train, LATERAL (
+    SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2), i -> t[i])) AS w1,
+           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2), i -> t[i + 1])) AS w2,
+           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2), i -> t[i + 2])) AS w3) u
+), c3 AS (
+  SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3 FROM tg_train GROUP BY w1, w2, w3
+), bg_train AS (
+  SELECT u.w1, u.w2
+  FROM train, LATERAL (
+    SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1), i -> t[i])) AS w1,
+           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1), i -> t[i + 1])) AS w2) u
+), c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg_train GROUP BY w1, w2
+), c1 AS (
+  SELECT tok AS w, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM train, LATERAL (SELECT UNNEST(t) AS tok) u GROUP BY tok
+), nv AS (
+  SELECT CAST(SUM(c1) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM c1
+), th AS (
+  SELECT UNNEST([{", ".join(str(t) for t in PRUNE_MINCOUNTS)}]) AS min_count
+), sizes AS (
+  SELECT th.min_count,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM c3 WHERE c3 >= th.min_count)
+           AS n3_kept,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM c2 WHERE c2 >= th.min_count)
+           AS n2_kept
+  FROM th
+), tg_held AS (
+  SELECT held.doc_id, u.w1, u.w2, u.w3
+  FROM held, LATERAL (
+    SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2), i -> t[i])) AS w1,
+           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2), i -> t[i + 1])) AS w2,
+           UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 2), i -> t[i + 2])) AS w3) u
+), cand AS (
+  SELECT g.w1, g.w2, g.w3, c3.c3, c2a.c2 AS c2a, c2b.c2 AS c2b,
+         c1b.c1 AS c1b, c1c.c1 AS c1c, nv.n, nv.v
+  FROM tg_held g
+  LEFT JOIN c3 ON c3.w1 = g.w1 AND c3.w2 = g.w2 AND c3.w3 = g.w3
+  LEFT JOIN c2 c2a ON c2a.w1 = g.w1 AND c2a.w2 = g.w2
+  LEFT JOIN c2 c2b ON c2b.w1 = g.w2 AND c2b.w2 = g.w3
+  LEFT JOIN c1 c1b ON c1b.w = g.w2
+  LEFT JOIN c1 c1c ON c1c.w = g.w3
+  CROSS JOIN nv
+), scored AS (
+  SELECT th.min_count,
+         FLOOR(-LN(
+           CASE
+             WHEN cand.c3 IS NOT NULL AND cand.c3 >= th.min_count
+               THEN CAST(cand.c3 AS DOUBLE) / cand.c2a
+             WHEN cand.c2b IS NOT NULL AND cand.c2b >= th.min_count
+               THEN 0.4e0 * cand.c2b / cand.c1b
+             ELSE 0.16e0 * (COALESCE(cand.c1c, 0) + 1) / (cand.n + cand.v)
+           END) * 1e6 + 0.5) / 1e6 AS nll
+  FROM cand CROSS JOIN th
+), quality AS (
+  SELECT min_count,
+         FLOOR(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 1e6
+               + 0.5) / 1e6 AS xent
+  FROM scored GROUP BY min_count
+)
+SELECT s.min_count, s.n3_kept, s.n2_kept,
+       (s.n3_kept + s.n2_kept) AS model_rows, q.xent
+FROM sizes s JOIN quality q ON q.min_count = s.min_count
+ORDER BY s.min_count
+"""
+
+
+@query("q_d5_pruned_trigram_lm", oracle=_PRUNED_TRIGRAM_ORACLE, group="D")
+def pruned_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): COUNT-CUTOFF LM PRUNING GAUGE — the size/quality
+    trade-off table for the stupid-backoff trigram model
+    (q_d5_trigram_backoff_ppl): for each count cutoff t, entries with
+    count < t are dropped from the stored trigram/bigram tables (the
+    standard Brants-et-al. web-LM diet — singleton n-grams dominate table
+    size but carry bounded entropy mass), a scored trigram falls through
+    to the next backoff tier when its entry was pruned, and the report
+    shows surviving model rows next to the holdout cross-entropy.  This is
+    the table a pipeline owner reads to pick the cutoff where the model
+    stops fitting in a broadcast (the exact mitigation
+    q_d5_trigram_backoff_ppl's scale note calls for).
+
+    One-pass sweep (the nprobe-sweep pattern): the holdout corpus joins
+    the FULL count tables ONCE; every cutoff is then a CASE over the
+    retained count columns against a 4-row thresholds literal — evaluating
+    k cutoffs costs one scoring pass + a k-way conditional agg, not k
+    re-scorings.  Determinism: per-trigram NLLs quantize to 6dp, DECIMAL
+    sums, identical binary64 score arithmetic both engines.
+
+    Scale shape: same as the parent LM — vocabulary-sized hash-aggs,
+    AQE-chosen joins, single holdout scan; the thresholds table is a
+    4-row literal cross-join (free)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).persist()
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    held = toks.filter(F.col("doc_id") % 2 == 1)
+
+    def ngrams(src: DataFrame, n: int, names: list[str]) -> DataFrame:
+        return src.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("t") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                        lambda i: F.struct(
+                            *[
+                                F.element_at("t", i + j).alias(names[j])
+                                for j in range(n)
+                            ]
+                        ),
+                    ),
+                ).otherwise(F.array().cast(
+                    "array<struct<" + ",".join(f"{c}:string" for c in names) + ">>"
+                ))
+            ).alias("g"),
+        ).select("doc_id", *[f"g.{c}" for c in names])
+
+    c3 = (
+        ngrams(train, 3, ["w1", "w2", "w3"])
+        .groupBy("w1", "w2", "w3")
+        .agg(bcount().alias("c3"))
+        .persist()
+    )
+    c2 = (
+        ngrams(train, 2, ["w1", "w2"])
+        .groupBy("w1", "w2")
+        .agg(bcount().alias("c2"))
+        .persist()
+    )
+    c1 = (
+        train.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(bcount().alias("c1"))
+    )
+    nv = c1.agg(
+        F.sum("c1").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in PRUNE_MINCOUNTS], "min_count int"
+    )
+    sizes = (
+        c3.crossJoin(F.broadcast(th))
+        .groupBy("min_count")
+        .agg(
+            F.sum(F.when(F.col("c3") >= F.col("min_count"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n3_kept")
+        )
+        .join(
+            c2.crossJoin(F.broadcast(th))
+            .groupBy("min_count")
+            .agg(
+                F.sum(F.when(F.col("c2") >= F.col("min_count"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n2_kept")
+            ),
+            "min_count",
+        )
+    )
+    g = ngrams(held, 3, ["w1", "w2", "w3"])
+    c2a = c2.select(F.col("w1"), F.col("w2"), F.col("c2").alias("c2a"))
+    c2b = c2.select(
+        F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c2").alias("c2b")
+    )
+    c1b = c1.select(F.col("w").alias("w2"), F.col("c1").alias("c1b"))
+    c1c = c1.select(F.col("w").alias("w3"), F.col("c1").alias("c1c"))
+    # one scoring pass joins the FULL tables (AQE picks the strategy);
+    # the 4 cutoffs are a broadcast literal evaluated per candidate row
+    cand = (
+        g.join(c3, ["w1", "w2", "w3"], "left")
+        .join(c2a, ["w1", "w2"], "left")
+        .join(c2b, ["w2", "w3"], "left")
+        .join(c1b, ["w2"], "left")
+        .join(c1c, ["w3"], "left")
+        .crossJoin(F.broadcast(nv))
+        .crossJoin(F.broadcast(th))
+    )
+    score = (
+        F.when(
+            F.col("c3").isNotNull() & (F.col("c3") >= F.col("min_count")),
+            F.col("c3").cast("double") / F.col("c2a"),
+        )
+        .when(
+            F.col("c2b").isNotNull() & (F.col("c2b") >= F.col("min_count")),
+            F.lit(0.4) * F.col("c2b") / F.col("c1b"),
+        )
+        .otherwise(
+            F.lit(0.16)
+            * (F.coalesce(F.col("c1c"), F.lit(0)) + 1)
+            / (F.col("n") + F.col("v"))
+        )
+    )
+    quality = (
+        cand.select(
+            "min_count",
+            (F.floor(-F.log(score) * 1e6 + 0.5) / 1e6).alias("nll"),
+        )
+        .groupBy("min_count")
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("xent")
+        )
+    )
+    out = (
+        sizes.join(quality, "min_count")
+        .select(
+            "min_count",
+            "n3_kept",
+            "n2_kept",
+            (F.col("n3_kept") + F.col("n2_kept")).alias("model_rows"),
+            "xent",
+        )
+        .orderBy("min_count")
+    )
+    return release_with(out, toks, c3, c2)

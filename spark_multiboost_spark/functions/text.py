@@ -2910,3 +2910,199 @@ def mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+WATERFILL_FIX_ROUNDS = 4  # unrolled rounds; #sources bounds true fixpoint
+# budget as a corpus fraction: 0.97 puts the round-1 saturation threshold
+# (B/Z)^2 INSIDE the fixture's per-source token range at every SF, so the
+# cascade (saturate -> strand -> redistribute -> newly saturate) genuinely
+# exercises multiple rounds and the fixpoint keeps a saturated/unsaturated
+# mix (a fixed absolute budget was vacuous: > supply at sf0.01 saturated
+# everything in round 1)
+WATERFILL_BUDGET_FRAC = 0.97
+
+
+def _waterfill_fix_oracle(k: int = WATERFILL_FIX_ROUNDS) -> str:
+    """Unrolled K-round waterfilling oracle (the FPS-oracle pattern): each
+    round computes the stranded surplus from the 6dp-quantized allocations,
+    redistributes it over still-unsaturated sources by temperature weight,
+    and records the round at which each source saturated."""
+    parts = [
+        f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS raw_tokens
+  FROM documents GROUP BY source
+), p AS (
+  SELECT source, raw_tokens,
+         CAST(FLOOR(SQRT(CAST(raw_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6
+              AS DECIMAL(18,6)) AS pow6
+  FROM per_src
+), tot AS (
+  SELECT CAST(SUM(pow6) AS DOUBLE) AS z,
+         CAST(FLOOR({WATERFILL_BUDGET_FRAC}e0 * SUM(raw_tokens)) AS DOUBLE)
+           AS bud
+  FROM p
+), r1 AS (
+  SELECT p.source, p.raw_tokens, p.pow6, tot.bud,
+         LEAST(CAST(p.raw_tokens AS DOUBLE),
+               tot.bud * (CAST(p.pow6 AS DOUBLE) / tot.z)) AS got,
+         CASE WHEN tot.bud * (CAST(p.pow6 AS DOUBLE) / tot.z)
+                   >= p.raw_tokens
+              THEN 1 ELSE 0 END AS sat_round
+  FROM p CROSS JOIN tot
+)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f""", a{r} AS (
+  SELECT MAX(bud)
+           - CAST(SUM(CAST(FLOOR(got * 1e6 + 0.5) / 1e6 AS DECIMAL(18,6)))
+                  AS DOUBLE) AS surplus,
+         CAST(SUM(CASE WHEN got < raw_tokens THEN pow6
+                       ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS z
+  FROM r{r-1}
+), g{r} AS (
+  SELECT s.source, s.raw_tokens, s.pow6, s.bud, s.sat_round,
+         CASE WHEN s.got < s.raw_tokens AND a{r}.z > 0
+              THEN LEAST(CAST(s.raw_tokens AS DOUBLE),
+                         s.got + a{r}.surplus
+                           * (CAST(s.pow6 AS DOUBLE) / a{r}.z))
+              ELSE s.got END AS got
+  FROM r{r-1} s CROSS JOIN a{r}
+), r{r} AS (
+  SELECT source, raw_tokens, pow6, bud, got,
+         CASE WHEN sat_round = 0 AND got >= raw_tokens
+              THEN {r} ELSE sat_round END AS sat_round
+  FROM g{r}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT source, raw_tokens,
+       FLOOR(got * 1e6 + 0.5) / 1e6 AS alloc_tokens,
+       FLOOR(got / raw_tokens * 1e6 + 0.5) / 1e6 AS rate,
+       CAST(sat_round AS INT) AS sat_round
+FROM r{k} ORDER BY source"""
+    )
+    return "".join(parts)
+
+
+@query("q_d5_waterfill_fixpoint", oracle=_waterfill_fix_oracle(), group="D")
+def waterfill_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): WATERFILLING TO FIXPOINT — the multi-round loop
+    q_d5_mix_waterfill's docstring promises: each round measures the
+    budget stranded by capped (saturated) sources and redistributes it
+    over the still-unsaturated ones in proportion to their temperature
+    weights; sources newly capped by the redistribution strand budget for
+    the NEXT round.  {WATERFILL_FIX_ROUNDS} unrolled rounds (saturation is
+    monotone, so #sources bounds the true fixpoint).  The budget is
+    {WATERFILL_BUDGET_FRAC} of total supply — calibrated so the round-1
+    saturation threshold (B/Z)^2 falls INSIDE the per-source token range
+    at every fixture SF: some sources cap in round 1, the redistribution
+    caps more in later rounds, and the fixpoint keeps a genuine
+    saturated/unsaturated mix (non-vacuous at all three SFs).
+    Output per source: final allocated tokens, realized sampling rate, and
+    the round at which it saturated (0 = never — rate < 1 at fixpoint).
+
+    Determinism: every cross-row reduction (the temperature normalizer,
+    each round's allocation total and unsaturated-weight total) quantizes
+    terms to 6dp and DECIMAL-sums; per-round updates are scalar binary64
+    on identical inputs both engines.
+
+    Scale shape: ONE map-side-combined hash-agg over the corpus; every
+    round after that is #sources rows of scalar math against a broadcast
+    1-row reducer — the corpus is never rescanned, so the loop is free at
+    any data size (the allocation state is |sources| rows, not data)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("raw_tokens")
+    )
+    p = per_src.select(
+        "source",
+        "raw_tokens",
+        (F.floor(F.sqrt(F.col("raw_tokens").cast("double")) * 1e6 + 0.5) / 1e6)
+        .cast("decimal(18,6)")
+        .alias("pow6"),
+    )
+    tot = p.agg(
+        F.sum("pow6").cast("double").alias("z"),
+        F.floor(F.lit(WATERFILL_BUDGET_FRAC) * F.sum("raw_tokens"))
+        .cast("double")
+        .alias("bud"),
+    )
+    want1 = F.col("bud") * (F.col("pow6").cast("double") / F.col("z"))
+    cur = (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "raw_tokens",
+            "pow6",
+            "bud",
+            F.least(F.col("raw_tokens").cast("double"), want1).alias("got"),
+            F.when(want1 >= F.col("raw_tokens"), 1).otherwise(0).alias("sat_round"),
+        )
+        .persist()
+    )
+    caches = [cur]
+    for r in range(2, WATERFILL_FIX_ROUNDS + 1):
+        a = cur.agg(
+            (
+                F.max("bud")
+                - F.sum(
+                    (F.floor(F.col("got") * 1e6 + 0.5) / 1e6).cast("decimal(18,6)")
+                ).cast("double")
+            ).alias("surplus"),
+            F.sum(
+                F.when(F.col("got") < F.col("raw_tokens"), F.col("pow6")).otherwise(
+                    F.lit(0).cast("decimal(18,6)")
+                )
+            )
+            .cast("double")
+            .alias("z"),
+        )
+        got_new = F.when(
+            (F.col("got") < F.col("raw_tokens")) & (F.col("z") > 0),
+            F.least(
+                F.col("raw_tokens").cast("double"),
+                F.col("got")
+                + F.col("surplus") * (F.col("pow6").cast("double") / F.col("z")),
+            ),
+        ).otherwise(F.col("got"))
+        nxt = (
+            cur.crossJoin(F.broadcast(a))
+            .select(
+                "source",
+                "raw_tokens",
+                "pow6",
+                "bud",
+                got_new.alias("got"),
+                "sat_round",
+            )
+            .select(
+                "source",
+                "raw_tokens",
+                "pow6",
+                "bud",
+                "got",
+                F.when(
+                    (F.col("sat_round") == 0) & (F.col("got") >= F.col("raw_tokens")),
+                    r,
+                )
+                .otherwise(F.col("sat_round"))
+                .alias("sat_round"),
+            )
+            .persist()
+        )
+        caches.append(nxt)
+        cur = nxt
+    out = cur.select(
+        "source",
+        "raw_tokens",
+        (F.floor(F.col("got") * 1e6 + 0.5) / 1e6).alias("alloc_tokens"),
+        (F.floor(F.col("got") / F.col("raw_tokens") * 1e6 + 0.5) / 1e6).alias(
+            "rate"
+        ),
+        F.col("sat_round").cast("int").alias("sat_round"),
+    ).orderBy("source")
+    return release_with(out, *caches)

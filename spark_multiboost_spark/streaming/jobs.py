@@ -784,3 +784,55 @@ def query_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         mine,
         "batch_id bigint, num_input_rows bigint, trigger_ms double, state_rows bigint",
     )
+
+
+@query("q_c17_streaming_gopher_gate", oracle=None, group="C")
+def streaming_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17: the GOPHER QUALITY GATE ON A LIVE DOCUMENT STREAM — the
+    ingest-time twin of q_d5_gopher_rules: the same per-row rule
+    expressions (_gopher_flag_cols — word-count bounds, mean-word-length
+    window, alpha fraction, stopword floor) run UNCHANGED on a
+    file-replayed document stream, because stateless Catalyst expressions
+    are execution-mode agnostic; only the final per-source rollup needs
+    streaming state (complete-mode counts).
+
+    This is how a production pipeline gates documents the moment they
+    land instead of re-scanning the lake nightly: the per-rule failure
+    counters double as the live data-quality dashboard, and a rule-
+    threshold regression shows up within one micro-batch.
+
+    Rows-only by contract (true streaming); tests/test_streaming.py
+    asserts EXACT equality with the batch q_d5_gopher_rules output on the
+    same corpus — the gate decision must not depend on micro-batch
+    boundaries.  At 100 TB: per-row expressions scale with ingest
+    parallelism; the complete-mode state is |sources| rows."""
+    from ..functions.parity import bcount
+    from ..functions.text import _gopher_flag_cols
+
+    path = _replay_docs_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_DOCS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    flags = stream.select("source", *_gopher_flag_cols())
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    agg = flags.groupBy("source").agg(
+        bcount().alias("n_docs"),
+        cnt(F.col("keep")).alias("n_kept"),
+        (
+            F.floor(
+                F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                * F.lit(1.0)
+                / F.count(F.lit(1))
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("kept_frac"),
+        cnt(~F.col("ok_words")).alias("n_fail_words"),
+        cnt(~F.col("ok_mwl")).alias("n_fail_mwl"),
+        cnt(~F.col("ok_alpha")).alias("n_fail_alpha"),
+        cnt(~F.col("ok_stops")).alias("n_fail_stops"),
+    )
+    return _run_to_memory(agg, mode="complete").orderBy("source")

@@ -349,3 +349,28 @@ def test_c16_query_progress_conserves_rows(spark, sf_dir):
     assert int(got["num_input_rows"].sum()) == total
     # the windowed aggregation keeps state; the engine must report it
     assert int(got["state_rows"].max()) > 0
+
+
+def test_c17_streaming_gopher_gate_equals_batch(spark, sf_dir):
+    """The streamed Gopher gate must agree EXACTLY with the batch
+    q_d5_gopher_rules rollup — the gate decision is per-row and must not
+    depend on micro-batch boundaries."""
+    from spark_multiboost_spark.registry import all_queries
+
+    qs = all_queries()
+    streamed = (
+        qs["q_c17_streaming_gopher_gate"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    batch = (
+        qs["q_d5_gopher_rules"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert list(streamed.columns) == list(batch.columns)
+    assert streamed.equals(batch)

@@ -2,8 +2,10 @@
 queries at each given SF dir in ONE warm session — median-of-3 after one
 warm-up run, noop sink, local[$SPARK_GRAFT_CPUS].
 
-Usage: python tools/scale_curve.py DIR [DIR ...]
+Usage: python tools/scale_curve.py [--queries q1,q2,...] DIR [DIR ...]
 e.g.   python tools/scale_curve.py /root/testdata/sf0.1 .scaledata/sf1.0
+       python tools/scale_curve.py --queries q_d4_bpe_train,q_ext_kcore_bucketed \
+           /root/testdata/sf0.1 .scaledata/sf1.0
 """
 
 from __future__ import annotations
@@ -27,7 +29,12 @@ FLAGSHIPS = [
 
 
 def main() -> None:
-    dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
+    argv = sys.argv[1:]
+    names = FLAGSHIPS
+    if argv and argv[0] == "--queries":
+        names = argv[1].split(",")
+        argv = argv[2:]
+    dirs = argv or ["/root/testdata/sf0.1"]
     from spark_multiboost_spark.session import get_spark, warm_cache
     from spark_multiboost_spark.registry import queries
 
@@ -36,10 +43,10 @@ def main() -> None:
     out: dict[str, dict[str, float]] = {}
     for d in dirs:
         warm_cache(spark, d)
-        for name in FLAGSHIPS:  # untimed global warm pass
+        for name in names:  # untimed global warm pass
             qs[name](spark, d).write.format("noop").mode("overwrite").save()
         row = {}
-        for name in FLAGSHIPS:
+        for name in names:
             ts = []
             for _ in range(3):
                 t0 = time.time()
