@@ -3106,3 +3106,286 @@ def waterfill_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sat_round").cast("int").alias("sat_round"),
     ).orderBy("source")
     return release_with(out, *caches)
+
+
+_PPL_BUCKETS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS t FROM documents
+), bg AS (
+  SELECT doc_id, u.w1, u.w2
+  FROM toks,
+       LATERAL (SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
+                                             i -> t[i])) AS w1,
+                       UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
+                                             i -> t[i + 1])) AS w2) u
+), cb AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY w1, w2
+), cu AS (
+  SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY w1
+), v AS (
+  SELECT CAST(COUNT(DISTINCT u.tok) AS BIGINT) AS v
+  FROM toks, LATERAL (SELECT UNNEST(t) AS tok) u
+), nll AS (
+  SELECT bg.doc_id,
+         FLOOR(-LN(CAST(cb.cb + 1 AS DOUBLE) / (cu.cu + v.v)) * 1e6 + 0.5) / 1e6
+           AS nll
+  FROM bg JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
+          JOIN cu ON bg.w1 = cu.w1
+          CROSS JOIN v
+), xent AS (
+  SELECT doc_id,
+         FLOOR(CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 1e6
+               + 0.5) / 1e6 AS xent
+  FROM nll GROUP BY doc_id
+), scored AS (
+  SELECT t.source, t.doc_id, x.xent,
+         CAST(LEN(t.t) AS BIGINT) AS n_tokens,
+         NTILE(3) OVER (PARTITION BY t.source ORDER BY x.xent, t.doc_id)
+           AS tile
+  FROM toks t JOIN xent x ON x.doc_id = t.doc_id
+)
+SELECT source,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       FLOOR(CAST(SUM(CAST(xent AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) * 1e6
+             + 0.5) / 1e6 AS mean_xent,
+       FLOOR(CAST(SUM(n_tokens) AS DOUBLE)
+             / CAST(SUM(SUM(n_tokens)) OVER (PARTITION BY source) AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS tok_share
+FROM scored
+GROUP BY source, tile
+ORDER BY source, MIN(tile)
+"""
+
+
+@query("q_d5_ppl_buckets", oracle=_PPL_BUCKETS_ORACLE, group="D")
+def ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): CCNet HEAD/MIDDLE/TAIL PERPLEXITY BUCKETS (Wenzek et
+    al. 2020) — the mix report CCNet ships with: score every document
+    under the corpus bigram LM (q_d5_bigram_lm_ppl's model), split each
+    source's documents into perplexity terciles (head = lowest
+    cross-entropy = closest to the reference LM), and report per
+    (source, bucket) the doc count, mean cross-entropy, and token share.
+    Production pipelines keep head+middle and drop or down-weight tail —
+    this table is the knob they read before choosing.
+
+    Determinism: per-doc xent is the 6dp-quantized decimal-summed value
+    (identical both engines), so the NTILE ordering key (xent, doc_id) is
+    bit-identical; tercile boundaries therefore agree exactly.  Bucket
+    aggregates decimal-sum the already-quantized xents; token shares are
+    exact integer sums divided once.
+
+    Scale shape: the LM trains and scores in the q_d5_bigram_lm_ppl plan
+    (one tokenize, model broadcast under AQE); the tercile split is one
+    per-source window over doc-level rows (docs, not tokens), and the
+    report is a per-(source, tile) hash-agg.  At 100 TB the window
+    operates on ~1e9 doc rows — a bounded sort per source partition."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    ).persist()
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    cb = bg.groupBy("w1", "w2").agg(bcount().alias("cb"))
+    cu = cb.groupBy("w1").agg(F.sum("cb").cast("bigint").alias("cu"))
+    v = toks.select(F.explode("t").alias("tok")).agg(
+        F.countDistinct("tok").cast("bigint").alias("v")
+    )
+    nll = (
+        bg.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            (
+                F.floor(
+                    -F.log(
+                        (F.col("cb") + 1).cast("double") / (F.col("cu") + F.col("v"))
+                    )
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("nll"),
+        )
+    )
+    xent = nll.groupBy("doc_id").agg(
+        (
+            F.floor(
+                F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+                * 1e6
+                + 0.5
+            )
+            / 1e6
+        ).alias("xent")
+    )
+    scored = (
+        toks.select("doc_id", "source", F.size("t").cast("bigint").alias("n_tokens"))
+        .join(xent, "doc_id")
+        .withColumn(
+            "tile",
+            F.ntile(3).over(
+                Window.partitionBy("source").orderBy("xent", "doc_id")
+            ),
+        )
+    )
+    wsrc = Window.partitionBy("source")
+    out = (
+        scored.groupBy("source", "tile")
+        .agg(
+            bcount().alias("n_docs"),
+            (
+                F.floor(
+                    F.sum(F.col("xent").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("mean_xent"),
+            F.sum("n_tokens").alias("tok_sum"),
+        )
+        .withColumn(
+            "tok_share",
+            F.floor(
+                F.col("tok_sum").cast("double")
+                / F.sum("tok_sum").over(wsrc).cast("double")
+                * 1e6
+                + 0.5
+            )
+            / 1e6,
+        )
+        .select(
+            "source",
+            F.when(F.col("tile") == 1, "head")
+            .when(F.col("tile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+            "n_docs",
+            "mean_xent",
+            "tok_share",
+            "tile",
+        )
+        .orderBy("source", "tile")
+        .drop("tile")
+    )
+    return release_with(out, toks)
+
+
+ZIPF_TOP_R = 100  # OLS fit over the top-R tokens per source
+
+
+_ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+), tc AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE LENGTH(tok) > 0 GROUP BY source, tok
+), ranked AS (
+  SELECT source, c,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rk
+  FROM tc
+), pts AS (
+  SELECT source,
+         FLOOR(LN(CAST(rk AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS x,
+         FLOOR(LN(CAST(c AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS y,
+         FLOOR(LN(CAST(rk AS DOUBLE)) * LN(CAST(rk AS DOUBLE)) * 1e6 + 0.5)
+           / 1e6 AS xx,
+         FLOOR(LN(CAST(c AS DOUBLE)) * LN(CAST(c AS DOUBLE)) * 1e6 + 0.5)
+           / 1e6 AS yy,
+         FLOOR(LN(CAST(rk AS DOUBLE)) * LN(CAST(c AS DOUBLE)) * 1e6 + 0.5)
+           / 1e6 AS xy
+  FROM ranked WHERE rk <= {ZIPF_TOP_R}
+), sums AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(yy AS DECIMAL(18,6))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(xy AS DECIMAL(18,6))) AS DOUBLE) AS sxy
+  FROM pts GROUP BY source
+)
+SELECT source, n AS n_terms,
+       FLOOR((sxy - sx * sy / n) / (sxx - sx * sx / n) * 1e6 + 0.5) / 1e6
+         AS zipf_slope,
+       FLOOR((sxy - sx * sy / n) * (sxy - sx * sy / n)
+             / ((sxx - sx * sx / n) * (syy - sy * sy / n)) * 1e6 + 0.5) / 1e6
+         AS r2
+FROM sums ORDER BY source
+"""
+
+
+@query("q_d4_zipf_slope", oracle=_ZIPF_ORACLE, group="D")
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): ZIPF-LAW FIT PER SOURCE — OLS slope of ln(frequency)
+    against ln(rank) over each source's top-{ZIPF_TOP_R} tokens, plus the
+    fit's R².  Natural language sits near slope -1 (Zipf 1949);
+    machine-generated, templated, or scrambled text bends the curve — a
+    slope far from -1 or a poor fit is the classic cheap tripwire for
+    synthetic/boilerplate contamination, run per source so the offending
+    feed is named directly.
+
+    Determinism: ranks come from a (count DESC, token) row_number —
+    unique ordering; every OLS term (x, y, xx, yy, xy) is 6dp-quantized
+    then DECIMAL-summed, so the regression inputs are bit-identical both
+    engines and accumulation-order-free; the closed-form slope/R² is
+    scalar binary64 on those sums.
+
+    Scale shape: one tokenize + per-(source, token) hash-agg (map-side
+    partials), a per-source top-R window (WindowGroupLimit prunes to R
+    rows per source before the sort completes), then R-row-per-source
+    sums.  The regression never sees the corpus — only R×|sources| rows."""
+    d = load_tables(spark, sf_dir)["documents"]
+    tc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("source", "tok")
+        .agg(bcount().alias("c"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "tok")
+    lnr = F.log(F.col("rk").cast("double"))
+    lnc = F.log(F.col("c").cast("double"))
+    q6 = lambda col: F.floor(col * 1e6 + 0.5) / 1e6  # noqa: E731
+    pts = (
+        tc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ZIPF_TOP_R)
+        .select(
+            "source",
+            q6(lnr).alias("x"),
+            q6(lnc).alias("y"),
+            q6(lnr * lnr).alias("xx"),
+            q6(lnc * lnc).alias("yy"),
+            q6(lnr * lnc).alias("xy"),
+        )
+    )
+    dsum6 = lambda c: F.sum(F.col(c).cast("decimal(18,6)")).cast("double")  # noqa: E731
+    sums = pts.groupBy("source").agg(
+        bcount().alias("n"),
+        dsum6("x").alias("sx"),
+        dsum6("y").alias("sy"),
+        dsum6("xx").alias("sxx"),
+        dsum6("yy").alias("syy"),
+        dsum6("xy").alias("sxy"),
+    )
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return sums.select(
+        "source",
+        F.col("n").alias("n_terms"),
+        (F.floor(cov / varx * 1e6 + 0.5) / 1e6).alias("zipf_slope"),
+        (F.floor(cov * cov / (varx * vary) * 1e6 + 0.5) / 1e6).alias("r2"),
+    ).orderBy("source")
