@@ -3389,3 +3389,99 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(cov / varx * 1e6 + 0.5) / 1e6).alias("zipf_slope"),
         (F.floor(cov * cov / (varx * vary) * 1e6 + 0.5) / 1e6).alias("r2"),
     ).orderBy("source")
+
+
+MIX_EPOCH_CAP = 4.0        # repetition ceiling (Muennighoff et al. 2023:
+                           # value per token decays sharply past ~4 epochs)
+MIX_EPOCH_BUDGET_X = 4.0   # budget = 4x total supply: forces repetition and
+                           # puts the cap threshold (T/Z)^2 inside the
+                           # per-source range at every fixture SF, so capped
+                           # and uncapped sources BOTH occur (non-vacuous)
+
+
+@query(
+    "q_d5_mix_epochs",
+    oracle=f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS raw_tokens
+  FROM documents GROUP BY source
+), p AS (
+  SELECT source, raw_tokens,
+         CAST(FLOOR(SQRT(CAST(raw_tokens AS DOUBLE)) * 1e6 + 0.5) / 1e6
+              AS DECIMAL(18,6)) AS pow6
+  FROM per_src
+), tot AS (
+  SELECT CAST(SUM(pow6) AS DOUBLE) AS z,
+         CAST(FLOOR({MIX_EPOCH_BUDGET_X}e0 * SUM(raw_tokens)) AS DOUBLE) AS bud
+  FROM p
+), w AS (
+  SELECT p.source, p.raw_tokens,
+         tot.bud * (CAST(p.pow6 AS DOUBLE) / tot.z) / p.raw_tokens AS want_ep
+  FROM p CROSS JOIN tot
+)
+SELECT source, raw_tokens,
+       FLOOR(want_ep * 1e6 + 0.5) / 1e6 AS want_epochs,
+       FLOOR(LEAST({MIX_EPOCH_CAP}e0, want_ep) * 1e6 + 0.5) / 1e6 AS epochs,
+       FLOOR(LEAST({MIX_EPOCH_CAP}e0, want_ep) * raw_tokens * 1e6 + 0.5) / 1e6
+         AS alloc_tokens,
+       (want_ep >= {MIX_EPOCH_CAP}e0) AS capped
+FROM w ORDER BY source
+""",
+    group="D",
+)
+def mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): DATA-CONSTRAINED REPETITION ALLOCATION (Muennighoff et
+    al. 2023, "Scaling Data-Constrained Language Models") — when the token
+    budget EXCEEDS unique supply (budget = {MIX_EPOCH_BUDGET_X}x supply
+    here), the temperature mix's demand translates into EPOCHS of
+    repetition per source; value per repeated token decays sharply past
+    ~{MIX_EPOCH_CAP} epochs, so demand is capped there and the table
+    reports each source's demanded vs granted epochs and the cap flag —
+    the plan a data-constrained pretraining run reads to decide where
+    repetition is spent and which sources need fresh collection.
+
+    Determinism: the single cross-row reduction (temperature normalizer)
+    is the 6dp-quantize + DECIMAL-sum discipline; per-source epoch math
+    is scalar binary64 on identical inputs.
+
+    Scale shape: identical to q_d5_temperature_mix — one map-side-combined
+    hash-agg over the corpus, then #sources rows of scalar math against a
+    broadcast 1-row normalizer.  Free at any corpus size."""
+    d = load_tables(spark, sf_dir)["documents"]
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("raw_tokens")
+    )
+    p = per_src.select(
+        "source",
+        "raw_tokens",
+        (F.floor(F.sqrt(F.col("raw_tokens").cast("double")) * 1e6 + 0.5) / 1e6)
+        .cast("decimal(18,6)")
+        .alias("pow6"),
+    )
+    tot = p.agg(
+        F.sum("pow6").cast("double").alias("z"),
+        F.floor(F.lit(MIX_EPOCH_BUDGET_X) * F.sum("raw_tokens"))
+        .cast("double")
+        .alias("bud"),
+    )
+    want_ep = (
+        F.col("bud")
+        * (F.col("pow6").cast("double") / F.col("z"))
+        / F.col("raw_tokens")
+    )
+    granted = F.least(F.lit(MIX_EPOCH_CAP), want_ep)
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "raw_tokens",
+            (F.floor(want_ep * 1e6 + 0.5) / 1e6).alias("want_epochs"),
+            (F.floor(granted * 1e6 + 0.5) / 1e6).alias("epochs"),
+            (F.floor(granted * F.col("raw_tokens") * 1e6 + 0.5) / 1e6).alias(
+                "alloc_tokens"
+            ),
+            (want_ep >= MIX_EPOCH_CAP).alias("capped"),
+        )
+        .orderBy("source")
+    )
