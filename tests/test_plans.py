@@ -502,3 +502,44 @@ def test_rrf_single_pair_shuffle(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_round9_allocation_scan_pass(spark, sf_dir):
+    """Round-9 allocation additions must stay one-corpus-scan shapes: the
+    epoch mix is join-free (scan -> hash-agg -> #sources scalar math);
+    the waterfill fixpoint's K rounds operate on the persisted #sources
+    frame (no corpus rescan after the first agg), so its plan may carry
+    the round joins against 1-row reducers but never a shuffle join."""
+    plan = _plan(spark, "q_d5_mix_epochs", sf_dir)
+    for node in ("SortMergeJoin", "CartesianProduct", "ShuffledHashJoin"):
+        assert node not in plan
+    assert "HashAggregate" in plan
+    plan = _plan(spark, "q_d5_waterfill_fixpoint", sf_dir)
+    for node in ("SortMergeJoin", "CartesianProduct", "ShuffledHashJoin"):
+        assert node not in plan
+
+
+def test_zipf_window_group_limit(spark, sf_dir):
+    """The Zipf fit must prune to top-R per source map-side
+    (WindowGroupLimit), and the regression sums must be join-free."""
+    plan = _plan(spark, "q_d4_zipf_slope", sf_dir)
+    assert "WindowGroupLimit" in plan
+    for node in ("SortMergeJoin", "CartesianProduct"):
+        assert node not in plan
+
+
+def test_pruned_lm_single_holdout_pass(spark, sf_dir):
+    """The pruning sweep must score every cutoff from ONE holdout pass:
+    the thresholds table appears as a broadcast cross-join (4-row
+    literal), never as a re-scored corpus per cutoff — the holdout
+    documents scan must appear exactly once in the plan."""
+    plan = _plan(spark, "q_d5_pruned_trigram_lm", sf_dir)
+    assert "CartesianProduct" not in plan
+    scans = [
+        ln
+        for ln in plan.splitlines()
+        if "Scan parquet" in ln and "documents" in ln
+    ]
+    # tokenize is persisted (InMemoryRelation), so the parquet scan of
+    # documents appears at most once however many branches read it
+    assert len(scans) <= 1, f"expected <=1 documents scan, got {len(scans)}"
