@@ -472,3 +472,62 @@ def phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ahash")
     )
+
+
+THUMB_PIXELS = 64  # 8x8 thumbnail: fixed output size regardless of input
+
+
+@query(
+    "q_d6_resize_thumb",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, text AS s, CAST(LENGTH(text) AS BIGINT) AS src_w
+  FROM documents
+)
+SELECT doc_id, src_w,
+       MD5(ARRAY_TO_STRING(
+         LIST_TRANSFORM(GENERATE_SERIES(0, {THUMB_PIXELS - 1}),
+           j -> SUBSTRING(s, CAST(FLOOR(j * src_w / {THUMB_PIXELS}.0) AS INT) + 1, 1)),
+         '')) AS thumb_digest
+FROM p ORDER BY doc_id
+""",
+    group="D",
+)
+def resize_thumb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 (cont.): RESIZE — nearest-neighbor resample of every payload to a
+    fixed {THUMB_PIXELS}-sample thumbnail (the image-pipeline resize access
+    pattern on the 1-D byte stand-in: output position j reads source
+    position floor(j*src_w/{THUMB_PIXELS}), downsampling long payloads and
+    repeating samples for short ones — exactly how NN image resize indexes
+    a pixel grid).  The digest of the resampled bytes is the checkable
+    artifact; a real pipeline swaps the byte indexing for PIL's
+    Image.resize inside the same projection and keys CAS dedup or phash on
+    the thumbnail (small images dedup far better than full-size).
+
+    This is the SQL-checkable slice: the indexing arithmetic is a pure
+    per-row Catalyst expression (fixture text is ASCII so char positions ==
+    byte offsets).  Scale shape: one scan, zero shuffles before the
+    presentation sort — resize cost is output-size-bounded per row
+    ({THUMB_PIXELS} lookups) no matter how large the source payload."""
+    d = load_tables(spark, sf_dir)["documents"]
+    p = d.select(
+        "doc_id",
+        F.col("text").alias("s"),
+        F.length("text").cast("bigint").alias("src_w"),
+    )
+    thumb = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(THUMB_PIXELS - 1)),
+            lambda j: F.col("s").substr(
+                F.floor(j * F.col("src_w") / F.lit(float(THUMB_PIXELS))).cast(
+                    "int"
+                )
+                + 1,
+                F.lit(1),
+            ),
+        ),
+    )
+    return p.select(
+        "doc_id", "src_w", F.md5(thumb).alias("thumb_digest")
+    ).orderBy("doc_id")
