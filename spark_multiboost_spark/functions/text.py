@@ -3485,3 +3485,94 @@ def mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_FERTILITY_ORACLE = (
+    """
+WITH words AS (
+  SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+  WHERE LENGTH(token) > 0 GROUP BY token
+), t0 AS (
+  SELECT word, n, i AS pos, SUBSTR(word, i, 1) AS sym
+  FROM words, UNNEST(GENERATE_SERIES(1, LENGTH(word))) AS g(i)
+)"""
+    + "".join(_bpe_round_sql(r) for r in (1, 2, 3))
+    + """
+, pieces AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_pieces FROM t3 GROUP BY word
+), lw AS (
+  SELECT lang, token AS word, CAST(COUNT(*) AS BIGINT) AS cw
+  FROM (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+  WHERE LENGTH(token) > 0 GROUP BY lang, token
+)
+SELECT lw.lang,
+       CAST(SUM(lw.cw) AS BIGINT) AS n_words,
+       CAST(SUM(lw.cw * p.n_pieces) AS BIGINT) AS n_tokens,
+       FLOOR(CAST(SUM(lw.cw * p.n_pieces) AS DOUBLE) / SUM(lw.cw) * 1e6 + 0.5)
+         / 1e6 AS fertility,
+       FLOOR(CAST(SUM(lw.cw * LENGTH(lw.word)) AS DOUBLE)
+             / SUM(lw.cw * p.n_pieces) * 1e6 + 0.5) / 1e6 AS chars_per_token
+FROM lw JOIN pieces p ON p.word = lw.word
+GROUP BY lw.lang ORDER BY lw.lang
+"""
+)
+
+
+@query("q_d4_tokenizer_fertility", oracle=_FERTILITY_ORACLE, group="D")
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (cont.): TOKENIZER FERTILITY PER LANGUAGE — subword pieces per
+    word under the trained BPE merges (q_d4_bpe_train's loop, all merges
+    applied), reported per language with the chars-per-token
+    complement.  Fertility is THE tokenizer-equity metric multilingual
+    pipelines audit (XLM-R/BLOOM): a language whose fertility is far
+    above the corpus norm pays more sequence length per sentence, skewing
+    both compute cost and effective context — this table is what decides
+    whether the vocabulary needs rebalancing before a production run.
+
+    Determinism: all three aggregates are exact integer sums (word
+    counts x piece counts x lengths); the two ratios divide once and
+    quantize 6dp — no cross-row float accumulation anywhere.
+
+    Scale shape: merges run on the distinct-word dictionary
+    (q_d4_bpe_train's shape); fertility needs ONE extra per-(lang, word)
+    hash-agg over the corpus and a dictionary-sized join (AQE broadcasts
+    the piece table at any realistic vocab size) — the corpus is touched
+    once beyond training."""
+    merges, t = _bpe_merge_rounds(spark, sf_dir, apply_last=True)
+    pieces = t.groupBy("word").agg(bcount().alias("n_pieces"))
+    d = load_tables(spark, sf_dir)["documents"]
+    lw = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("lang", "word")
+        .agg(bcount().alias("cw"))
+    )
+    out = (
+        lw.join(pieces, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("cw").cast("bigint").alias("n_words"),
+            F.sum(F.col("cw") * F.col("n_pieces")).cast("bigint").alias("n_tokens"),
+            (
+                F.floor(
+                    F.sum(F.col("cw") * F.col("n_pieces")).cast("double")
+                    / F.sum("cw")
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("fertility"),
+            (
+                F.floor(
+                    F.sum(F.col("cw") * F.length("word")).cast("double")
+                    / F.sum(F.col("cw") * F.col("n_pieces"))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+    return release_with(out, t)
