@@ -3724,33 +3724,40 @@ def ppr_multiseed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _onion_oracle(n_rounds: int = 3) -> str:
     """Onion-decomposition oracle: unrolled peel rounds, all-integer (no
-    float anywhere), NOT IN sub-selects for removal — the naive spec the
-    two-stage Spark plan must reproduce exactly."""
+    float anywhere), NOT EXISTS anti-joins for removal — the naive spec
+    the two-stage Spark plan must reproduce exactly.  Every CTE is AS
+    MATERIALIZED and removal is NOT EXISTS: the round-9 sf0.1 sweep found
+    the original NOT IN + plain-CTE form re-inlined each multi-referenced
+    CTE, re-evaluating the whole peel chain per reference — exponential in
+    rounds (35 s at sf0.01; 79 GB of DuckDB temp spill then an IO error at
+    sf0.1).  Same results (node ids are never NULL), evaluated once per
+    round like the Spark side."""
     parts = [
         """
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT DISTINCT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-), e0 AS (
+), e0 AS MATERIALIZED (
   SELECT c_node AS src, s_node AS dst FROM pairs
   UNION ALL SELECT s_node, c_node FROM pairs
-), n0 AS (SELECT DISTINCT src AS node FROM e0)"""
+), n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e0)"""
     ]
     for r in range(1, n_rounds + 1):
         p = r - 1
         parts.append(
-            f""", d{r} AS (
+            f""", d{r} AS MATERIALIZED (
   SELECT n.node, CAST(COALESCE(c.c, 0) AS BIGINT) AS d
   FROM n{p} n LEFT JOIN (SELECT src, COUNT(*) AS c FROM e{p} GROUP BY src) c
     ON c.src = n.node
-), m{r} AS (SELECT MIN(d) AS min_d FROM d{r}
-), rm{r} AS (SELECT node FROM d{r}, m{r} WHERE d = min_d
-), n{r} AS (
-  SELECT node FROM n{p} WHERE node NOT IN (SELECT node FROM rm{r})
-), e{r} AS (
+), m{r} AS MATERIALIZED (SELECT MIN(d) AS min_d FROM d{r}
+), rm{r} AS MATERIALIZED (SELECT node FROM d{r}, m{r} WHERE d = min_d
+), n{r} AS MATERIALIZED (
+  SELECT node FROM n{p}
+  WHERE NOT EXISTS (SELECT 1 FROM rm{r} WHERE rm{r}.node = n{p}.node)
+), e{r} AS MATERIALIZED (
   SELECT src, dst FROM e{p}
-  WHERE src NOT IN (SELECT node FROM rm{r})
-    AND dst NOT IN (SELECT node FROM rm{r})
+  WHERE NOT EXISTS (SELECT 1 FROM rm{r} WHERE rm{r}.node = e{p}.src)
+    AND NOT EXISTS (SELECT 1 FROM rm{r} WHERE rm{r}.node = e{p}.dst)
 )"""
         )
     sel = "\nUNION ALL ".join(
@@ -3935,31 +3942,35 @@ KCORE_K = 10
 def _kcore_oracle(n_rounds: int = 3, k: int = KCORE_K) -> str:
     """Bucketed k-core oracle: each unrolled round peels EVERY node whose
     current degree is below k (not just the minimum layer), the
-    Batagelj-Zaversnik bulk step.  All-integer."""
+    Batagelj-Zaversnik bulk step.  All-integer.  CTEs AS MATERIALIZED +
+    NOT EXISTS removal, same reason as _onion_oracle: plain CTEs
+    re-inline per reference and the peel chain re-evaluates exponentially
+    across rounds (48-67 s at sf0.1 before the rewrite)."""
     parts = [
         """
-WITH pairs AS (
+WITH pairs AS MATERIALIZED (
   SELECT DISTINCT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-), e0 AS (
+), e0 AS MATERIALIZED (
   SELECT c_node AS src, s_node AS dst FROM pairs
   UNION ALL SELECT s_node, c_node FROM pairs
-), n0 AS (SELECT DISTINCT src AS node FROM e0)"""
+), n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e0)"""
     ]
     for r in range(1, n_rounds + 1):
         p = r - 1
         parts.append(
-            f""", d{r} AS (
+            f""", d{r} AS MATERIALIZED (
   SELECT n.node, CAST(COALESCE(c.c, 0) AS BIGINT) AS d
   FROM n{p} n LEFT JOIN (SELECT src, COUNT(*) AS c FROM e{p} GROUP BY src) c
     ON c.src = n.node
-), rm{r} AS (SELECT node FROM d{r} WHERE d < {k}
-), n{r} AS (
-  SELECT node FROM n{p} WHERE node NOT IN (SELECT node FROM rm{r})
-), e{r} AS (
+), rm{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE d < {k}
+), n{r} AS MATERIALIZED (
+  SELECT node FROM n{p}
+  WHERE NOT EXISTS (SELECT 1 FROM rm{r} WHERE rm{r}.node = n{p}.node)
+), e{r} AS MATERIALIZED (
   SELECT src, dst FROM e{p}
-  WHERE src NOT IN (SELECT node FROM rm{r})
-    AND dst NOT IN (SELECT node FROM rm{r})
+  WHERE NOT EXISTS (SELECT 1 FROM rm{r} WHERE rm{r}.node = e{p}.src)
+    AND NOT EXISTS (SELECT 1 FROM rm{r} WHERE rm{r}.node = e{p}.dst)
 )"""
         )
     sel = "\nUNION ALL ".join(
