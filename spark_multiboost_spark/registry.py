@@ -143,6 +143,17 @@ _PRIORITY = [
     "q_b03_compaction",
     "q_b03_dynamic_partition_overwrite",
     "q_b01_zonemap_skip",
+    # round-8 queue (cont.): round-9 additions E72-E80, verified MATCH at
+    # 3 SFs (or batch-equal for the streaming twin) this session
+    "q_d5_pruned_trigram_lm",
+    "q_d5_waterfill_fixpoint",
+    "q_c17_streaming_gopher_gate",
+    "q_d5_ppl_buckets",
+    "q_d4_zipf_slope",
+    "q_d5_mix_epochs",
+    "q_d6_resize_thumb",
+    "q_d4_tokenizer_fertility",
+    "q_d3_hnsw_descent",
 ]
 
 
