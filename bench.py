@@ -86,6 +86,12 @@ SHOWCASE = [
     "q_d3_mmr_rerank",
     "q_d5_centroid_outlier",
     "q_d5_trigram_backoff_ppl",
+    # round-9 flagships: LM pruning + mix allocation + HNSW descent
+    "q_d5_pruned_trigram_lm",
+    "q_d5_ppl_buckets",
+    "q_d4_zipf_slope",
+    "q_d4_tokenizer_fertility",
+    "q_d3_hnsw_descent",
 ]
 
 
