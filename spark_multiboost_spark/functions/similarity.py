@@ -1680,46 +1680,45 @@ def hnsw_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolling makes the search one SQL expression — no data-dependent
     loop.  Same factored-norm cosine discipline as the rest of D3.
 
-    Scale shape: both graphs build brute-force at fixture scale (the
-    recall-oracle build; NN-descent is the production constructor —
-    q_d3_nn_descent).  The search is the scale path: the upper layer is
-    corpus/{HNSW_F} rows, descent is 2 bounded hops against a broadcast
-    1-row-per-query frontier, and base beam work is O(B*M*hops) per
-    query, independent of corpus size.  Real HNSW stacks log(n) layers of
-    this same step; one upper layer exercises the full mechanism."""
+    Scale shape: both graphs build via the Arrow blocked scorer
+    (:func:`build_scorer` — every node is a "query" against the corpus in
+    one mapInPandas pass with map-side partial top-M; bit-identical edges
+    to the naive all-pairs + window, which the SQ8 sweep showed costs a
+    64-step interpreted HOF fold per pair).  That build is still the
+    recall-oracle constructor — NN-descent (q_d3_nn_descent) is how the
+    graph is built at 100 TB.  The search is the scale path: the upper
+    layer is corpus/{HNSW_F} rows, descent is 2 bounded hops against a
+    broadcast 1-row-per-query frontier, and base beam work is
+    O(B*M*hops) per query, independent of corpus size.  Real HNSW stacks
+    log(n) layers of this same step; one upper layer exercises the full
+    mechanism."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-    a = v.select(
-        F.col("vec_id").alias("src"),
-        F.col("embedding").alias("s_emb"),
-        F.col("nrm").alias("s_n"),
-    )
-    b = v.select(
-        F.col("vec_id").alias("dst"),
-        F.col("embedding").alias("d_emb"),
-        F.col("nrm").alias("d_n"),
-    )
-    allp = a.join(F.broadcast(b), F.col("src") != F.col("dst")).withColumn(
-        "cos",
-        dot(F.col("s_emb"), F.col("d_emb"))
-        / F.nullif(F.col("s_n") * F.col("d_n"), F.lit(0.0)),
-    )
-    wk = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
-    edges0 = (
-        allp.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= GANN_M)
-        .select("src", "dst")
-        .localCheckpoint(eager=True)
-    )
-    edges1 = (
-        allp.filter(
-            (F.col("src") % HNSW_F == 0) & (F.col("dst") % HNSW_F == 0)
+
+    def knn_edges(members: DataFrame, m: int) -> DataFrame:
+        """Top-m cosine edges among ``members`` via the Arrow scorer:
+        the node set ships in the closure, members stream through ONE
+        mapInPandas pass emitting per-batch partial top-m, and a global
+        window keeps exactly the (cos DESC, dst) top-m per src — the
+        same comparator (and bit-identical cosines) as the naive
+        all-pairs + window build."""
+        pdf = members.select("vec_id", "embedding", "label").toPandas()
+        Qm = np.array([np.asarray(x, dtype=np.float64) for x in pdf["embedding"]])
+        ids = pdf["vec_id"].to_numpy(np.int64)
+        labels = pdf["label"].to_numpy(np.int64)
+        cand = members.select("vec_id", "embedding", "label").mapInPandas(
+            build_scorer(Qm, ids, labels, k=m), CAND_SCHEMA
         )
-        .withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= HNSW_M1)
-        .select("src", "dst")
-        .localCheckpoint(eager=True)
-    )
+        wk = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "cid")
+        return (
+            cand.withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= m)
+            .select(F.col("qid").alias("src"), F.col("cid").alias("dst"))
+            .localCheckpoint(eager=True)
+        )
+
+    edges0 = knn_edges(emb, GANN_M)
+    edges1 = knn_edges(emb.filter(F.col("vec_id") % HNSW_F == 0), HNSW_M1)
     qv = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("q_emb"),

@@ -28,3 +28,25 @@ _WINDOW_SQL = [n for n in list(_ALL)[:_WINDOW] if _ALL[n].oracle is not None]
 def test_window_query_nonvacuous(spark, name):
     n = _ALL[name].fn(spark, _DRIVER_SF_DIR).count()
     assert n > 0, f"{name} returns 0 rows at sf0.01 — vacuous driver evidence"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_DRIVER_SF_DIR), reason="driver-scale fixtures absent"
+)
+def test_round9_gauges_exercise_both_regimes(spark):
+    """The round-9 allocation/quality gauges are only evidence if their
+    regime boundaries fall INSIDE the fixture: waterfilling must have both
+    saturated and unsaturated sources (else the cascade is vacuous), the
+    epoch cap must bind for some sources and not others, the perplexity
+    terciles must actually differ in mean xent, and the HNSW descent must
+    pick a non-degenerate entry for at least some queries (descending
+    somewhere beats staying on node 0)."""
+    wf = _ALL["q_d5_waterfill_fixpoint"].fn(spark, _DRIVER_SF_DIR).toPandas()
+    assert (wf["sat_round"] > 0).any() and (wf["sat_round"] == 0).any()
+    ep = _ALL["q_d5_mix_epochs"].fn(spark, _DRIVER_SF_DIR).toPandas()
+    assert ep["capped"].any() and (~ep["capped"]).any()
+    pb = _ALL["q_d5_ppl_buckets"].fn(spark, _DRIVER_SF_DIR).toPandas()
+    per_src = pb.pivot_table(index="source", columns="bucket", values="mean_xent")
+    assert (per_src["head"] < per_src["tail"]).all()  # terciles ordered
+    hd = _ALL["q_d3_hnsw_descent"].fn(spark, _DRIVER_SF_DIR).toPandas()
+    assert (hd["entry_cid"] != 0).any()  # descent actually moves
