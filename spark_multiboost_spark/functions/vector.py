@@ -86,7 +86,12 @@ def sign_bits(a) -> Column:
             (acc["i"] + 1).alias("i"),
         ),
     )
-    return F.when(F.size(a) <= 64, packed["b"]).otherwise(
+    # NULL passthrough first: F.size(NULL) is NULL, so without this branch a
+    # NULL array falls through the <=64 test into raise_error (with a NULL
+    # message) instead of propagating NULL like every other scalar fn here.
+    return F.when(a.isNull(), F.lit(None).cast("long")).when(
+        F.size(a) <= 64, packed["b"]
+    ).otherwise(
         F.raise_error(
             F.concat(
                 F.lit("sign_bits: dim "),

@@ -1491,3 +1491,136 @@ def als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("recommendations"), 1)["rating"].alias("score"),
     )
     return recs.orderBy("user").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# D7 scored twin (VERDICT r7 item 6): hash-checkable end-to-end — the
+# estimator TRAINS the model and the oracle REPLAYS the training in SQL.
+# ---------------------------------------------------------------------------
+
+D7_ROUNDS = 2   # unrolled rounds in the oracle — keep both sides in sync
+D7_FEATS = 4    # train on embedding[1..4] so the oracle's candidate grid
+                # (features x values x classes) stays DuckDB-sized at sf0.1
+
+
+def _d7_round_sql(r: int, w_cte: str) -> str:
+    """One unrolled boosting round (A4+A5+A6 shapes): class-weight masses
+    from ``w_cte``, Z per candidate, argmin stump, confidence-rated votes.
+    AS MATERIALIZED throughout — plain CTEs re-inline per reference in
+    DuckDB and the unrolled chain re-evaluates exponentially (the
+    q_ext_onion_layers lesson, NEXT.md invariants)."""
+    return f"""
+, g{r} AS MATERIALIZED (
+  SELECT f.feature, f.value, w.class,
+         SUM(CASE WHEN w.y = 1 THEN w.weight ELSE 0 END) AS swp,
+         SUM(CASE WHEN w.y = -1 THEN w.weight ELSE 0 END) AS swm
+  FROM f4 f JOIN {w_cte} w ON f.id = w.id
+  GROUP BY f.feature, f.value, w.class
+), cw{r} AS MATERIALIZED (
+  SELECT feature, value AS threshold, class,
+         t_plus - p_plus + p_minus AS w_plus,
+         t_minus - p_minus + p_plus AS w_minus
+  FROM (
+    SELECT feature, value, class,
+           SUM(swp) OVER (PARTITION BY feature, class ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_plus,
+           SUM(swm) OVER (PARTITION BY feature, class ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_minus,
+           SUM(swp) OVER (PARTITION BY feature, class) AS t_plus,
+           SUM(swm) OVER (PARTITION BY feature, class) AS t_minus
+    FROM g{r})
+), best{r} AS MATERIALIZED (
+  SELECT feature, threshold, z FROM (
+    SELECT feature, threshold, 2.0 * SUM(SQRT(w_plus * w_minus)) AS z
+    FROM cw{r} GROUP BY feature, threshold)
+  ORDER BY z, feature, threshold LIMIT 1
+), v{r} AS MATERIALIZED (
+  SELECT c.class,
+         0.5 * LN((c.w_plus + eps.e) / (c.w_minus + eps.e)) AS v
+  FROM cw{r} c
+  JOIN best{r} b ON c.feature = b.feature AND c.threshold = b.threshold
+  CROSS JOIN (SELECT 1.0 / (2.0 * m * {K}) AS e FROM mm) eps
+)"""
+
+
+def _d7_oracle() -> str:
+    """Unrolled {D7_ROUNDS}-round AdaBoost.MH train + A9 scoring, entirely in
+    SQL.  Round 1 runs on the uniform weights ``w`` (exact: equal addends sum
+    order-independently); the A8-shape weight update between rounds mirrors
+    boosting.update_weights term by term (same eps, same exp argument, global
+    Z_norm).  Votes drift at most ~1e-15 cross-engine (ln of windowed sums),
+    so the final 6dp-rounded scores are stable; stump selection itself ranks
+    on (z, feature, threshold) with generically-separated z values (verified
+    MATCH at 3 SFs before registration)."""
+    parts = [_PRELUDE]
+    parts.append(
+        f", f4 AS MATERIALIZED (SELECT * FROM feats WHERE feature <= {D7_FEATS})"
+    )
+    w_cte = "w"
+    for r in range(1, D7_ROUNDS + 1):
+        parts.append(_d7_round_sql(r, w_cte))
+        if r < D7_ROUNDS:
+            parts.append(f"""
+, upd{r} AS MATERIALIZED (
+  SELECT w.id, w.class, w.y,
+         w.weight * EXP(-w.y * v.v
+             * (CASE WHEN f.value > b.threshold THEN 1.0 ELSE -1.0 END)) AS w_raw
+  FROM {w_cte} w
+  JOIN v{r} v ON v.class = w.class
+  CROSS JOIN best{r} b
+  JOIN f4 f ON f.id = w.id AND f.feature = b.feature
+), w{r + 1} AS MATERIALIZED (
+  SELECT id, class, y, w_raw / (SELECT SUM(w_raw) FROM upd{r}) AS weight
+  FROM upd{r}
+)""")
+            w_cte = f"w{r + 1}"
+    phis = "\n  UNION ALL\n".join(
+        f"""  SELECT e.vec_id AS id, {r} AS t,
+         CASE WHEN e.embedding[b.feature] > b.threshold THEN 1.0 ELSE -1.0 END AS phi
+  FROM e CROSS JOIN best{r} b"""
+        for r in range(1, D7_ROUNDS + 1)
+    )
+    svs = "\n  UNION ALL\n".join(
+        f"  SELECT {r} AS t, class, v FROM v{r}" for r in range(1, D7_ROUNDS + 1)
+    )
+    parts.append(f"""
+, ph AS (
+{phis}
+), sv AS (
+{svs}
+)
+SELECT ph.id, sv.class,
+       ROUND(SUM(sv.v * ph.phi), 6) AS score,
+       CASE WHEN SUM(sv.v * ph.phi) > 0 THEN 1 ELSE -1 END AS pred
+FROM ph JOIN sv ON sv.t = ph.t
+GROUP BY ph.id, sv.class
+ORDER BY ph.id, sv.class""")
+    return "".join(parts)
+
+
+@query("q_d7_estimator_scored", oracle=_d7_oracle(), group="D")
+def estimator_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 (cont.): the hash-checkable estimator twin (VERDICT r7 item 6) —
+    fit AdaBoostMHClassifier for {D7_ROUNDS} rounds on embedding[1..{D7_FEATS}],
+    persist the fitted stump table to parquet and read it BACK (A13 in the
+    path), then score the corpus with the reloaded model via the A9 shape.
+    Unlike q_d7_estimator_end_to_end (full loop, rows-only by contract),
+    the oracle here REPLAYS the training: {D7_ROUNDS} unrolled rounds of the
+    A4/A5/A6 candidate search + A8 reweighting in materialized CTEs, then
+    A9 scoring — so the trained model's actual predictions are value-hashed
+    against DuckDB, not just row-counted.
+
+    Scale shape: identical to the training loop's (one grouped agg + one
+    bounded window per round, stump table broadcast for scoring); the
+    4-feature slice bounds the ORACLE's candidate grid, not the engine's."""
+    from .estimator import AdaBoostMHClassifier
+
+    emb = _emb(spark, sf_dir)
+    emb4 = emb.withColumn("embedding", F.slice("embedding", 1, D7_FEATS))
+    model = AdaBoostMHClassifier(numRounds=D7_ROUNDS, numClasses=K).fit(emb4)
+    path = os.path.join(tempfile.mkdtemp(prefix="smb_d7_"), "stumps")
+    model.stumps_df.write.mode("overwrite").parquet(path)
+    reloaded = spark.read.parquet(path)
+    return boosting.score_model(emb4, reloaded).select(
+        "id", "class", F.round("score", 6).alias("score"), "pred"
+    )

@@ -65,73 +65,29 @@ _QUERY_MODULES = [
 
 #: query-level window rotation.  The driver's correctness gate checks the
 #: FIRST 50 registry entries each round (50 in every CORRECTNESS_r0*.json),
-#: so these names are surfaced ahead of everything else.  Round-7 window
-#: (per VERDICT r6 item 1) = the never-driver-checked residue: 2 fresh
-#: sentinels (first-time hash-green in the r6 window, re-checked as
-#: regression canaries), the 4 highest-value rows-only first-timers
-#: (q_d7_estimator_end_to_end — the reference's whole purpose end-to-end —
-#: plus the trainer loops; driver execution is their only hard evidence),
-#: then all 44 judge(r6)-green SQL first-timers (the 15 round-8 additions
-#: first).  The 11 remaining rows-only queries queue immediately behind for
-#: the round-8 window.  Names not listed keep registration order behind
-#: these; unknown names are ignored (module bring-up safety).
+#: so these names are surfaced ahead of everything else.  Round-8 window
+#: (per VERDICT r7 item 1) = the FINAL never-driver-checked residue: 2
+#: sentinels (first-time hash-green in the r7 window, re-checked as
+#: regression canaries), the 12 remaining rows-only queries no driver round
+#: has ever executed, the 8 round-9 SQL additions (judge(r7) MATCH — the
+#: driver should own them), the 3 queries whose oracles were RESHAPED this
+#: round (graph-ANN family: corpus-squared eval arms bounded to the query
+#: set per VERDICT r7 items 2-3) plus the new D7 scored twin, then 24
+#: regression re-checks of the oldest r1-era greens across every group.
+#: After this window every registered query has driver-side evidence.
+#: Names not listed keep registration order behind these; unknown names
+#: are ignored (module bring-up safety).
 _PRIORITY = [
-    # sentinels (canaries: first-time hash-green in the round-6 window)
-    "q_d2_lsh_band_sweep",
-    "q_a5_multilabel_stump_z",
-    # highest-value never-executed rows-only (VERDICT r6 item 1)
-    "q_d7_estimator_end_to_end",
-    "q_a16_als_recommend",
-    "q_d3_pq_train",
-    "q_d3_ivf_trained_recall",
-    # round-8 additions (judge(r6) MATCH; builder-verified at 3 SFs)
+    # sentinels (canaries: first-time hash-green in the round-7 window)
     "q_d3_mmr_rerank",
-    "q_d3_rrf_fusion",
     "q_d5_trigram_backoff_ppl",
-    "q_d5_gopher_rules",
-    "q_d5_curation_funnel",
-    "q_ext_benford_audit",
-    "q_d5_mix_waterfill",
-    "q_d5_weighted_coverage_select",
-    "q_d5_centroid_outlier",
-    "q_d2_prefix_dup",
-    "q_d4_token_entropy",
-    "q_d5_dup_weights",
-    "q_d3_hard_negatives",
-    "q_ext_mad_outliers",
-    "q_d5_temperature_mix",
-    # remaining never-checked SQL first-timers (judge(r6) MATCH)
-    "q_a17_freq_itemsets",
-    "q_d3_filtered_topk_cosine",
-    "q_d3_ivf_nprobe_sweep",
-    "q_ext_funnel",
-    "q_ext_cohort_retention",
-    "q_ext_dates",
-    "q_ext_histogram",
-    "q_ext_salted_join",
-    "q_ext_gapfill_locf",
-    "q_ext_zorder_layout",
-    "q_ext_decayed_engagement",
-    "q_ext_equidepth_hist",
-    "q_ext_rolling_zscore",
-    "q_ext_fuzzy_join",
-    "q_ext_k_anonymity",
-    "q_ext_analyze_stats",
-    "q_ext_hilbert_layout",
-    "q_ext_cusum_changepoint",
-    "q_ext_ppr_multiseed",
-    "q_ext_onion_layers",
-    "q_ext_simrank1",
-    "q_ext_kcore_bucketed",
-    "q_ext_observe_metrics",
-    "q_comp_dataset_card",
-    "q_comp_order_count_distribution",
-    "q_comp_promo_revenue",
-    "q_comp_min_cost_supplier",
-    "q_comp_important_brands",
-    "q_comp_dq_report",
-    # ---- window boundary (50) ----
-    # round-8 queue: remaining never-executed rows-only
+    # oracle-reshaped this round (VERDICT r7 items 2-3) + new D7 twin —
+    # front of window so a reshape regression surfaces immediately
+    "q_d3_hnsw_descent",
+    "q_d3_graph_ann",
+    "q_d3_nn_descent",
+    "q_d7_estimator_scored",
+    # the 12 never-driver-executed rows-only queries (VERDICT r7 item 1)
     "q_ext_hll_error_gauge",
     "q_ext_approx_quantile_gauge",
     "q_d3_kmeans_train",
@@ -143,17 +99,42 @@ _PRIORITY = [
     "q_b03_compaction",
     "q_b03_dynamic_partition_overwrite",
     "q_b01_zonemap_skip",
-    # round-8 queue (cont.): round-9 additions E72-E80, verified MATCH at
-    # 3 SFs (or batch-equal for the streaming twin) this session
+    "q_c17_streaming_gopher_gate",
+    # round-9 SQL additions (judge(r7) MATCH; builder-verified at 3 SFs)
     "q_d5_pruned_trigram_lm",
     "q_d5_waterfill_fixpoint",
-    "q_c17_streaming_gopher_gate",
     "q_d5_ppl_buckets",
     "q_d4_zipf_slope",
     "q_d5_mix_epochs",
     "q_d6_resize_thumb",
     "q_d4_tokenizer_fertility",
-    "q_d3_hnsw_descent",
+    # regression re-checks: oldest r1-era greens, one per operator family
+    "q_b11_pricing_summary",
+    "q_b05_join_revenue_by_priority",
+    "q_b06_broadcast_join_brand_volume",
+    "q_b10_asof_join",
+    "q_b16_ranking",
+    "q_b18_frames",
+    "q_b20_topk_per_group",
+    "q_b22_intersect",
+    "q_b27_arrays",
+    "q_b29_json",
+    "q_b30_correlated_exists",
+    "q_b31_cte_nation_revenue",
+    "q_a5_stump_z",
+    "q_a9_score_model",
+    "q_a11_hamming_loss",
+    "q_d1_exact_dedup",
+    "q_d2_minhash_lsh",
+    "q_d3_topk_cosine",
+    "q_d3_ivf_ann",
+    "q_c1_tumbling_window",
+    "q_c3_session_window",
+    "q_d4_token_tf",
+    "q_d5_langid",
+    "q_d6_binary_length",
+    # ---- window boundary (50) ----
+    "q_comp_top_customers",
 ]
 
 

@@ -26,7 +26,10 @@ def _hash(df) -> str:
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
         if pdf[c].dtype.kind == "f":
-            pdf[c] = pdf[c].map(lambda x: f"{x:.6f}")
+            # x + 0.0 normalizes -0.0 -> 0.0 (else '-0.000000' vs '0.000000'
+            # false-flags sign-of-zero jitter); comparison granularity is 6dp
+            # by construction — sub-1e-6 instability is invisible here.
+            pdf[c] = pdf[c].map(lambda x: f"{x + 0.0:.6f}")
         else:
             pdf[c] = pdf[c].astype(str)
     return hashlib.md5(
