@@ -1545,9 +1545,12 @@ def graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def score(pairs: DataFrame) -> DataFrame:
+        # qv (query set) is bounded -> broadcast; cv is CORPUS-sized, so it
+        # joins plain (AQE picks broadcast at fixture scale; forcing it
+        # would OOM at real scale — the r6 trigram lesson)
         return (
             pairs.join(F.broadcast(qv), "qid")
-            .join(F.broadcast(cv), "cid")
+            .join(cv, "cid")
             .withColumn(
                 "cos",
                 dot(F.col("q_emb"), F.col("c_emb"))
@@ -1759,8 +1762,9 @@ def hnsw_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a broadcast 1-row-per-query frontier, and base beam work is
     O(B*M*hops) per query, independent of corpus size.  Real HNSW stacks
     log(n) layers of this same step; one upper layer exercises the full
-    mechanism.  Brute-force truth (the recall denominator) is computed
-    ONLY for the {N_QUERIES}-query set via :func:`_pairs`."""
+    mechanism, and q_d3_hnsw_multilayer stacks two.  Brute-force truth
+    (the recall denominator) is computed ONLY for the {N_QUERIES}-query
+    set via :func:`_pairs`."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     edges0 = _nnd_edges(v, GANN_M)
@@ -1777,9 +1781,12 @@ def hnsw_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def score(pairs: DataFrame) -> DataFrame:
+        # qv (query set) is bounded -> broadcast; cv is CORPUS-sized, so it
+        # joins plain (AQE picks broadcast at fixture scale; forcing it
+        # would OOM at real scale — the r6 trigram lesson)
         return (
             pairs.join(F.broadcast(qv), "qid")
-            .join(F.broadcast(cv), "cid")
+            .join(cv, "cid")
             .withColumn(
                 "cos",
                 dot(F.col("q_emb"), F.col("c_emb"))
@@ -1867,6 +1874,281 @@ def hnsw_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(entry, "qid")
         .select(
             "qid",
+            "entry_cid",
+            "n_visited",
+            "n_hits",
+            (F.floor(F.col("n_hits") / K * 1e6 + 0.5) / 1e6).alias("recall"),
+        )
+        .orderBy("qid")
+    )
+
+
+HNSW_F2 = HNSW_F * HNSW_F  # layer-2 sampling stride: 1/F of layer 1
+HNSW_M2 = 2                # layer-2 kNN out-degree (log-level fan-out)
+
+_HNSW_ML_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+), {_nnd_edges_sql("ml_edges0", GANN_M)}
+, {_nnd_edges_sql("ml_edges1", HNSW_M1, HNSW_F)}
+, {_nnd_edges_sql("ml_edges2", HNSW_M2, HNSW_F2)}
+, q AS (SELECT vec_id AS qid FROM e WHERE vec_id < {N_QUERIES}
+), candA AS (
+  SELECT q.qid, c.cid FROM q CROSS JOIN (
+    SELECT 0 AS cid UNION ALL SELECT dst FROM ml_edges2 WHERE src = 0) c
+), curA AS (
+  SELECT qid, cid FROM (
+    SELECT v.qid, v.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.qid
+             ORDER BY list_cosine_similarity(eq.embedding, ec.embedding) DESC,
+                      v.cid) AS rk
+    FROM candA v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
+  ) WHERE rk = 1
+), candB AS (
+  SELECT DISTINCT qid, cid FROM (
+    SELECT qid, cid FROM curA
+    UNION ALL
+    SELECT c.qid, ed.dst AS cid FROM curA c JOIN ml_edges2 ed ON ed.src = c.cid)
+), curB AS (
+  SELECT qid, cid FROM (
+    SELECT v.qid, v.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.qid
+             ORDER BY list_cosine_similarity(eq.embedding, ec.embedding) DESC,
+                      v.cid) AS rk
+    FROM candB v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
+  ) WHERE rk = 1
+), cand1 AS (
+  SELECT DISTINCT qid, cid FROM (
+    SELECT qid, cid FROM curB
+    UNION ALL
+    SELECT c.qid, ed.dst AS cid FROM curB c JOIN ml_edges1 ed ON ed.src = c.cid)
+), cur1 AS (
+  SELECT qid, cid FROM (
+    SELECT v.qid, v.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.qid
+             ORDER BY list_cosine_similarity(eq.embedding, ec.embedding) DESC,
+                      v.cid) AS rk
+    FROM cand1 v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
+  ) WHERE rk = 1
+), cand2 AS (
+  SELECT DISTINCT qid, cid FROM (
+    SELECT qid, cid FROM cur1
+    UNION ALL
+    SELECT c.qid, ed.dst AS cid FROM cur1 c JOIN ml_edges1 ed ON ed.src = c.cid)
+), cur2 AS (
+  SELECT qid, cid FROM (
+    SELECT v.qid, v.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.qid
+             ORDER BY list_cosine_similarity(eq.embedding, ec.embedding) DESC,
+                      v.cid) AS rk
+    FROM cand2 v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
+  ) WHERE rk = 1
+), v0 AS (SELECT qid, cid FROM cur2
+), s0 AS (
+  SELECT v.qid, v.cid, list_cosine_similarity(eq.embedding, ec.embedding) AS cos
+  FROM v0 v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
+), b0 AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+    FROM s0) WHERE rk <= {GANN_B}
+), v1 AS (
+  SELECT DISTINCT qid, cid FROM (
+    SELECT qid, cid FROM v0
+    UNION ALL
+    SELECT b.qid, ed.dst AS cid FROM b0 b JOIN ml_edges0 ed ON ed.src = b.cid)
+), s1 AS (
+  SELECT v.qid, v.cid, list_cosine_similarity(eq.embedding, ec.embedding) AS cos
+  FROM v1 v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
+), b1 AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+    FROM s1) WHERE rk <= {GANN_B}
+), v2 AS (
+  SELECT DISTINCT qid, cid FROM (
+    SELECT qid, cid FROM v1
+    UNION ALL
+    SELECT b.qid, ed.dst AS cid FROM b1 b JOIN ml_edges0 ed ON ed.src = b.cid)
+), s2 AS (
+  SELECT v.qid, v.cid, list_cosine_similarity(eq.embedding, ec.embedding) AS cos
+  FROM v2 v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
+  WHERE v.qid <> v.cid
+), hits AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+    FROM s2) WHERE rk <= {K}
+), bf AS (
+  SELECT qid, cid FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                      b.vec_id) AS rk
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < {N_QUERIES}
+  ) WHERE rk <= {K}
+), vis AS (
+  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_visited
+  FROM s2 GROUP BY qid
+), hit_agg AS (
+  SELECT h.qid,
+         CAST(SUM(CASE WHEN bf.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hits
+  FROM hits h LEFT JOIN bf ON bf.qid = h.qid AND bf.cid = h.cid
+  GROUP BY h.qid
+)
+SELECT v.qid, cb.cid AS entry2_cid, c.cid AS entry_cid, v.n_visited,
+       ha.n_hits, FLOOR(ha.n_hits / {K}.0 * 1e6 + 0.5) / 1e6 AS recall
+FROM vis v
+JOIN hit_agg ha ON ha.qid = v.qid
+JOIN curB cb ON cb.qid = v.qid
+JOIN cur2 c ON c.qid = v.qid
+ORDER BY v.qid
+"""
+
+
+@query("q_d3_hnsw_multilayer", oracle=_HNSW_ML_ORACLE, group="D")
+def hnsw_multilayer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): MULTI-LAYER HNSW DESCENT — the log(n) layer stack
+    q_d3_hnsw_descent exercises with one layer, now with TWO upper layers:
+    layer 2 samples 1/{HNSW_F2} of the corpus (out-degree {HNSW_M2}),
+    layer 1 samples 1/{HNSW_F} (out-degree {HNSW_M1}), every layer-2
+    member is a layer-1 member by construction (HNSW's nesting property:
+    vec_id % {HNSW_F2} == 0 implies vec_id % {HNSW_F} == 0).  Each query
+    descends layer 2 from the fixed top entry (node 0, two unrolled greedy
+    hops), hands its pick to layer 1 as the seed for two more hops, and
+    the layer-1 pick seeds the base-layer beam search (q_d3_graph_ann's
+    2-hop/{GANN_B}-beam machinery).  Output per query: both descended
+    entries, base candidates visited, recall@{K} vs brute force — the
+    three-way comparison against q_d3_graph_ann (fixed entries) and
+    q_d3_hnsw_descent (one layer) shows what each extra layer buys at the
+    same base budget.  Measured at sf0.01 (NN-descent-built graphs): mean
+    recall 0.0640 visiting 22.2 — vs 0.0540@21.6 with one layer and
+    0.0520@27.7 flat: each layer improves the entry, and two layers beat
+    flat on BOTH axes.
+
+    Determinism and scale shape are exactly q_d3_hnsw_descent's: all three
+    layer graphs NN-descent-built (:func:`_nnd_edges`), every argmax/beam
+    ranks on (cos DESC, cid), descent work per added layer is O(M2) scored
+    candidates per query — the log(n)-layer stack costs log(n) bounded
+    hops, never a corpus pass.  Brute-force truth only for the
+    {N_QUERIES}-query set."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    edges0 = _nnd_edges(v, GANN_M)
+    edges1 = _nnd_edges(v.filter(F.col("vec_id") % HNSW_F == 0), HNSW_M1, HNSW_F)
+    edges2 = _nnd_edges(v.filter(F.col("vec_id") % HNSW_F2 == 0), HNSW_M2, HNSW_F2)
+    qv = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_n"),
+    )
+    cv = v.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_n"),
+    )
+
+    def score(pairs: DataFrame) -> DataFrame:
+        # bounded query side broadcast; corpus-sized cv joins plain
+        return (
+            pairs.join(F.broadcast(qv), "qid")
+            .join(cv, "cid")
+            .withColumn(
+                "cos",
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / F.nullif(F.col("q_n") * F.col("c_n"), F.lit(0.0)),
+            )
+            .select("qid", "cid", "cos")
+        )
+
+    def argmax1(scored: DataFrame) -> DataFrame:
+        w1 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+        return (
+            scored.withColumn("rk", F.row_number().over(w1))
+            .filter(F.col("rk") == 1)
+            .select("qid", "cid")
+        )
+
+    def beam(scored: DataFrame) -> DataFrame:
+        wb = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+        return (
+            scored.withColumn("rk", F.row_number().over(wb))
+            .filter(F.col("rk") <= GANN_B)
+            .select("qid", "cid")
+        )
+
+    def expand(bm: DataFrame, edges: DataFrame) -> DataFrame:
+        ed = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+        return bm.join(ed, bm["cid"] == ed["e_src"]).select(
+            "qid", F.col("e_dst").alias("cid")
+        )
+
+    def descend(seeded: DataFrame, edges: DataFrame) -> DataFrame:
+        """Two unrolled greedy hops on one layer: argmax over the seed set,
+        then argmax over (pick + pick's layer neighbors)."""
+        cur_a = argmax1(score(seeded))
+        cand_b = cur_a.unionAll(expand(cur_a, edges)).distinct()
+        return argmax1(score(cand_b)).localCheckpoint(eager=True)
+
+    # layer-2 descent from the fixed top entry (node 0 + its neighbors)
+    n0 = (
+        edges2.filter(F.col("src") == 0)
+        .select(F.col("dst").alias("cid"))
+        .unionAll(spark.createDataFrame([(0,)], "cid bigint"))
+    )
+    cur_b = descend(qv.select("qid").crossJoin(F.broadcast(n0)), edges2)
+    # layer-1 descent seeded by the layer-2 pick
+    cand1 = cur_b.unionAll(expand(cur_b, edges1)).distinct()
+    cur2 = descend(cand1, edges1)
+
+    # base-layer beam search seeded by the descended entry
+    v0 = cur2
+    b0 = beam(score(v0))
+    v1 = v0.unionAll(expand(b0, edges0)).distinct()
+    b1 = beam(score(v1))
+    v2 = v1.unionAll(expand(b1, edges0)).distinct()
+    s2 = score(v2).filter(F.col("qid") != F.col("cid"))
+    wf = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    hits = (
+        s2.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= K)
+        .select("qid", "cid")
+    )
+    bf = (
+        _pairs(spark, sf_dir)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "cid")
+            ),
+        )
+        .filter(F.col("rk") <= K)
+        .select("qid", F.col("cid").alias("bf_cid"))
+    )
+    vis = s2.groupBy("qid").agg(bcount().alias("n_visited"))
+    hit_agg = (
+        hits.join(
+            bf,
+            (hits["qid"] == bf["qid"]) & (hits["cid"] == bf["bf_cid"]),
+            "left",
+        )
+        .select(hits["qid"].alias("qid"), F.col("bf_cid"))
+        .groupBy("qid")
+        .agg(
+            F.sum(F.when(F.col("bf_cid").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits")
+        )
+    )
+    entry2 = cur_b.select("qid", F.col("cid").alias("entry2_cid"))
+    entry = cur2.select("qid", F.col("cid").alias("entry_cid"))
+    return (
+        vis.join(hit_agg, "qid")
+        .join(entry2, "qid")
+        .join(entry, "qid")
+        .select(
+            "qid",
+            "entry2_cid",
             "entry_cid",
             "n_visited",
             "n_hits",

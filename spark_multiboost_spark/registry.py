@@ -72,8 +72,9 @@ _QUERY_MODULES = [
 #: has ever executed, the 8 round-9 SQL additions (judge(r7) MATCH — the
 #: driver should own them), the 3 queries whose oracles were RESHAPED this
 #: round (graph-ANN family: corpus-squared eval arms bounded to the query
-#: set per VERDICT r7 items 2-3) plus the new D7 scored twin, then 24
-#: regression re-checks of the oldest r1-era greens across every group.
+#: set per VERDICT r7 items 2-3) plus the two round-10 additions (D7 scored
+#: twin, multi-layer HNSW), then regression re-checks of the oldest r1-era
+#: greens across every group.
 #: After this window every registered query has driver-side evidence.
 #: Names not listed keep registration order behind these; unknown names
 #: are ignored (module bring-up safety).
@@ -87,6 +88,8 @@ _PRIORITY = [
     "q_d3_graph_ann",
     "q_d3_nn_descent",
     "q_d7_estimator_scored",
+    "q_d3_hnsw_multilayer",
+    "q_c18_streaming_contamination",
     # the 12 never-driver-executed rows-only queries (VERDICT r7 item 1)
     "q_ext_hll_error_gauge",
     "q_ext_approx_quantile_gauge",

@@ -786,6 +786,53 @@ def query_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_c18_streaming_contamination", oracle=None, group="C")
+def streaming_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18: BENCHMARK-CONTAMINATION GATE ON A LIVE DOCUMENT STREAM — the
+    ingest-time twin of q_d5_contamination: the held-out benchmark trigram
+    set is built ONCE on the static side (benchmark-sized by definition ->
+    broadcast), each arriving document shingles with the same stateless
+    expressions the batch query uses (split/transform/distinct are
+    execution-mode agnostic), and contaminated (bench_doc, doc_id) pairs
+    accumulate through one stream-static broadcast join + complete-mode
+    count.  A benchmark leak shows up within one micro-batch of the
+    contaminated document landing — instead of at the nightly decontam
+    re-scan.
+
+    Rows-only by contract (true streaming); tests/test_streaming.py
+    asserts EXACT equality with the batch q_d5_contamination output on
+    the same corpus — overlap counts must not depend on micro-batch
+    boundaries.  At 100 TB: per-doc shingling scales with ingest
+    parallelism and the broadcast side stays benchmark-sized; the
+    complete-mode state here is |contaminated pairs| (fine for a gate
+    dashboard) — a pipeline that must persist every pair switches the
+    sink to update mode + an idempotent merge, same plan upstream."""
+    from ..functions.dedup import _shingled
+    from ..functions.parity import bcount
+
+    d = load_tables(spark, sf_dir)["documents"]
+    bench = (
+        _shingled(d)
+        .select("doc_id", F.explode("shingles").alias("g"))
+        .filter(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("bench_doc"), "g")
+    )
+    path = _replay_docs_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_DOCS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    ex = _shingled(stream).select("doc_id", F.explode("shingles").alias("g"))
+    hits = (
+        ex.join(F.broadcast(bench), "g")
+        .filter(F.col("doc_id") != F.col("bench_doc"))
+        .groupBy("bench_doc", "doc_id")
+        .agg(bcount().alias("n_shared"))
+    )
+    return _run_to_memory(hits, mode="complete").orderBy("bench_doc", "doc_id")
+
+
 @query("q_c17_streaming_gopher_gate", oracle=None, group="C")
 def streaming_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C17: the GOPHER QUALITY GATE ON A LIVE DOCUMENT STREAM — the

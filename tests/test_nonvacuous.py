@@ -50,3 +50,8 @@ def test_round9_gauges_exercise_both_regimes(spark):
     assert (per_src["head"] < per_src["tail"]).all()  # terciles ordered
     hd = _ALL["q_d3_hnsw_descent"].fn(spark, _DRIVER_SF_DIR).toPandas()
     assert (hd["entry_cid"] != 0).any()  # descent actually moves
+    ml = _ALL["q_d3_hnsw_multilayer"].fn(spark, _DRIVER_SF_DIR).toPandas()
+    # both layers must move for some queries, and the layer-1 entry must
+    # refine the layer-2 pick somewhere (else the stack is vacuous)
+    assert (ml["entry2_cid"] != 0).any()
+    assert (ml["entry_cid"] != ml["entry2_cid"]).any()

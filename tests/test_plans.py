@@ -462,6 +462,8 @@ def test_round7_graph_plans(spark, sf_dir):
         "q_d4_bpe_encode",
         "q_d3_graph_ann",
         "q_d3_nn_descent",
+        "q_d3_hnsw_descent",
+        "q_d3_hnsw_multilayer",
     ]:
         plan = _plan(spark, name, sf_dir)
         assert "CartesianProduct" not in plan, name

@@ -374,3 +374,29 @@ def test_c17_streaming_gopher_gate_equals_batch(spark, sf_dir):
     )
     assert list(streamed.columns) == list(batch.columns)
     assert streamed.equals(batch)
+
+
+def test_c18_streaming_contamination_equals_batch(spark, sf_dir):
+    """The streamed contamination gate must agree EXACTLY with the batch
+    q_d5_contamination overlap table — shingling is per-row and the join
+    is stream-static, so micro-batch boundaries must not change counts."""
+    from spark_multiboost_spark.registry import all_queries
+
+    qs = all_queries()
+    key = ["bench_doc", "doc_id"]
+    streamed = (
+        qs["q_c18_streaming_contamination"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    batch = (
+        qs["q_d5_contamination"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert list(streamed.columns) == list(batch.columns)
+    assert streamed.equals(batch)
