@@ -1550,8 +1550,10 @@ def _d7_oracle() -> str:
     boosting.update_weights term by term (same eps, same exp argument, global
     Z_norm).  Votes drift at most ~1e-15 cross-engine (ln of windowed sums),
     so the final 6dp-rounded scores are stable; stump selection itself ranks
-    on (z, feature, threshold) with generically-separated z values (verified
-    MATCH at 3 SFs before registration)."""
+    on (z, feature, threshold) with generically-separated z values — the
+    measured round-2 argmin gap is 7.8e-5 / 1.8e-5 / 1.1e-5 at
+    sf0.001/0.01/0.1, ten orders of magnitude above the ~1e-15 drift
+    (verified MATCH at 3 SFs before registration)."""
     parts = [_PRELUDE]
     parts.append(
         f", f4 AS MATERIALIZED (SELECT * FROM feats WHERE feature <= {D7_FEATS})"
