@@ -1219,6 +1219,140 @@ def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHURN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cent_id, embedding AS cent_emb FROM e WHERE vec_id < {N_CELLS}
+), a0 AS MATERIALIZED (
+  SELECT v.vec_id, v.embedding,
+         (SELECT c.cent_id FROM c0 c
+          ORDER BY list_distance(v.embedding, c.cent_emb), c.cent_id
+          LIMIT 1) AS cell0
+  FROM e v
+), dims AS (
+  SELECT a.cell0, g.i AS dim, a.embedding[g.i] AS val
+  FROM a0 a, UNNEST(GENERATE_SERIES(1, LEN(a.embedding))) AS g(i)
+), cm AS (
+  SELECT cell0, dim, FLOOR(AVG(val) * 1e6 + 0.5) / 1e6 AS cv
+  FROM dims GROUP BY cell0, dim
+), c1 AS MATERIALIZED (
+  SELECT cell0 AS cent_id, LIST(cv ORDER BY dim) AS cent_emb
+  FROM cm GROUP BY cell0
+), a1 AS MATERIALIZED (
+  SELECT a.vec_id, a.cell0,
+         (SELECT c.cent_id FROM c1 c
+          ORDER BY list_distance(a.embedding, c.cent_emb), c.cent_id
+          LIMIT 1) AS cell1
+  FROM a0 a
+), before AS (
+  SELECT cell0 AS cell, CAST(COUNT(*) AS BIGINT) AS n_before,
+         CAST(SUM(CASE WHEN cell0 = cell1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_stayed
+  FROM a1 GROUP BY cell0
+), after AS (
+  SELECT cell1 AS cell, CAST(COUNT(*) AS BIGINT) AS n_after
+  FROM a1 GROUP BY cell1
+)
+SELECT b.cell, b.n_before, CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+       b.n_stayed,
+       FLOOR((1.0 - CAST(b.n_stayed AS DOUBLE) / b.n_before) * 1e6 + 0.5)
+         / 1e6 AS churn_frac
+FROM before b LEFT JOIN after a ON a.cell = b.cell
+ORDER BY b.cell
+"""
+
+
+@query("q_d3_ivf_reassign_churn", oracle=_CHURN_ORACLE, group="D")
+def ivf_reassign_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): IVF INDEX-MAINTENANCE GAUGE — when the centroids drift
+    (one Lloyd step from the deterministic seed cells), how many vectors
+    change cells?  Assign the corpus to the seed centroids (vec_id <
+    {N_CELLS}), recompute each cell's mean (6dp-quantized both engines, so
+    the updated centroid table is bit-identical cross-engine), reassign,
+    and report per cell: members before/after, how many stayed, churn
+    fraction.  This is the number an operator watches before deciding
+    whether an index rebuild (re-shard) is worth the I/O: high churn after
+    a retrain means the posting lists must be rewritten; near-zero churn
+    means the old layout still serves.
+
+    Scale shape: both assignment passes are the IVF family's broadcast
+    one-row centroid-table expression (array_min over struct(dist, id) —
+    no corpus expansion, no shuffle for assignment); the Lloyd step is one
+    posexplode + hash-agg keyed on (cell, dim) — {N_CELLS} x dims rows of
+    state; churn is one more hash-agg.  Everything is corpus-linear with
+    model-sized state, exactly like serving-side IVF.
+
+    Determinism: nearest-cell ranks on (dist, cent_id) via lexicographic
+    array_min both engines; updated centroids quantized to 6dp before the
+    second assignment, so cross-engine float drift cannot flip it."""
+    from ..functions.vector import l2_distance
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cent0 = emb.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+
+    def assign(side: DataFrame, cents: DataFrame, out: str) -> DataFrame:
+        cb = F.broadcast(
+            cents.groupBy().agg(
+                F.collect_list(F.struct("cent_id", "cent_emb")).alias("cents")
+            )
+        )
+        scored = F.transform(
+            "cents",
+            lambda c: F.struct(
+                l2_distance(F.col("embedding"), c["cent_emb"]).alias("dist"),
+                c["cent_id"].alias("cent_id"),
+            ),
+        )
+        return (
+            side.crossJoin(cb)
+            .withColumn(out, F.array_min(scored)["cent_id"])
+            .drop("cents")
+        )
+
+    a0 = assign(emb.select("vec_id", "embedding"), cent0, "cell0").localCheckpoint(
+        eager=True
+    )
+    cm = (
+        a0.select("cell0", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("cell0", "dim")
+        .agg((F.floor(F.avg("val") * 1e6 + 0.5) / 1e6).alias("cv"))
+    )
+    cent1 = cm.groupBy("cell0").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+        ).alias("cent_emb")
+    ).select(F.col("cell0").alias("cent_id"), "cent_emb")
+    a1 = assign(a0, cent1, "cell1")
+    before = a1.groupBy(F.col("cell0").alias("cell")).agg(
+        bcount().alias("n_before"),
+        F.sum(F.when(F.col("cell0") == F.col("cell1"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stayed"),
+    )
+    after = a1.groupBy(F.col("cell1").alias("cell")).agg(bcount().alias("n_after"))
+    return (
+        before.join(after, "cell", "left")
+        .select(
+            "cell",
+            "n_before",
+            F.coalesce(F.col("n_after"), F.lit(0)).cast("bigint").alias("n_after"),
+            "n_stayed",
+            (
+                F.floor(
+                    (1.0 - F.col("n_stayed").cast("double") / F.col("n_before"))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("churn_frac"),
+        )
+        .orderBy("cell")
+    )
+
+
 _FILTERED_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding, label FROM embeddings

@@ -90,6 +90,7 @@ _PRIORITY = [
     "q_d7_estimator_scored",
     "q_d3_hnsw_multilayer",
     "q_c18_streaming_contamination",
+    "q_d3_ivf_reassign_churn",
     # the 12 never-driver-executed rows-only queries (VERDICT r7 item 1)
     "q_ext_hll_error_gauge",
     "q_ext_approx_quantile_gauge",
