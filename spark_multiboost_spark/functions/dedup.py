@@ -1399,3 +1399,141 @@ def dup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+DELTA_MOD = 10  # "today's ingest batch" = doc_id % DELTA_MOD == 0
+
+
+@query(
+    "q_d2_incremental_lsh",
+    oracle="WITH _x AS (SELECT 1)"
+    + _SHINGLE_SQL
+    + f"""
+, sig AS (
+  SELECT doc_id, shingles, {_SIG_SQL} AS sig FROM sh
+), buckets AS (
+  SELECT doc_id, shingles, b.band,
+         MD5(CONCAT(sig[2 * b.band + 1], sig[2 * b.band + 2])) AS band_hash
+  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+), delta AS (SELECT * FROM buckets WHERE doc_id % {DELTA_MOD} = 0
+), corpus AS (SELECT * FROM buckets WHERE doc_id % {DELTA_MOD} <> 0
+), cand AS (
+  SELECT DISTINCT d.doc_id AS delta_doc, c.doc_id AS corpus_doc,
+         d.shingles AS sa, c.shingles AS sb
+  FROM delta d JOIN corpus c
+    ON d.band = c.band AND d.band_hash = c.band_hash
+), verified AS (
+  SELECT delta_doc,
+         CAST(LEN(LIST_INTERSECT(sa, sb)) AS DOUBLE)
+           / (LEN(sa) + LEN(sb) - LEN(LIST_INTERSECT(sa, sb))) AS j
+  FROM cand
+), per AS (
+  SELECT delta_doc,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(SUM(CASE WHEN j >= {_JACCARD_THRESHOLD} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dups,
+         ROUND(MAX(j), 6) AS max_jaccard
+  FROM verified GROUP BY delta_doc
+)
+SELECT s.doc_id,
+       COALESCE(p.n_candidates, 0) AS n_candidates,
+       COALESCE(p.n_dups, 0) AS n_dups,
+       p.max_jaccard
+FROM (SELECT doc_id FROM sh WHERE doc_id % {DELTA_MOD} = 0) s
+LEFT JOIN per p ON p.delta_doc = s.doc_id
+ORDER BY s.doc_id
+""",
+    group="D",
+)
+def incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 (cont.): INCREMENTAL MinHash-LSH — dedup an ingest DELTA against
+    the existing corpus, the shape a 100 TB lake actually runs daily:
+    you never re-LSH the lake, you band-join today's batch (doc_id %
+    {DELTA_MOD} == 0 here) against the STORED band table and verify exact
+    Jaccard only on colliding pairs.  Per delta document the report is the
+    admission signal: candidate collisions, verified duplicates at the
+    {_JACCARD_THRESHOLD} threshold, and the worst (max) Jaccard — docs
+    with n_dups > 0 get rejected or soft-weighted (q_d5_dup_weights),
+    zero-candidate docs are admitted without touching a single shingle
+    payload.
+
+    Scale shape: the asymmetry is the point — the delta's band table is
+    ingest-sized (broadcast), the corpus band table is read
+    pre-partitioned by band_hash (here recomputed from the same fixture;
+    in production it is a stored, bucketed table maintained since the
+    last run), and the band join moves ONLY (doc_id, band, band_hash).
+    Shingle payloads join back for the surviving candidate ids alone.
+    Delta docs keep their zero-collision rows via the final left join —
+    output is always |shingled delta| rows, collisions or not."""
+    d = load_tables(spark, sf_dir)["documents"]
+    sh = _shingled(d).persist()
+    sig = sh.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+            lambda k: F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s: F.md5(F.concat(k.cast("string"), F.lit(":"), s)),
+                )
+            ),
+        ).alias("sig"),
+    )
+    buckets = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
+        F.col("sig"),
+    ).select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.concat(
+                F.element_at("sig", F.col("band") * 2 + 1),
+                F.element_at("sig", F.col("band") * 2 + 2),
+            )
+        ).alias("band_hash"),
+    )
+    delta_b = buckets.filter(F.col("doc_id") % DELTA_MOD == 0).select(
+        F.col("doc_id").alias("delta_doc"), "band", "band_hash"
+    )
+    corpus_b = buckets.filter(F.col("doc_id") % DELTA_MOD != 0).select(
+        F.col("doc_id").alias("corpus_doc"), "band", "band_hash"
+    )
+    # ingest-sized side broadcast; corpus bands stream through map-side
+    cand = (
+        corpus_b.join(F.broadcast(delta_b), ["band", "band_hash"])
+        .select("delta_doc", "corpus_doc")
+        .distinct()
+    )
+    cand = cand.join(
+        sh.select(F.col("doc_id").alias("delta_doc"), F.col("shingles").alias("sa")),
+        "delta_doc",
+    ).join(
+        sh.select(F.col("doc_id").alias("corpus_doc"), F.col("shingles").alias("sb")),
+        "corpus_doc",
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))
+    verified = cand.select("delta_doc", (inter / union).alias("j"))
+    per = verified.groupBy("delta_doc").agg(
+        bcount().alias("n_candidates"),
+        F.sum(F.when(F.col("j") >= _JACCARD_THRESHOLD, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dups"),
+        F.round(F.max("j"), 6).alias("max_jaccard"),
+    )
+    out = (
+        sh.filter(F.col("doc_id") % DELTA_MOD == 0)
+        .select("doc_id")
+        .join(per, F.col("doc_id") == F.col("delta_doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            F.coalesce(F.col("n_dups"), F.lit(0)).cast("bigint").alias("n_dups"),
+            "max_jaccard",
+        )
+        .orderBy("doc_id")
+    )
+    return release_with(out, sh)

@@ -91,6 +91,7 @@ _PRIORITY = [
     "q_d3_hnsw_multilayer",
     "q_c18_streaming_contamination",
     "q_d3_ivf_reassign_churn",
+    "q_d2_incremental_lsh",
     # the 12 never-driver-executed rows-only queries (VERDICT r7 item 1)
     "q_ext_hll_error_gauge",
     "q_ext_approx_quantile_gauge",

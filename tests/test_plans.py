@@ -545,3 +545,19 @@ def test_pruned_lm_single_holdout_pass(spark, sf_dir):
     # tokenize is persisted (InMemoryRelation), so the parquet scan of
     # documents appears at most once however many branches read it
     assert len(scans) <= 1, f"expected <=1 documents scan, got {len(scans)}"
+
+
+def test_round10_additions_plans(spark, sf_dir):
+    """Round-10 additions: the churn gauge's two assignment passes are
+    broadcast expressions (no cartesian, no corpus expansion join), and the
+    incremental-LSH candidate join must be a broadcast hash join on
+    (band, band_hash) with the DELTA side as the build side."""
+    import re
+
+    plan = _plan(spark, "q_d3_ivf_reassign_churn", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"(?<!Broadcast)NestedLoopJoin", plan)
+
+    plan = _plan(spark, "q_d2_incremental_lsh", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
