@@ -92,6 +92,12 @@ SHOWCASE = [
     "q_d4_zipf_slope",
     "q_d4_tokenizer_fertility",
     "q_d3_hnsw_descent",
+    # round-10 flagships: trained-model scoring twin, multi-layer HNSW,
+    # IVF maintenance churn, incremental dedup
+    "q_d7_estimator_scored",
+    "q_d3_hnsw_multilayer",
+    "q_d3_ivf_reassign_churn",
+    "q_d2_incremental_lsh",
 ]
 
 
