@@ -1537,3 +1537,166 @@ def incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     return release_with(out, sh)
+
+
+@query(
+    "q_d2_split_leakage",
+    oracle="WITH _x AS (SELECT 1)"
+    + _SHINGLE_SQL
+    + f"""
+, sig AS (
+  SELECT doc_id, shingles, {_SIG_SQL} AS sig FROM sh
+), buckets AS (
+  SELECT doc_id, shingles, b.band,
+         MD5(CONCAT(sig[2 * b.band + 1], sig[2 * b.band + 2])) AS band_hash
+  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b,
+         a.shingles AS sa, x.shingles AS sb
+  FROM buckets a JOIN buckets x
+    ON a.band = x.band AND a.band_hash = x.band_hash AND a.doc_id < x.doc_id
+), dup AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE CAST(LEN(LIST_INTERSECT(sa, sb)) AS DOUBLE)
+        / (LEN(sa) + LEN(sb) - LEN(LIST_INTERSECT(sa, sb)))
+        >= {_JACCARD_THRESHOLD}
+), sp AS (
+  SELECT doc_id, lang,
+         CASE WHEN (ASCII(SUBSTR(MD5(text), 1, 1)) * 256
+                    + ASCII(SUBSTR(MD5(text), 2, 1))) % 20 < 19
+              THEN 'train' ELSE 'valid' END AS split
+  FROM documents
+), straddle AS (
+  SELECT doc_a AS vdoc FROM dup
+  JOIN sp a ON a.doc_id = dup.doc_a JOIN sp b ON b.doc_id = dup.doc_b
+  WHERE a.split = 'valid' AND b.split = 'train'
+  UNION
+  SELECT doc_b AS vdoc FROM dup
+  JOIN sp a ON a.doc_id = dup.doc_a JOIN sp b ON b.doc_id = dup.doc_b
+  WHERE b.split = 'valid' AND a.split = 'train'
+)
+SELECT s.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       CAST(SUM(CASE WHEN st.vdoc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaked,
+       FLOOR(CAST(SUM(CASE WHEN st.vdoc IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS leak_frac
+FROM sp s LEFT JOIN straddle st ON st.vdoc = s.doc_id
+WHERE s.split = 'valid'
+GROUP BY s.lang ORDER BY s.lang
+""",
+    group="D",
+)
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 (cont.): NEAR-DUP LEAKAGE ACROSS THE TRAIN/VALID SPLIT — the
+    eval-hygiene number the content-keyed split (q_d4_train_split) cannot
+    protect by itself: identical texts hash to the same split, but a
+    NEAR-duplicate of a training document can still land in validation
+    and inflate eval.  Reuses the MinHash-LSH machinery verbatim (band
+    candidates, exact-Jaccard verify at {_JACCARD_THRESHOLD}) and reports
+    per language: validation docs, how many have a verified near-dup in
+    train, leak fraction.  Nonzero leak_frac means the split must be
+    dedup-aware (assign CLUSTERS to splits, not documents — the
+    q_d2_dup_clusters output is exactly the key you'd split by).
+
+    Scale shape: everything is the bucketed-LSH shape (ids through the
+    band join, payloads only for candidates) plus two split lookups (an
+    equi-join against the map-side split expression) and one per-lang
+    hash agg.  The valid side is ~5% of the corpus by construction, so
+    the straddle join is split-sized, not corpus-sized."""
+    d = load_tables(spark, sf_dir)["documents"]
+    sh = _shingled(d).persist()
+    sig = sh.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+            lambda k: F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s: F.md5(F.concat(k.cast("string"), F.lit(":"), s)),
+                )
+            ),
+        ).alias("sig"),
+    )
+    buckets = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
+        F.col("sig"),
+    ).select(
+        "doc_id",
+        "band",
+        F.md5(
+            F.concat(
+                F.element_at("sig", F.col("band") * 2 + 1),
+                F.element_at("sig", F.col("band") * 2 + 2),
+            )
+        ).alias("band_hash"),
+    )
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size("sa") + F.size("sb") - F.size(F.array_intersect("sa", "sb"))
+    dup = cand.filter(inter / union >= _JACCARD_THRESHOLD).select("doc_a", "doc_b")
+    h = F.md5(F.col("text"))
+    bucket20 = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 20
+    sp = d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket20 < 19, "train").otherwise("valid").alias("split"),
+    )
+    sa_side = dup.join(
+        sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
+        "doc_a",
+    ).join(
+        sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
+        "doc_b",
+    )
+    straddle = (
+        sa_side.filter((F.col("split_a") == "valid") & (F.col("split_b") == "train"))
+        .select(F.col("doc_a").alias("vdoc"))
+        .union(
+            sa_side.filter(
+                (F.col("split_b") == "valid") & (F.col("split_a") == "train")
+            ).select(F.col("doc_b").alias("vdoc"))
+        )
+        .distinct()
+    )
+    out = (
+        sp.filter(F.col("split") == "valid")
+        .join(straddle, sp["doc_id"] == straddle["vdoc"], "left")
+        .groupBy("lang")
+        .agg(
+            bcount().alias("n_valid"),
+            F.sum(F.when(F.col("vdoc").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_leaked"),
+            (
+                F.floor(
+                    F.sum(F.when(F.col("vdoc").isNotNull(), 1).otherwise(0))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("leak_frac"),
+        )
+        .orderBy("lang")
+    )
+    return release_with(out, sh)

@@ -92,6 +92,7 @@ _PRIORITY = [
     "q_c18_streaming_contamination",
     "q_d3_ivf_reassign_churn",
     "q_d2_incremental_lsh",
+    "q_d2_split_leakage",
     # the 12 never-driver-executed rows-only queries (VERDICT r7 item 1)
     "q_ext_hll_error_gauge",
     "q_ext_approx_quantile_gauge",
