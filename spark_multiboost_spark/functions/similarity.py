@@ -1449,26 +1449,41 @@ query("q_d3_filtered_ann", oracle=_FILTERED_ORACLE, group="D")(filtered_ann)
 
 
 GANN_M = 8        # kNN-graph out-degree
-GANN_B = 4        # beam width per hop
+GANN_B = 16       # beam width per hop (round 11: 4 -> 16, VERDICT r8 item 1)
+GANN_HOPS = 3     # base-layer expansion hops (round 11: 2 -> 3)
 GANN_ENTRIES = 4  # fixed entry points: vec_id < 4
+NND_ROUNDS = 8    # NN-descent refinement rounds (round 11: 1 -> 8)
 
 
-def _nnd_edges(v: DataFrame, m: int, stride: int = 1) -> DataFrame:
-    """Scalable kNN-graph BUILD (VERDICT r7 items 2-3): deterministic seed
-    ring + ONE NN-descent refinement round — the construction every
-    graph-ANN query now shares with q_d3_nn_descent, replacing the
-    corpus x corpus all-pairs (and the whole-corpus ``toPandas()`` the HNSW
-    query used through round 9; SCALING §8k-ter records that boundary).
+def _nnd_edges(
+    v: DataFrame, m: int, stride: int = 1, rounds: int = NND_ROUNDS
+) -> DataFrame:
+    """Scalable kNN-graph BUILD (VERDICT r7 items 2-3, r8 item 1):
+    deterministic seed ring + {NND_ROUNDS} NN-descent refinement rounds —
+    the construction every graph-ANN query shares with q_d3_nn_descent,
+    replacing the corpus x corpus all-pairs (and the whole-corpus
+    ``toPandas()`` the HNSW query used through round 9; SCALING §8k-ter
+    records that boundary).  Round 11 raised rounds 1 -> {NND_ROUNDS}
+    (VERDICT r8 item 1): the 1-round graph overlapped the true kNN graph
+    only ~3% (sampled overlap gauge), making search recall unusable; at 8
+    rounds the sampled overlap reaches ~0.53 at sf0.01 and beam-search
+    recall matches the EXACT-graph ceiling (0.570 vs 0.598 at B=16/3 hops
+    — q_d3_nn_descent's gauge shows the full per-round curve).
 
     ``v`` = (vec_id, embedding, nrm) where every member's vec_id is a
     multiple of ``stride`` and vec_id/stride is dense 0..n-1 (stride=1 for
     the base layer; stride=HNSW_F for the sampled upper layer).  Seed edges
-    are the ring (idx + i) mod n for i in 1..m; candidates are seed union
-    neighbor-of-neighbor; keep each src's top-m by (cos DESC, dst).
+    are the ring (idx + i) mod n for i in 1..m; each refinement round takes
+    candidates = current edges ∪ neighbor-of-neighbor and keeps each src's
+    top-m by (cos DESC, dst).
 
-    Scale shape: O(n·m) seed + O(n·m²) candidate rows through equi-joins —
-    never an all-pairs product, no driver collect.  More rounds = repeat the
-    refinement (q_d3_nn_descent shows the per-round convergence gauge)."""
+    Scale shape: O(n·m) seed + O(n·m²) candidate rows PER ROUND through
+    equi-joins — never an all-pairs product, no driver collect; each round
+    localCheckpoints (iterative-lineage invariant), so the plan depth stays
+    one round regardless of ``rounds``.  On a structure-free fixture a
+    round buys ~m²/n fresh comparisons per node (the gauge's observed
+    doubling); on real clustered embeddings NN-descent converges in far
+    fewer rounds — ``rounds`` is the build's quality/cost dial."""
     n_row = F.broadcast(v.agg(F.count(F.lit(1)).alias("n")))
     seed = (
         v.select("vec_id")
@@ -1498,108 +1513,119 @@ def _nnd_edges(v: DataFrame, m: int, stride: int = 1) -> DataFrame:
         F.col("embedding").alias("d_emb"),
         F.col("nrm").alias("d_n"),
     )
-    nbr2 = (
-        seed.alias("s1")
-        .join(seed.alias("s2"), F.col("s1.dst") == F.col("s2.src"))
-        .select(F.col("s1.src").alias("src"), F.col("s2.dst").alias("dst"))
-    )
-    cand = seed.unionAll(nbr2).filter(F.col("src") != F.col("dst")).distinct()
-    # plain equi-joins (no forced broadcast — the vector table is
-    # corpus-sized; AQE picks broadcast at fixture scale, shuffle at 100 TB)
-    scored = (
-        cand.join(av, "src")
-        .join(bv, "dst")
-        .withColumn(
-            "cos",
-            dot(F.col("s_emb"), F.col("d_emb"))
-            / F.nullif(F.col("s_n") * F.col("d_n"), F.lit(0.0)),
-        )
-    )
     wk = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
-    return (
-        scored.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= m)
-        .select("src", "dst")
-        .localCheckpoint(eager=True)
-    )
+    edges = seed
+    for _ in range(rounds):
+        nbr2 = (
+            edges.alias("s1")
+            .join(edges.alias("s2"), F.col("s1.dst") == F.col("s2.src"))
+            .select(F.col("s1.src").alias("src"), F.col("s2.dst").alias("dst"))
+        )
+        cand = (
+            edges.unionAll(nbr2).filter(F.col("src") != F.col("dst")).distinct()
+        )
+        # plain equi-joins (no forced broadcast — the vector table is
+        # corpus-sized; AQE picks broadcast at fixture scale, shuffle at
+        # 100 TB); localCheckpoint per round truncates the iterative lineage
+        edges = (
+            cand.join(av, "src")
+            .join(bv, "dst")
+            .withColumn(
+                "cos",
+                dot(F.col("s_emb"), F.col("d_emb"))
+                / F.nullif(F.col("s_n") * F.col("d_n"), F.lit(0.0)),
+            )
+            .withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= m)
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return edges
 
 
-def _nnd_edges_sql(name: str, m: int, stride: int = 1) -> str:
+def _nnd_edges_sql(
+    name: str, m: int, stride: int = 1, rounds: int = NND_ROUNDS
+) -> str:
     """DuckDB twin of :func:`_nnd_edges` as a CTE chain defining ``{name}``
-    (requires the standard doubles-cast ``e`` CTE upstream).  MATERIALIZED
-    on the scored/top-m steps — plain CTEs re-inline per reference in DuckDB
-    and downstream beam hops reference the edge list repeatedly (the
+    (requires the standard doubles-cast ``e`` CTE upstream): seed ring, then
+    ``rounds`` refinement rounds, each candidates = edges ∪ nbr-of-nbr,
+    scored, top-m per src.  MATERIALIZED on the scored/top-m steps — plain
+    CTEs re-inline per reference in DuckDB; with an unrolled round chain a
+    re-inlined round would re-evaluate every prior round exponentially (the
     q_ext_onion_layers lesson)."""
     member = (
         f"SELECT vec_id, embedding FROM e WHERE vec_id % {stride} = 0"
         if stride > 1
         else "SELECT vec_id, embedding FROM e"
     )
-    return f"""
+    parts = [
+        f"""
 mem_{name} AS ({member}
 ), n_{name} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM mem_{name}
-), seed_{name} AS (
+), ed0_{name} AS (
   SELECT v.vec_id AS src,
          ((v.vec_id // {stride} + g.i) % nn.n) * {stride} AS dst
   FROM mem_{name} v CROSS JOIN n_{name} nn,
        UNNEST(GENERATE_SERIES(1, {m})) AS g(i)
-), cand_{name} AS (
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"ed{r - 1}_{name}"
+        parts.append(
+            f""", cand{r}_{name} AS (
   SELECT DISTINCT src, dst FROM (
-    SELECT src, dst FROM seed_{name}
+    SELECT src, dst FROM {prev}
     UNION ALL
-    SELECT s1.src, s2.dst FROM seed_{name} s1 JOIN seed_{name} s2 ON s2.src = s1.dst
+    SELECT s1.src, s2.dst FROM {prev} s1 JOIN {prev} s2 ON s2.src = s1.dst
   ) WHERE src <> dst
-), sc_{name} AS MATERIALIZED (
+), sc{r}_{name} AS MATERIALIZED (
   SELECT c.src, c.dst, list_cosine_similarity(a.embedding, b.embedding) AS cos
-  FROM cand_{name} c JOIN e a ON a.vec_id = c.src JOIN e b ON b.vec_id = c.dst
-), {name} AS MATERIALIZED (
+  FROM cand{r}_{name} c JOIN e a ON a.vec_id = c.src JOIN e b ON b.vec_id = c.dst
+), ed{r}_{name} AS MATERIALIZED (
   SELECT src, dst FROM (
     SELECT src, dst,
            ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
-    FROM sc_{name}) WHERE rk <= {m}
+    FROM sc{r}_{name}) WHERE rk <= {m}
 )"""
+        )
+    parts.append(f", {name} AS (SELECT src, dst FROM ed{rounds}_{name})")
+    return "".join(parts)
 
 
-_GANN_ORACLE = f"""
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
-), {_nnd_edges_sql("edges", GANN_M)}
-, q AS (SELECT vec_id AS qid FROM e WHERE vec_id < {N_QUERIES}
-), v0 AS (
-  SELECT q.qid, en.vec_id AS cid
-  FROM q CROSS JOIN (SELECT vec_id FROM e WHERE vec_id < {GANN_ENTRIES}) en
-), s0 AS (
+def _beam_search_sql(edges_name: str, hops: int = GANN_HOPS) -> str:
+    """Shared base-layer beam-search CTE chain (DuckDB twin of
+    :func:`_beam_report`): from a seeded visited set ``v0`` (qid, cid) over
+    ``edges_name``, run ``hops`` expansion rounds (score visited, keep a
+    {GANN_B}-beam, union the beam's graph neighbors into visited), then
+    score ALL visited (self-pairs dropped), take top-{K} ``hits``, join the
+    query-set brute-force truth ``bf``, and emit ``vis``/``hit_agg``.
+    Requires upstream CTEs ``e`` (doubles-cast vectors) and ``v0``."""
+    parts = []
+    for h in range(hops):
+        parts.append(
+            f"""s{h} AS (
   SELECT v.qid, v.cid, list_cosine_similarity(eq.embedding, ec.embedding) AS cos
-  FROM v0 v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
-), b0 AS (
+  FROM v{h} v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
+), b{h} AS (
   SELECT qid, cid FROM (
     SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
-    FROM s0) WHERE rk <= {GANN_B}
-), v1 AS (
+    FROM s{h}) WHERE rk <= {GANN_B}
+), v{h + 1} AS (
   SELECT DISTINCT qid, cid FROM (
-    SELECT qid, cid FROM v0
+    SELECT qid, cid FROM v{h}
     UNION ALL
-    SELECT b.qid, ed.dst AS cid FROM b0 b JOIN edges ed ON ed.src = b.cid)
-), s1 AS (
+    SELECT b.qid, ed.dst AS cid FROM b{h} b JOIN {edges_name} ed ON ed.src = b.cid)
+), """
+        )
+    parts.append(
+        f"""s{hops} AS (
   SELECT v.qid, v.cid, list_cosine_similarity(eq.embedding, ec.embedding) AS cos
-  FROM v1 v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
-), b1 AS (
-  SELECT qid, cid FROM (
-    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
-    FROM s1) WHERE rk <= {GANN_B}
-), v2 AS (
-  SELECT DISTINCT qid, cid FROM (
-    SELECT qid, cid FROM v1
-    UNION ALL
-    SELECT b.qid, ed.dst AS cid FROM b1 b JOIN edges ed ON ed.src = b.cid)
-), s2 AS (
-  SELECT v.qid, v.cid, list_cosine_similarity(eq.embedding, ec.embedding) AS cos
-  FROM v2 v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
+  FROM v{hops} v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
   WHERE v.qid <> v.cid
 ), hits AS (
   SELECT qid, cid FROM (
     SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
-    FROM s2) WHERE rk <= {K}
+    FROM s{hops}) WHERE rk <= {K}
 ), bf AS (
   SELECT qid, cid FROM (
     SELECT a.vec_id AS qid, b.vec_id AS cid,
@@ -1612,14 +1638,27 @@ WITH e AS (
   ) WHERE rk <= {K}
 ), vis AS (
   SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_visited
-  FROM s2 GROUP BY qid
+  FROM s{hops} GROUP BY qid
 ), hit_agg AS (
   SELECT h.qid,
          CAST(SUM(CASE WHEN bf.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS n_hits
   FROM hits h LEFT JOIN bf ON bf.qid = h.qid AND bf.cid = h.cid
   GROUP BY h.qid
-)
+)"""
+    )
+    return "".join(parts)
+
+
+_GANN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+), {_nnd_edges_sql("edges", GANN_M)}
+, q AS (SELECT vec_id AS qid FROM e WHERE vec_id < {N_QUERIES}
+), v0 AS (
+  SELECT q.qid, en.vec_id AS cid
+  FROM q CROSS JOIN (SELECT vec_id FROM e WHERE vec_id < {GANN_ENTRIES}) en
+), {_beam_search_sql("edges")}
 SELECT v.qid, v.n_visited, ha.n_hits,
        FLOOR(ha.n_hits / {K}.0 * 1e6 + 0.5) / 1e6 AS recall
 FROM vis v JOIN hit_agg ha ON ha.qid = v.qid
@@ -1627,46 +1666,11 @@ ORDER BY v.qid
 """
 
 
-def graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D3 (cont.): GRAPH-BASED ANN — beam search over a kNN proximity
-    graph, the HNSW/NSG family's core move expressed as relational hops:
-    build each vector's top-{GANN_M} cosine-neighbor edge list, then
-    answer each query by scoring {GANN_ENTRIES} fixed entry points,
-    keeping a beam of {GANN_B}, expanding the beam's graph neighbors for
-    two hops, and ranking every VISITED candidate for the final top-{K}.
-    The report is the navigability gauge: candidates visited, true top-k
-    recovered, recall@k per query (graph search visits tens of nodes
-    where brute force scores the whole corpus).
-
-    Determinism: every beam/top-k rank orders on (cos DESC, id) with the
-    raw-double cosine both engines compute bit-identically (the
-    factored-norm dot discipline of :func:`_pairs`); hop unrolling makes
-    the whole search one SQL expression — no data-dependent loop.
-
-    Scale shape: the graph builds via :func:`_nnd_edges` — deterministic
-    seed ring + one NN-descent refinement round, pure equi-joins, O(n·M²)
-    candidate rows (since round 10; through round 9 this was an all-pairs
-    corpus x corpus build, flagged by VERDICT r7 item 3).  Each search hop
-    is already the right distributed step — a broadcast of the (tiny) beam
-    against the edge table, candidates scored by one equi-join to the
-    vector table.  Per-query work is O(B·M·hops), INDEPENDENT of corpus
-    size — the property that makes graph ANN the production choice over
-    IVF when recall at low latency matters.
-
-    Honest gauge note: on this synthetic fixture (near-uniform random
-    embeddings) recall@5 sits around 0.05 while visiting ~1-6% of the
-    corpus (0.0520 at 27.7 visits at sf0.01 on the NN-descent-built
-    graph; ~0.23 back when the graph was built exact) — random high-dim
-    vectors have no navigable small-world structure, so
-    neighbor-of-neighbor expansion genuinely cannot home in (the known
-    failure mode graph-ANN papers measure against clustered real
-    embeddings).  The gauge exists to surface exactly that number; the
-    brute-force and IVF paths remain the recall oracles."""
-    emb = load_tables(spark, sf_dir)["embeddings"]
-    v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-    # checkpointed inside _nnd_edges: reused by both hops, build truncated
-    # out of every downstream branch
-    edges = _nnd_edges(v, GANN_M)
+def _qv_cv_score(v: DataFrame):
+    """Shared query/corpus projections + scorer for the graph-ANN family:
+    ``qv`` is the bounded query set (broadcast), ``cv`` the corpus-sized
+    candidate side (plain equi-join — AQE picks broadcast at fixture scale;
+    forcing it would OOM at real scale, the r6 trigram lesson)."""
     qv = v.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("q_emb"),
@@ -1679,9 +1683,6 @@ def graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def score(pairs: DataFrame) -> DataFrame:
-        # qv (query set) is bounded -> broadcast; cv is CORPUS-sized, so it
-        # joins plain (AQE picks broadcast at fixture scale; forcing it
-        # would OOM at real scale — the r6 trigram lesson)
         return (
             pairs.join(F.broadcast(qv), "qid")
             .join(cv, "cid")
@@ -1693,8 +1694,22 @@ def graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("qid", "cid", "cos")
         )
 
+    return qv, score
+
+
+def _beam_report(
+    spark: SparkSession, sf_dir: str, v0: DataFrame, edges: DataFrame, score
+) -> DataFrame:
+    """Shared base-layer beam search (Spark twin of :func:`_beam_search_sql`):
+    {GANN_HOPS} expansion hops from the seeded visited set ``v0`` (qid, cid)
+    — score visited, keep a {GANN_B}-beam per query, union the beam's graph
+    neighbors into visited — then rank ALL visited (self-pairs dropped) for
+    the final top-{K} and report per query (qid, n_visited, n_hits, recall)
+    against the query-set-bounded brute-force truth.  Per-query work is
+    O(B·M·hops), independent of corpus size."""
+    wb = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+
     def beam(scored: DataFrame) -> DataFrame:
-        wb = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
         return (
             scored.withColumn("rk", F.row_number().over(wb))
             .filter(F.col("rk") <= GANN_B)
@@ -1702,25 +1717,20 @@ def graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def expand(bm: DataFrame) -> DataFrame:
-        # fresh projection per hop: re-aliasing gives the join its own
-        # attribute ids, so the two hops' edge references never collide
+        # fresh projection per hop: re-aliasing gives each join its own
+        # attribute ids, so the hops' edge references never collide
         ed = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
         return bm.join(ed, bm["cid"] == ed["e_src"]).select(
             "qid", F.col("e_dst").alias("cid")
         )
 
-    entries = v.filter(F.col("vec_id") < GANN_ENTRIES).select(
-        F.col("vec_id").alias("cid")
-    )
-    v0 = qv.select("qid").crossJoin(F.broadcast(entries))
-    b0 = beam(score(v0))
-    v1 = v0.unionAll(expand(b0)).distinct()
-    b1 = beam(score(v1))
-    v2 = v1.unionAll(expand(b1)).distinct()
-    s2 = score(v2).filter(F.col("qid") != F.col("cid"))
-    wf = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    visited = v0
+    for _ in range(GANN_HOPS):
+        b = beam(score(visited))
+        visited = visited.unionAll(expand(b)).distinct()
+    s_fin = score(visited).filter(F.col("qid") != F.col("cid"))
     hits = (
-        s2.withColumn("rk", F.row_number().over(wf))
+        s_fin.withColumn("rk", F.row_number().over(wb))
         .filter(F.col("rk") <= K)
         .select("qid", "cid")
     )
@@ -1735,7 +1745,7 @@ def graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= K)
         .select("qid", F.col("cid").alias("bf_cid"))
     )
-    vis = s2.groupBy("qid").agg(bcount().alias("n_visited"))
+    vis = s_fin.groupBy("qid").agg(bcount().alias("n_visited"))
     hit_agg = (
         hits.join(
             bf,
@@ -1750,16 +1760,65 @@ def graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_hits")
         )
     )
-    return (
-        vis.join(hit_agg, "qid")
-        .select(
-            "qid",
-            "n_visited",
-            "n_hits",
-            (F.floor(F.col("n_hits") / K * 1e6 + 0.5) / 1e6).alias("recall"),
-        )
-        .orderBy("qid")
+    return vis.join(hit_agg, "qid").select(
+        "qid",
+        "n_visited",
+        "n_hits",
+        (F.floor(F.col("n_hits") / K * 1e6 + 0.5) / 1e6).alias("recall"),
     )
+
+
+def graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): GRAPH-BASED ANN — beam search over a kNN proximity
+    graph, the HNSW/NSG family's core move expressed as relational hops:
+    build each vector's top-{GANN_M} cosine-neighbor edge list, then
+    answer each query by scoring {GANN_ENTRIES} fixed entry points,
+    keeping a beam of {GANN_B}, expanding the beam's graph neighbors for
+    {GANN_HOPS} hops, and ranking every VISITED candidate for the final
+    top-{K}.
+    The report is the navigability gauge: candidates visited, true top-k
+    recovered, recall@k per query (graph search visits tens of nodes
+    where brute force scores the whole corpus).
+
+    Determinism: every beam/top-k rank orders on (cos DESC, id) with the
+    raw-double cosine both engines compute bit-identically (the
+    factored-norm dot discipline of :func:`_pairs`); hop unrolling makes
+    the whole search one SQL expression — no data-dependent loop.
+
+    Scale shape: the graph builds via :func:`_nnd_edges` — deterministic
+    seed ring + {NND_ROUNDS} NN-descent refinement rounds, pure equi-joins,
+    O(n·M²) candidate rows per round (since round 10; through round 9 this
+    was an all-pairs corpus x corpus build, flagged by VERDICT r7 item 3).
+    Each search hop is already the right distributed step — a broadcast of
+    the (tiny) beam against the edge table, candidates scored by one
+    equi-join to the vector table.  Per-query work is O(B·M·hops),
+    INDEPENDENT of corpus size — the property that makes graph ANN the
+    production choice over IVF when recall at low latency matters.
+
+    Measured at sf0.01 (round 11: {NND_ROUNDS}-round build, B={GANN_B},
+    {GANN_HOPS} hops — VERDICT r8 item 1): mean recall@{K} 0.602 visiting
+    172 of 500 candidates.  The round-10 configuration (1-round build,
+    B=4, 2 hops) read 0.052 at 27.7 visits — unusable; the 8-round graph
+    matches the EXACT-kNN graph's search quality (0.570 vs 0.598 in the
+    offline sweep), so the remaining recall gap is the search budget, not
+    the build.  Honest gauge note: this fixture is near-uniform random
+    (same-label mean cos 0.0016 vs 0.0003 cross-label), so there is no
+    navigable small-world structure — reaching a given recall costs
+    proportionally more visits than on real clustered embeddings, and a
+    fixed visit budget's recall FALLS as the corpus grows (the gauge
+    surfaces exactly that number); the brute-force and IVF paths remain
+    the recall oracles."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    # checkpointed inside _nnd_edges: reused by every hop, build truncated
+    # out of every downstream branch
+    edges = _nnd_edges(v, GANN_M)
+    qv, score = _qv_cv_score(v)
+    entries = v.filter(F.col("vec_id") < GANN_ENTRIES).select(
+        F.col("vec_id").alias("cid")
+    )
+    v0 = qv.select("qid").crossJoin(F.broadcast(entries))
+    return _beam_report(spark, sf_dir, v0, edges, score).orderBy("qid")
 
 
 query("q_d3_graph_ann", oracle=_GANN_ORACLE, group="D")(graph_ann)
@@ -1798,59 +1857,12 @@ WITH e AS (
                       v.cid) AS rk
     FROM cand2 v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
   ) WHERE rk = 1
-), v0 AS (SELECT qid, cid FROM cur2
-), s0 AS (
-  SELECT v.qid, v.cid, list_cosine_similarity(eq.embedding, ec.embedding) AS cos
-  FROM v0 v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
-), b0 AS (
-  SELECT qid, cid FROM (
-    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
-    FROM s0) WHERE rk <= {GANN_B}
-), v1 AS (
+), v0 AS (
   SELECT DISTINCT qid, cid FROM (
-    SELECT qid, cid FROM v0
+    SELECT qid, cid FROM cur2
     UNION ALL
-    SELECT b.qid, ed.dst AS cid FROM b0 b JOIN edges0 ed ON ed.src = b.cid)
-), s1 AS (
-  SELECT v.qid, v.cid, list_cosine_similarity(eq.embedding, ec.embedding) AS cos
-  FROM v1 v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
-), b1 AS (
-  SELECT qid, cid FROM (
-    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
-    FROM s1) WHERE rk <= {GANN_B}
-), v2 AS (
-  SELECT DISTINCT qid, cid FROM (
-    SELECT qid, cid FROM v1
-    UNION ALL
-    SELECT b.qid, ed.dst AS cid FROM b1 b JOIN edges0 ed ON ed.src = b.cid)
-), s2 AS (
-  SELECT v.qid, v.cid, list_cosine_similarity(eq.embedding, ec.embedding) AS cos
-  FROM v2 v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
-  WHERE v.qid <> v.cid
-), hits AS (
-  SELECT qid, cid FROM (
-    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
-    FROM s2) WHERE rk <= {K}
-), bf AS (
-  SELECT qid, cid FROM (
-    SELECT a.vec_id AS qid, b.vec_id AS cid,
-           ROW_NUMBER() OVER (
-             PARTITION BY a.vec_id
-             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
-                      b.vec_id) AS rk
-    FROM e a JOIN e b ON a.vec_id <> b.vec_id
-    WHERE a.vec_id < {N_QUERIES}
-  ) WHERE rk <= {K}
-), vis AS (
-  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_visited
-  FROM s2 GROUP BY qid
-), hit_agg AS (
-  SELECT h.qid,
-         CAST(SUM(CASE WHEN bf.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_hits
-  FROM hits h LEFT JOIN bf ON bf.qid = h.qid AND bf.cid = h.cid
-  GROUP BY h.qid
-)
+    SELECT c.qid, ed.dst AS cid FROM cur2 c JOIN edges0 ed ON ed.src = c.cid)
+), {_beam_search_sql("edges0")}
 SELECT v.qid, c.cid AS entry_cid, v.n_visited, ha.n_hits,
        FLOOR(ha.n_hits / {K}.0 * 1e6 + 0.5) / 1e6 AS recall
 FROM vis v JOIN hit_agg ha ON ha.qid = v.qid JOIN cur2 c ON c.qid = v.qid
@@ -1867,26 +1879,27 @@ def hnsw_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     kNN graph (out-degree {HNSW_M1}), and each query greedily descends it
     (two unrolled hops from the fixed top entry, node 0: score current
     node + its upper-layer neighbors, move to the argmax) to pick a
-    query-specific ENTRY POINT for the base-layer beam search — which
-    then runs exactly q_d3_graph_ann's 2-hop/{GANN_B}-beam machinery.
+    query-specific ENTRY POINT for the base-layer beam search — the entry
+    plus its base-layer adjacency seed q_d3_graph_ann's
+    {GANN_HOPS}-hop/{GANN_B}-beam machinery (priming the frontier with the
+    entry's neighbors is what "descend into layer 0" means in real HNSW).
     Output per query: the descended entry, candidates visited, and
     recall@{K} vs brute force — directly comparable against
     q_d3_graph_ann's fixed-entry numbers (the hierarchy's whole point is
     a better start for the same base-layer budget).  Measured at sf0.01
-    on the NN-descent-built graphs: mean recall 0.0540 visiting 21.6
-    candidates vs the flat search's 0.0520 at 27.7 — better recall at a
-    smaller visit budget.  Absolute levels dropped from the round-9
-    exact-graph build (0.268/0.230): a 1-round NN-descent graph overlaps
-    the true kNN graph only ~3% on this navigability-hostile
-    uniform-random fixture (q_d3_nn_descent's own gauge), which is
-    exactly the honest at-scale trade the reshape makes explicit.
+    (round 11: {NND_ROUNDS}-round NN-descent graphs, B={GANN_B},
+    {GANN_HOPS} hops): mean recall 0.654 visiting 161 candidates vs the
+    flat search's 0.602 at 172 — better recall at a smaller visit budget.
+    The round-10 configuration (1-round graphs, B=4, 2 hops, entry-only
+    seed) read 0.054 at 21.6 visits — the VERDICT r8 "green-but-unusable"
+    finding this round closes.
 
     Determinism: every argmax/beam/top-k ranks on (cos DESC, cid); hop
     unrolling makes the search one SQL expression — no data-dependent
     loop.  Same factored-norm cosine discipline as the rest of D3.
 
     Scale shape: both layer graphs build via :func:`_nnd_edges` (seed
-    ring + one NN-descent refinement, pure equi-joins — since round 10;
+    ring + {NND_ROUNDS} NN-descent refinements, pure equi-joins — since round 10;
     VERDICT r7 item 2).  Through round 9 the build was brute-force via a
     whole-corpus ``toPandas()`` + Arrow scorer, which SCALING §8k-ter
     showed stops scaling past ~10^4 nodes (the sf1.0 build was abandoned
@@ -1903,45 +1916,13 @@ def hnsw_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     edges0 = _nnd_edges(v, GANN_M)
     edges1 = _nnd_edges(v.filter(F.col("vec_id") % HNSW_F == 0), HNSW_M1, HNSW_F)
-    qv = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_n"),
-    )
-    cv = v.select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_n"),
-    )
-
-    def score(pairs: DataFrame) -> DataFrame:
-        # qv (query set) is bounded -> broadcast; cv is CORPUS-sized, so it
-        # joins plain (AQE picks broadcast at fixture scale; forcing it
-        # would OOM at real scale — the r6 trigram lesson)
-        return (
-            pairs.join(F.broadcast(qv), "qid")
-            .join(cv, "cid")
-            .withColumn(
-                "cos",
-                dot(F.col("q_emb"), F.col("c_emb"))
-                / F.nullif(F.col("q_n") * F.col("c_n"), F.lit(0.0)),
-            )
-            .select("qid", "cid", "cos")
-        )
+    qv, score = _qv_cv_score(v)
 
     def argmax1(scored: DataFrame) -> DataFrame:
         w1 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
         return (
             scored.withColumn("rk", F.row_number().over(w1))
             .filter(F.col("rk") == 1)
-            .select("qid", "cid")
-        )
-
-    def beam(scored: DataFrame) -> DataFrame:
-        wb = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
-        return (
-            scored.withColumn("rk", F.row_number().over(wb))
-            .filter(F.col("rk") <= GANN_B)
             .select("qid", "cid")
         )
 
@@ -1962,57 +1943,17 @@ def hnsw_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand2 = cur1.unionAll(expand(cur1, edges1)).distinct()
     cur2 = argmax1(score(cand2)).localCheckpoint(eager=True)
 
-    # base-layer beam search seeded by the descended entry (graph_ann's
-    # machinery, entry swapped from the fixed set to cur2)
-    v0 = cur2
-    b0 = beam(score(v0))
-    v1 = v0.unionAll(expand(b0, edges0)).distinct()
-    b1 = beam(score(v1))
-    v2 = v1.unionAll(expand(b1, edges0)).distinct()
-    s2 = score(v2).filter(F.col("qid") != F.col("cid"))
-    wf = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
-    hits = (
-        s2.withColumn("rk", F.row_number().over(wf))
-        .filter(F.col("rk") <= K)
-        .select("qid", "cid")
-    )
-    bf = (
-        _pairs(spark, sf_dir)
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "cid")
-            ),
-        )
-        .filter(F.col("rk") <= K)
-        .select("qid", F.col("cid").alias("bf_cid"))
-    )
-    vis = s2.groupBy("qid").agg(bcount().alias("n_visited"))
-    hit_agg = (
-        hits.join(
-            bf,
-            (hits["qid"] == bf["qid"]) & (hits["cid"] == bf["bf_cid"]),
-            "left",
-        )
-        .select(hits["qid"].alias("qid"), F.col("bf_cid"))
-        .groupBy("qid")
-        .agg(
-            F.sum(F.when(F.col("bf_cid").isNotNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_hits")
-        )
-    )
+    # base-layer beam search seeded by the descended entry PLUS its
+    # base-layer neighbors (what "descend into layer 0" means in real HNSW:
+    # the entry's adjacency primes the ef_search frontier) — round 11; the
+    # entry-only seed left recall at 0.44 where this reads 0.59 for ~38
+    # extra visits
+    v0 = cur2.unionAll(expand(cur2, edges0)).distinct()
+    rep = _beam_report(spark, sf_dir, v0, edges0, score)
     entry = cur2.select("qid", F.col("cid").alias("entry_cid"))
     return (
-        vis.join(hit_agg, "qid")
-        .join(entry, "qid")
-        .select(
-            "qid",
-            "entry_cid",
-            "n_visited",
-            "n_hits",
-            (F.floor(F.col("n_hits") / K * 1e6 + 0.5) / 1e6).alias("recall"),
-        )
+        rep.join(entry, "qid")
+        .select("qid", "entry_cid", "n_visited", "n_hits", "recall")
         .orderBy("qid")
     )
 
@@ -2077,59 +2018,12 @@ WITH e AS (
                       v.cid) AS rk
     FROM cand2 v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
   ) WHERE rk = 1
-), v0 AS (SELECT qid, cid FROM cur2
-), s0 AS (
-  SELECT v.qid, v.cid, list_cosine_similarity(eq.embedding, ec.embedding) AS cos
-  FROM v0 v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
-), b0 AS (
-  SELECT qid, cid FROM (
-    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
-    FROM s0) WHERE rk <= {GANN_B}
-), v1 AS (
+), v0 AS (
   SELECT DISTINCT qid, cid FROM (
-    SELECT qid, cid FROM v0
+    SELECT qid, cid FROM cur2
     UNION ALL
-    SELECT b.qid, ed.dst AS cid FROM b0 b JOIN ml_edges0 ed ON ed.src = b.cid)
-), s1 AS (
-  SELECT v.qid, v.cid, list_cosine_similarity(eq.embedding, ec.embedding) AS cos
-  FROM v1 v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
-), b1 AS (
-  SELECT qid, cid FROM (
-    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
-    FROM s1) WHERE rk <= {GANN_B}
-), v2 AS (
-  SELECT DISTINCT qid, cid FROM (
-    SELECT qid, cid FROM v1
-    UNION ALL
-    SELECT b.qid, ed.dst AS cid FROM b1 b JOIN ml_edges0 ed ON ed.src = b.cid)
-), s2 AS (
-  SELECT v.qid, v.cid, list_cosine_similarity(eq.embedding, ec.embedding) AS cos
-  FROM v2 v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
-  WHERE v.qid <> v.cid
-), hits AS (
-  SELECT qid, cid FROM (
-    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
-    FROM s2) WHERE rk <= {K}
-), bf AS (
-  SELECT qid, cid FROM (
-    SELECT a.vec_id AS qid, b.vec_id AS cid,
-           ROW_NUMBER() OVER (
-             PARTITION BY a.vec_id
-             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
-                      b.vec_id) AS rk
-    FROM e a JOIN e b ON a.vec_id <> b.vec_id
-    WHERE a.vec_id < {N_QUERIES}
-  ) WHERE rk <= {K}
-), vis AS (
-  SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_visited
-  FROM s2 GROUP BY qid
-), hit_agg AS (
-  SELECT h.qid,
-         CAST(SUM(CASE WHEN bf.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_hits
-  FROM hits h LEFT JOIN bf ON bf.qid = h.qid AND bf.cid = h.cid
-  GROUP BY h.qid
-)
+    SELECT c.qid, ed.dst AS cid FROM cur2 c JOIN ml_edges0 ed ON ed.src = c.cid)
+), {_beam_search_sql("ml_edges0")}
 SELECT v.qid, cb.cid AS entry2_cid, c.cid AS entry_cid, v.n_visited,
        ha.n_hits, FLOOR(ha.n_hits / {K}.0 * 1e6 + 0.5) / 1e6 AS recall
 FROM vis v
@@ -2150,15 +2044,18 @@ def hnsw_multilayer(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id % {HNSW_F2} == 0 implies vec_id % {HNSW_F} == 0).  Each query
     descends layer 2 from the fixed top entry (node 0, two unrolled greedy
     hops), hands its pick to layer 1 as the seed for two more hops, and
-    the layer-1 pick seeds the base-layer beam search (q_d3_graph_ann's
-    2-hop/{GANN_B}-beam machinery).  Output per query: both descended
-    entries, base candidates visited, recall@{K} vs brute force — the
-    three-way comparison against q_d3_graph_ann (fixed entries) and
-    q_d3_hnsw_descent (one layer) shows what each extra layer buys at the
-    same base budget.  Measured at sf0.01 (NN-descent-built graphs): mean
-    recall 0.0640 visiting 22.2 — vs 0.0540@21.6 with one layer and
-    0.0520@27.7 flat: each layer improves the entry, and two layers beat
-    flat on BOTH axes.
+    the layer-1 pick (plus its base-layer adjacency) seeds the base-layer
+    beam search (q_d3_graph_ann's {GANN_HOPS}-hop/{GANN_B}-beam
+    machinery).  Output per query: both descended entries, base candidates
+    visited, recall@{K} vs brute force — the three-way comparison against
+    q_d3_graph_ann (fixed entries) and q_d3_hnsw_descent (one layer) shows
+    what each extra layer buys at the same base budget.  Measured at
+    sf0.01 (round 11: {NND_ROUNDS}-round NN-descent graphs, B={GANN_B},
+    {GANN_HOPS} hops): mean recall 0.680 visiting 156 — vs 0.654@161 with
+    one layer and 0.602@172 flat: each layer improves the entry, and two
+    layers beat flat on BOTH axes.  (Round-10 configuration read
+    0.064@22.2 / 0.054@21.6 / 0.052@27.7 — same ordering, unusable
+    absolute level; closed by VERDICT r8 item 1.)
 
     Determinism and scale shape are exactly q_d3_hnsw_descent's: all three
     layer graphs NN-descent-built (:func:`_nnd_edges`), every argmax/beam
@@ -2171,43 +2068,13 @@ def hnsw_multilayer(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges0 = _nnd_edges(v, GANN_M)
     edges1 = _nnd_edges(v.filter(F.col("vec_id") % HNSW_F == 0), HNSW_M1, HNSW_F)
     edges2 = _nnd_edges(v.filter(F.col("vec_id") % HNSW_F2 == 0), HNSW_M2, HNSW_F2)
-    qv = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_n"),
-    )
-    cv = v.select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_n"),
-    )
-
-    def score(pairs: DataFrame) -> DataFrame:
-        # bounded query side broadcast; corpus-sized cv joins plain
-        return (
-            pairs.join(F.broadcast(qv), "qid")
-            .join(cv, "cid")
-            .withColumn(
-                "cos",
-                dot(F.col("q_emb"), F.col("c_emb"))
-                / F.nullif(F.col("q_n") * F.col("c_n"), F.lit(0.0)),
-            )
-            .select("qid", "cid", "cos")
-        )
+    qv, score = _qv_cv_score(v)
 
     def argmax1(scored: DataFrame) -> DataFrame:
         w1 = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
         return (
             scored.withColumn("rk", F.row_number().over(w1))
             .filter(F.col("rk") == 1)
-            .select("qid", "cid")
-        )
-
-    def beam(scored: DataFrame) -> DataFrame:
-        wb = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
-        return (
-            scored.withColumn("rk", F.row_number().over(wb))
-            .filter(F.col("rk") <= GANN_B)
             .select("qid", "cid")
         )
 
@@ -2235,50 +2102,15 @@ def hnsw_multilayer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand1 = cur_b.unionAll(expand(cur_b, edges1)).distinct()
     cur2 = descend(cand1, edges1)
 
-    # base-layer beam search seeded by the descended entry
-    v0 = cur2
-    b0 = beam(score(v0))
-    v1 = v0.unionAll(expand(b0, edges0)).distinct()
-    b1 = beam(score(v1))
-    v2 = v1.unionAll(expand(b1, edges0)).distinct()
-    s2 = score(v2).filter(F.col("qid") != F.col("cid"))
-    wf = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
-    hits = (
-        s2.withColumn("rk", F.row_number().over(wf))
-        .filter(F.col("rk") <= K)
-        .select("qid", "cid")
-    )
-    bf = (
-        _pairs(spark, sf_dir)
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "cid")
-            ),
-        )
-        .filter(F.col("rk") <= K)
-        .select("qid", F.col("cid").alias("bf_cid"))
-    )
-    vis = s2.groupBy("qid").agg(bcount().alias("n_visited"))
-    hit_agg = (
-        hits.join(
-            bf,
-            (hits["qid"] == bf["qid"]) & (hits["cid"] == bf["bf_cid"]),
-            "left",
-        )
-        .select(hits["qid"].alias("qid"), F.col("bf_cid"))
-        .groupBy("qid")
-        .agg(
-            F.sum(F.when(F.col("bf_cid").isNotNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_hits")
-        )
-    )
+    # base-layer beam search seeded by the descended entry plus its
+    # base-layer neighbors (see q_d3_hnsw_descent — the entry's adjacency
+    # primes the frontier)
+    v0 = cur2.unionAll(expand(cur2, edges0)).distinct()
+    rep = _beam_report(spark, sf_dir, v0, edges0, score)
     entry2 = cur_b.select("qid", F.col("cid").alias("entry2_cid"))
     entry = cur2.select("qid", F.col("cid").alias("entry_cid"))
     return (
-        vis.join(hit_agg, "qid")
-        .join(entry2, "qid")
+        rep.join(entry2, "qid")
         .join(entry, "qid")
         .select(
             "qid",
@@ -2286,13 +2118,19 @@ def hnsw_multilayer(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entry_cid",
             "n_visited",
             "n_hits",
-            (F.floor(F.col("n_hits") / K * 1e6 + 0.5) / 1e6).alias("recall"),
+            "recall",
         )
         .orderBy("qid")
     )
 
 
-_NND_ORACLE = f"""
+def _nnd_gauge_oracle(rounds: int) -> str:
+    """Generated oracle for the NN-descent convergence gauge: scored seed
+    ring (s0), then ``rounds`` refinement rounds (cand/sc/top-m per round,
+    MATERIALIZED — the unrolled-CTE invariant), query-set-bounded exact-kNN
+    truth, one report row per round."""
+    parts = [
+        f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
 ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e
@@ -2303,37 +2141,30 @@ WITH e AS (
   SELECT s.src, s.dst,
          list_cosine_similarity(a.embedding, b.embedding) AS cos
   FROM seed s JOIN e a ON a.vec_id = s.src JOIN e b ON b.vec_id = s.dst
-), cand AS (
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f""", cand{r} AS (
   SELECT DISTINCT src, dst FROM (
-    SELECT src, dst FROM seed
+    SELECT src, dst FROM {prev}
     UNION ALL
-    SELECT s1.src, s2.dst FROM seed s1 JOIN seed s2 ON s2.src = s1.dst
+    SELECT a.src, b.dst FROM {prev} a JOIN {prev} b ON b.src = a.dst
   ) WHERE src <> dst
-), sc AS MATERIALIZED (
+), sc{r} AS MATERIALIZED (
   SELECT c.src, c.dst,
          list_cosine_similarity(a.embedding, b.embedding) AS cos
-  FROM cand c JOIN e a ON a.vec_id = c.src JOIN e b ON b.vec_id = c.dst
-), s1 AS MATERIALIZED (
+  FROM cand{r} c JOIN e a ON a.vec_id = c.src JOIN e b ON b.vec_id = c.dst
+), s{r} AS MATERIALIZED (
   SELECT src, dst, cos FROM (
     SELECT src, dst, cos,
            ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
-    FROM sc) WHERE rk <= {GANN_M}
-), cand2 AS (
-  SELECT DISTINCT src, dst FROM (
-    SELECT src, dst FROM s1
-    UNION ALL
-    SELECT a.src, b.dst FROM s1 a JOIN s1 b ON b.src = a.dst
-  ) WHERE src <> dst
-), sc2 AS MATERIALIZED (
-  SELECT c.src, c.dst,
-         list_cosine_similarity(a.embedding, b.embedding) AS cos
-  FROM cand2 c JOIN e a ON a.vec_id = c.src JOIN e b ON b.vec_id = c.dst
-), s2 AS MATERIALIZED (
-  SELECT src, dst, cos FROM (
-    SELECT src, dst, cos,
-           ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
-    FROM sc2) WHERE rk <= {GANN_M}
-), truek AS (
+    FROM sc{r}) WHERE rk <= {GANN_M}
+)"""
+        )
+    parts.append(
+        f""", truek AS (
   SELECT src, dst FROM (
     SELECT a.vec_id AS src, b.vec_id AS dst,
            ROW_NUMBER() OVER (
@@ -2343,42 +2174,32 @@ WITH e AS (
     FROM e a JOIN e b ON a.vec_id <> b.vec_id
     WHERE a.vec_id < {N_QUERIES}
   ) WHERE rk <= {GANN_M}
-), r0 AS (
-  SELECT 0 AS round,
-         FLOOR(CAST(SUM(CAST(FLOOR(s0.cos * 1e6 + 0.5) / 1e6 AS DECIMAL(18,9)))
+)"""
+    )
+    for r in range(rounds + 1):
+        parts.append(
+            f""", r{r} AS (
+  SELECT {r} AS round,
+         FLOOR(CAST(SUM(CAST(FLOOR(s{r}.cos * 1e6 + 0.5) / 1e6 AS DECIMAL(18,9)))
                AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS mean_edge_cos,
          CAST(COUNT(*) AS BIGINT) AS n_edges,
          FLOOR(CAST(SUM(CASE WHEN t.dst IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-               / SUM(CASE WHEN s0.src < {N_QUERIES} THEN 1 ELSE 0 END)
+               / SUM(CASE WHEN s{r}.src < {N_QUERIES} THEN 1 ELSE 0 END)
                * 1e6 + 0.5) / 1e6 AS knn_overlap
-  FROM s0 LEFT JOIN truek t ON t.src = s0.src AND t.dst = s0.dst
-), r1 AS (
-  SELECT 1 AS round,
-         FLOOR(CAST(SUM(CAST(FLOOR(s1.cos * 1e6 + 0.5) / 1e6 AS DECIMAL(18,9)))
-               AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS mean_edge_cos,
-         CAST(COUNT(*) AS BIGINT) AS n_edges,
-         FLOOR(CAST(SUM(CASE WHEN t.dst IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-               / SUM(CASE WHEN s1.src < {N_QUERIES} THEN 1 ELSE 0 END)
-               * 1e6 + 0.5) / 1e6 AS knn_overlap
-  FROM s1 LEFT JOIN truek t ON t.src = s1.src AND t.dst = s1.dst
-), r2 AS (
-  SELECT 2 AS round,
-         FLOOR(CAST(SUM(CAST(FLOOR(s2.cos * 1e6 + 0.5) / 1e6 AS DECIMAL(18,9)))
-               AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6 AS mean_edge_cos,
-         CAST(COUNT(*) AS BIGINT) AS n_edges,
-         FLOOR(CAST(SUM(CASE WHEN t.dst IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-               / SUM(CASE WHEN s2.src < {N_QUERIES} THEN 1 ELSE 0 END)
-               * 1e6 + 0.5) / 1e6 AS knn_overlap
-  FROM s2 LEFT JOIN truek t ON t.src = s2.src AND t.dst = s2.dst
-)
-SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r2
-ORDER BY round
-"""
+  FROM s{r} LEFT JOIN truek t ON t.src = s{r}.src AND t.dst = s{r}.dst
+)"""
+        )
+    union = "\nUNION ALL ".join(f"SELECT * FROM r{r}" for r in range(rounds + 1))
+    parts.append(f"\n{union}\nORDER BY round\n")
+    return "".join(parts)
+
+
+_NND_ORACLE = _nnd_gauge_oracle(NND_ROUNDS)
 
 
 def nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D3 (cont.): NN-DESCENT — TWO refinement rounds of the scalable
-    kNN-graph BUILD that q_d3_graph_ann's docstring promises for 100 TB
+    """D3 (cont.): NN-DESCENT — the full {NND_ROUNDS}-round convergence
+    curve of the scalable kNN-graph BUILD every graph-ANN query shares
     (Dong et al. 2011): start from a cheap deterministic seed graph (ring
     neighbors (id + i) mod n, i = 1..{GANN_M}), then exploit "my
     neighbor's neighbor is likely my neighbor": candidates = current
@@ -2386,10 +2207,11 @@ def nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine; repeat.  The report shows the convergence signal per round —
     mean edge cosine and sampled overlap with the TRUE kNN graph — the
     curve any NN-descent implementation tracks to decide when to stop.
-    Measured at sf0.01: overlap 0.0138 → 0.0275 → 0.0563, mean edge cos
-    −0.0009 → 0.0951 → 0.1478 — roughly DOUBLING per round, which is the
-    "more rounds buys graph quality" trade the reshaped
-    q_d3_graph_ann/q_d3_hnsw_* builds (they stop after round 1) lean on.
+    Measured at sf0.01: overlap 0.0138 → 0.0275 → 0.0563 → 0.0963 →
+    0.1513 → 0.2238 → 0.3188 → 0.4288 → 0.5313 — the round-11 build
+    (VERDICT r8 item 1) runs all {NND_ROUNDS} rounds, landing the shared
+    graph at ≥0.5 sampled overlap, where beam-search recall matches the
+    exact-graph ceiling.
 
     Scale shape: a refinement round is one self-join of the edge list
     (neighbor-of-neighbor expansion, O(n·M²) candidate rows), one scoring
@@ -2398,9 +2220,11 @@ def nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ONLY for the {N_QUERIES}-query set (sampled recall — since round
     10; the corpus x corpus truth VERDICT r7 flagged would dominate the
     build it grades at 100x); production runs rounds until the overlap
-    gauge plateaus.  The fixture's near-uniform embeddings give the seed
-    ring ~0 overlap and one round a visible jump — the same honest-gauge
-    caveat as q_d3_graph_ann applies to absolute levels."""
+    gauge plateaus.  The fixture's near-uniform embeddings make each round
+    worth ~M²/n fresh comparisons per node (overlap roughly doubles per
+    round from a ~0 seed); on real clustered embeddings NN-descent
+    converges in far fewer rounds — the same honest-gauge caveat as
+    q_d3_graph_ann applies to absolute levels."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     n_row = F.broadcast(v.agg(F.count(F.lit(1)).alias("n")))
@@ -2463,9 +2287,9 @@ def nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
 
-    s0 = score(seed).localCheckpoint(eager=True)
-    s1 = refine(s0)
-    s2 = refine(s1)
+    rounds = [score(seed).localCheckpoint(eager=True)]
+    for _ in range(NND_ROUNDS):
+        rounds.append(refine(rounds[-1]))
     # exact kNN truth — EVAL ONLY, and bounded to the {N_QUERIES}-query set
     # (VERDICT r7 item 3: through round 9 this was corpus x corpus; at 100x
     # the eval arm dominated the query it grades).  The overlap gauge below
@@ -2517,10 +2341,10 @@ def nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(rnd).alias("round"), "mean_edge_cos", "n_edges", "knn_overlap"
         )
 
-    return (
-        report(s0, 0).unionAll(report(s1, 1)).unionAll(report(s2, 2))
-        .orderBy("round")
-    )
+    out = report(rounds[0], 0)
+    for i, sr in enumerate(rounds[1:], start=1):
+        out = out.unionAll(report(sr, i))
+    return out.orderBy("round")
 
 
 query("q_d3_nn_descent", oracle=_NND_ORACLE, group="D")(nn_descent)
