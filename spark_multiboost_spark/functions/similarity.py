@@ -1826,12 +1826,18 @@ query("q_d3_graph_ann", oracle=_GANN_ORACLE, group="D")(graph_ann)
 
 HNSW_F = 8   # layer sampling: vec_id % F == 0 joins the upper layer
 HNSW_M1 = 4  # upper-layer kNN out-degree
+#: upper-layer build rounds (round 11): the upper layers only ROUTE the
+#: descent to an entry — their quality demand is entry-grade, not
+#: index-grade.  Offline sweep at sf0.01: 2-round upper graphs read the
+#: same end recall as 8-round ones (0.606/0.622 vs 0.590/0.626) while the
+#: 8-round upper builds were ~75% of the two HNSW queries' build cost.
+NND_UPPER_ROUNDS = 2
 
 _HNSW_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
 ), {_nnd_edges_sql("edges0", GANN_M)}
-, {_nnd_edges_sql("edges1", HNSW_M1, HNSW_F)}
+, {_nnd_edges_sql("edges1", HNSW_M1, HNSW_F, NND_UPPER_ROUNDS)}
 , q AS (SELECT vec_id AS qid FROM e WHERE vec_id < {N_QUERIES}
 ), cand1 AS (
   SELECT q.qid, c.cid FROM q CROSS JOIN (
@@ -1888,8 +1894,10 @@ def hnsw_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_d3_graph_ann's fixed-entry numbers (the hierarchy's whole point is
     a better start for the same base-layer budget).  Measured at sf0.01
     (round 11: {NND_ROUNDS}-round NN-descent graphs, B={GANN_B},
-    {GANN_HOPS} hops): mean recall 0.654 visiting 161 candidates vs the
-    flat search's 0.602 at 172 — better recall at a smaller visit budget.
+    {GANN_HOPS} hops): mean recall 0.656 visiting 160 candidates vs the
+    flat search's 0.602 at 172 — better recall at a smaller visit budget
+    (upper layer built with {NND_UPPER_ROUNDS} rounds — entry-grade, see
+    the constant's note).
     The round-10 configuration (1-round graphs, B=4, 2 hops, entry-only
     seed) read 0.054 at 21.6 visits — the VERDICT r8 "green-but-unusable"
     finding this round closes.
@@ -1915,7 +1923,9 @@ def hnsw_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     edges0 = _nnd_edges(v, GANN_M)
-    edges1 = _nnd_edges(v.filter(F.col("vec_id") % HNSW_F == 0), HNSW_M1, HNSW_F)
+    edges1 = _nnd_edges(
+        v.filter(F.col("vec_id") % HNSW_F == 0), HNSW_M1, HNSW_F, NND_UPPER_ROUNDS
+    )
     qv, score = _qv_cv_score(v)
 
     def argmax1(scored: DataFrame) -> DataFrame:
@@ -1965,8 +1975,8 @@ _HNSW_ML_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
 ), {_nnd_edges_sql("ml_edges0", GANN_M)}
-, {_nnd_edges_sql("ml_edges1", HNSW_M1, HNSW_F)}
-, {_nnd_edges_sql("ml_edges2", HNSW_M2, HNSW_F2)}
+, {_nnd_edges_sql("ml_edges1", HNSW_M1, HNSW_F, NND_UPPER_ROUNDS)}
+, {_nnd_edges_sql("ml_edges2", HNSW_M2, HNSW_F2, NND_UPPER_ROUNDS)}
 , q AS (SELECT vec_id AS qid FROM e WHERE vec_id < {N_QUERIES}
 ), candA AS (
   SELECT q.qid, c.cid FROM q CROSS JOIN (
@@ -2051,7 +2061,7 @@ def hnsw_multilayer(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_d3_graph_ann (fixed entries) and q_d3_hnsw_descent (one layer) shows
     what each extra layer buys at the same base budget.  Measured at
     sf0.01 (round 11: {NND_ROUNDS}-round NN-descent graphs, B={GANN_B},
-    {GANN_HOPS} hops): mean recall 0.680 visiting 156 — vs 0.654@161 with
+    {GANN_HOPS} hops): mean recall 0.678 visiting 158 — vs 0.656@160 with
     one layer and 0.602@172 flat: each layer improves the entry, and two
     layers beat flat on BOTH axes.  (Round-10 configuration read
     0.064@22.2 / 0.054@21.6 / 0.052@27.7 — same ordering, unusable
@@ -2066,8 +2076,12 @@ def hnsw_multilayer(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     edges0 = _nnd_edges(v, GANN_M)
-    edges1 = _nnd_edges(v.filter(F.col("vec_id") % HNSW_F == 0), HNSW_M1, HNSW_F)
-    edges2 = _nnd_edges(v.filter(F.col("vec_id") % HNSW_F2 == 0), HNSW_M2, HNSW_F2)
+    edges1 = _nnd_edges(
+        v.filter(F.col("vec_id") % HNSW_F == 0), HNSW_M1, HNSW_F, NND_UPPER_ROUNDS
+    )
+    edges2 = _nnd_edges(
+        v.filter(F.col("vec_id") % HNSW_F2 == 0), HNSW_M2, HNSW_F2, NND_UPPER_ROUNDS
+    )
     qv, score = _qv_cv_score(v)
 
     def argmax1(scored: DataFrame) -> DataFrame:
