@@ -65,6 +65,24 @@ def mlp_long(emb: DataFrame, num_classes: int = 10) -> DataFrame:
     )
 
 
+def mlp_long_multi(emb: DataFrame, num_classes: int = 10) -> DataFrame:
+    """True multi-label long form (BoosTexter label SETS — the reference's
+    core use case, VERDICT r8 item 3): ``labels`` is an ARRAY<INT> column;
+    y[i, l] = +1 iff l ∈ labels_i.  The single-label :func:`mlp_long` is
+    the |labels| = 1 special case."""
+    return emb.select(
+        F.col("vec_id").alias("id"),
+        F.explode(F.sequence(F.lit(0), F.lit(num_classes - 1))).alias("class"),
+        "labels",
+    ).select(
+        "id",
+        "class",
+        F.when(F.array_contains("labels", F.col("class")), 1)
+        .otherwise(-1)
+        .alias("y"),
+    )
+
+
 def init_weights(mlp: DataFrame, m: int, num_classes: int) -> DataFrame:
     """A2: uniform initial distribution D_1(i,l) = 1/(mK)."""
     return mlp.withColumn("weight", F.lit(1.0 / (m * num_classes)))
@@ -257,8 +275,18 @@ def stump_z(class_weights: DataFrame) -> DataFrame:
 
 
 def best_stump_row(zs: DataFrame) -> DataFrame:
-    """A6: global argmin of Z, deterministic tiebreak (z, feature, threshold)."""
-    return zs.orderBy("z", "feature", "threshold").limit(1)
+    """A6: global argmin of Z, deterministic tiebreak (z, feature,
+    threshold).  The ranking key quantizes z to 1e-9 (floor(z·1e9 + 0.5),
+    mirrored in every SQL oracle): EXACT z ties are possible — e.g. the
+    degenerate max-threshold cut (a constant hypothesis) has identical z on
+    every feature, and the multi-label fixture makes it the argmin — and a
+    raw-double rank would then hang the cross-engine choice on ~1e-16
+    summation-order bits.  Sub-1e-9 gaps collapse to the (feature,
+    threshold) tiebreak, which compares stored values bit-identically;
+    genuine gaps (measured 1e-5 on the single-label fixture) are
+    unaffected.  The REPORTED z stays raw."""
+    zq = F.floor(F.col("z") * 1e9 + 0.5)
+    return zs.orderBy(zq, "feature", "threshold").limit(1)
 
 
 def fit_stump(
@@ -350,6 +378,7 @@ def train(
     sample_fraction: float | None = None,
     feature_fraction: float | None = None,
     seed: int = 42,
+    label_set_col: str | None = None,
 ) -> list[Stump]:
     """A10 (reference: AdaBoostMHAlgorithm.run [R]): the boosting loop.
 
@@ -357,12 +386,21 @@ def train(
     DataFrames; localCheckpoint per round truncates both RDD lineage and the
     Catalyst plan (SURVEY §4.2 item 1 — the one genuinely non-free part of
     DataFrame-native boosting). A12: optional instance/feature subsampling
-    before each stump search.
+    before each stump search.  ``label_set_col`` names an ARRAY<INT>
+    multi-label column (BoosTexter label sets); None = single-label
+    ``label``.
     """
-    emb = emb.select("vec_id", "embedding", "label").persist()
+    if label_set_col is not None:
+        emb = emb.select(
+            "vec_id", "embedding", F.col(label_set_col).alias("labels")
+        ).persist()
+        mlp = mlp_long_multi(emb, num_classes)
+    else:
+        emb = emb.select("vec_id", "embedding", "label").persist()
+        mlp = mlp_long(emb, num_classes)
     m = emb.count()
     feats = explode_features(emb).persist()
-    weighted = init_weights(mlp_long(emb, num_classes), m, num_classes)
+    weighted = init_weights(mlp, m, num_classes)
     weighted = weighted.localCheckpoint(eager=True)
 
     stumps: list[Stump] = []

@@ -33,6 +33,13 @@ class _ABParams(Params):
     labelCol = Param(
         Params._dummy(), "labelCol", "integer label column", TypeConverters.toString
     )
+    labelSetCol = Param(
+        Params._dummy(),
+        "labelSetCol",
+        "ARRAY<INT> multi-label column (BoosTexter label sets); when set, "
+        "labelCol is ignored and y[i,l] = +1 iff l is in the row's set",
+        TypeConverters.toString,
+    )
     idCol = Param(Params._dummy(), "idCol", "row id column", TypeConverters.toString)
     seed = Param(Params._dummy(), "seed", "sampling seed", TypeConverters.toInt)
     sampleFraction = Param(
@@ -63,12 +70,20 @@ class AdaBoostMHClassifier(Estimator, _ABParams):
 
     def _fit(self, dataset: DataFrame) -> "AdaBoostMHModel":
         spark = dataset.sparkSession
+        multi = self.isSet(self.labelSetCol)
+        label_expr = (
+            F.col(self.getOrDefault(self.labelSetCol))
+            .cast("array<int>")
+            .alias("labels")
+            if multi
+            else F.col(self.getOrDefault(self.labelCol)).cast("int").alias("label")
+        )
         emb = dataset.select(
             F.col(self.getOrDefault(self.idCol)).alias("vec_id"),
             F.col(self.getOrDefault(self.featuresCol))
             .cast("array<double>")
             .alias("embedding"),
-            F.col(self.getOrDefault(self.labelCol)).cast("int").alias("label"),
+            label_expr,
         )
         frac = (
             self.getOrDefault(self.sampleFraction)
@@ -82,6 +97,7 @@ class AdaBoostMHClassifier(Estimator, _ABParams):
             num_classes=self.getOrDefault(self.numClasses),
             sample_fraction=frac,
             seed=self.getOrDefault(self.seed),
+            label_set_col="labels" if multi else None,
         )
         model = AdaBoostMHModel(
             stumps_df=boosting.stumps_to_df(spark, stumps),
