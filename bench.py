@@ -152,22 +152,47 @@ def main() -> None:
     import numpy as _np
 
     _a = _np.random.default_rng(0).random((1500, 1500))
-    _cal_np = []
-    for _ in range(3):
-        _t = time.perf_counter()
-        _a @ _a
-        _cal_np.append(time.perf_counter() - _t)
-    _cal_sp = []
     _rng = spark.range(0, 5_000_000, 1, 32)
-    for _ in range(3):
-        _t = time.perf_counter()
-        _rng.groupBy((_rng.id % 1024).alias("k")).count().write.format(
-            "noop"
-        ).mode("overwrite").save()
-        _cal_sp.append(time.perf_counter() - _t)
-    calibration = {
-        "numpy_matmul_1500_sec": round(statistics.median(_cal_np), 4),
-        "spark_shuffle_5m_sec": round(statistics.median(_cal_sp), 4),
+
+    def _calibrate() -> dict[str, float]:
+        _cal_np = []
+        for _ in range(3):
+            _t = time.perf_counter()
+            _a @ _a
+            _cal_np.append(time.perf_counter() - _t)
+        _cal_sp = []
+        for _ in range(3):
+            _t = time.perf_counter()
+            _rng.groupBy((_rng.id % 1024).alias("k")).count().write.format(
+                "noop"
+            ).mode("overwrite").save()
+            _cal_sp.append(time.perf_counter() - _t)
+        return {
+            "numpy_matmul_1500_sec": round(statistics.median(_cal_np), 4),
+            "spark_shuffle_5m_sec": round(statistics.median(_cal_sp), 4),
+        }
+
+    # Probe gate (VERDICT r8 item 6): refuse to time on a degraded host
+    # phase — the shared VM oscillates in multi-minute slow phases that
+    # inflated r8's committed ratios 1.24x on identical code.  Band =
+    # ~1.5x the r7/r8 probe-matched values (numpy ≈0.055 s, shuffle
+    # ≈0.36 s); out-of-band -> wait and re-probe, up to PROBE_ATTEMPTS.
+    # If the host never settles, proceed anyway but stamp the artifact
+    # host_degraded so no one compares its ratios across rounds.
+    PROBE_BAND = {"numpy_matmul_1500_sec": 0.0825, "spark_shuffle_5m_sec": 0.54}
+    PROBE_ATTEMPTS = 6
+    attempts = []
+    for _try in range(PROBE_ATTEMPTS):
+        calibration = _calibrate()
+        attempts.append(calibration)
+        if all(calibration[k] <= v for k, v in PROBE_BAND.items()):
+            break
+        if _try < PROBE_ATTEMPTS - 1:
+            time.sleep(60)
+    probe_gate = {
+        "band": PROBE_BAND,
+        "attempts": attempts,
+        "in_band": all(calibration[k] <= v for k, v in PROBE_BAND.items()),
     }
 
     def time_set(names: list[str]) -> dict[str, float]:
@@ -229,6 +254,8 @@ def main() -> None:
                 "queries": timings,
                 "extra_queries": extra,
                 "calibration": calibration,
+                "probe_gate": probe_gate,
+                "host_degraded": not probe_gate["in_band"],
                 "impl_tags": IMPL_TAGS,
                 # protocol-correct comparison anchor (see RESTATED_* note)
                 "r1_baseline_sec": R1_BASELINE_SEC,

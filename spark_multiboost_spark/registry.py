@@ -65,83 +65,80 @@ _QUERY_MODULES = [
 
 #: query-level window rotation.  The driver's correctness gate checks the
 #: FIRST 50 registry entries each round (50 in every CORRECTNESS_r0*.json),
-#: so these names are surfaced ahead of everything else.  Round-8 window
-#: (per VERDICT r7 item 1) = the FINAL never-driver-checked residue: 2
-#: sentinels (first-time hash-green in the r7 window, re-checked as
-#: regression canaries), the 12 remaining rows-only queries no driver round
-#: has ever executed, the 8 round-9 SQL additions (judge(r7) MATCH — the
-#: driver should own them), the 3 queries whose oracles were RESHAPED this
-#: round (graph-ANN family: corpus-squared eval arms bounded to the query
-#: set per VERDICT r7 items 2-3) plus the two round-10 additions (D7 scored
-#: twin, multi-layer HNSW), then regression re-checks of the oldest r1-era
-#: greens across every group.
-#: After this window every registered query has driver-side evidence.
+#: so these names are surfaced ahead of everything else.  Round-9 window =
+#: EXACTLY 50 names (ADVICE r8: the r8 list had 54 pre-boundary entries, so
+#: its last 4 intended re-checks were silently never driver-checked —
+#: tests/test_registry_window.py now pins the invariant):
+#:   1. the 7 queries whose bodies/oracles CHANGED this round (graph-ANN
+#:      family rebuilt at 8 NN-descent rounds + wider beam, VERDICT r8
+#:      item 1; quantized argmin rank; D7 twins) plus the new multi-label
+#:      D7 — a change regression must surface immediately;
+#:   2. the 5 re-checks the r8 overflow displaced (VERDICT r8 item 4);
+#:   3. regression re-checks of the STALEST driver evidence: 31 r1-era
+#:      B/ext greens (last checked in CORRECTNESS_r01) + 7 r3-era A-group
+#:      greens (the ML family the argmin change is nearest to).
 #: Names not listed keep registration order behind these; unknown names
 #: are ignored (module bring-up safety).
 _PRIORITY = [
-    # sentinels (canaries: first-time hash-green in the round-7 window)
-    "q_d3_mmr_rerank",
-    "q_d5_trigram_backoff_ppl",
-    # oracle-reshaped this round (VERDICT r7 items 2-3) + new D7 twin —
-    # front of window so a reshape regression surfaces immediately
-    "q_d3_hnsw_descent",
-    "q_d3_graph_ann",
+    # 1 — changed/new this round
+    "q_d7_estimator_multilabel",
     "q_d3_nn_descent",
-    "q_d7_estimator_scored",
+    "q_d3_graph_ann",
+    "q_d3_hnsw_descent",
     "q_d3_hnsw_multilayer",
-    "q_c18_streaming_contamination",
-    "q_d3_ivf_reassign_churn",
-    "q_d2_incremental_lsh",
-    "q_d2_split_leakage",
-    # the 12 never-driver-executed rows-only queries (VERDICT r7 item 1)
-    "q_ext_hll_error_gauge",
-    "q_ext_approx_quantile_gauge",
-    "q_d3_kmeans_train",
-    "q_d3_pq_trained_recall",
-    "q_d3_opq_rotated_recall",
-    "q_d4_heavy_hitters_ss",
-    "q_ext_assign_global_ids",
-    "q_b02_schema_evolution",
-    "q_b03_compaction",
-    "q_b03_dynamic_partition_overwrite",
-    "q_b01_zonemap_skip",
-    "q_c17_streaming_gopher_gate",
-    # round-9 SQL additions (judge(r7) MATCH; builder-verified at 3 SFs)
-    "q_d5_pruned_trigram_lm",
-    "q_d5_waterfill_fixpoint",
-    "q_d5_ppl_buckets",
-    "q_d4_zipf_slope",
-    "q_d5_mix_epochs",
-    "q_d6_resize_thumb",
-    "q_d4_tokenizer_fertility",
-    # regression re-checks: oldest r1-era greens, one per operator family
-    "q_b11_pricing_summary",
-    "q_b05_join_revenue_by_priority",
-    "q_b06_broadcast_join_brand_volume",
-    "q_b10_asof_join",
-    "q_b16_ranking",
-    "q_b18_frames",
-    "q_b20_topk_per_group",
-    "q_b22_intersect",
-    "q_b27_arrays",
-    "q_b29_json",
-    "q_b30_correlated_exists",
-    "q_b31_cte_nation_revenue",
-    "q_a5_stump_z",
-    "q_a9_score_model",
-    "q_a11_hamming_loss",
-    "q_d1_exact_dedup",
-    "q_d2_minhash_lsh",
-    "q_d3_topk_cosine",
-    "q_d3_ivf_ann",
-    "q_c1_tumbling_window",
+    "q_d7_estimator_scored",
+    "q_a6_best_stump",
+    # 2 — the five re-checks displaced past the r8 boundary
     "q_c3_session_window",
     "q_d4_token_tf",
     "q_d5_langid",
     "q_d6_binary_length",
-    # ---- window boundary (50) ----
     "q_comp_top_customers",
+    # 3a — stalest greens: r1-era B/ext, untouched by any window since
+    "q_b01_scan_projection",
+    "q_b04_filter_predicates",
+    "q_b07_full_outer_nation_supplier",
+    "q_b07_left_join_order_counts",
+    "q_b08_semi_join",
+    "q_b09_cross_join",
+    "q_b09_theta_join",
+    "q_b12_count_distinct",
+    "q_b12_distinct",
+    "q_b14_cube",
+    "q_b14_rollup",
+    "q_b15_having",
+    "q_b17_lag_lead",
+    "q_b19_topk_orders",
+    "q_b21_union_all",
+    "q_b21_union_distinct",
+    "q_b22_except_all",
+    "q_b22_intersect_all",
+    "q_b23_regexp",
+    "q_b23_strings",
+    "q_b24_datetime",
+    "q_b25_math",
+    "q_b26_conditional",
+    "q_b27_explode",
+    "q_b29_variant",
+    "q_b30_correlated_scalar",
+    "q_b30_in_subquery",
+    "q_b32_pivot",
+    "q_b33_unpivot",
+    "q_ext_dist_rank",
+    "q_ext_try_funcs",
+    # 3b — r3-era A-group greens (nearest neighbors of the argmin change)
+    "q_a1_scan_embeddings",
+    "q_a2_weight_init",
+    "q_a3_stump_candidates",
+    "q_a4_prefix_weights",
+    "q_a4_prefix_weights_salted",
+    "q_a7_stump_predict",
+    "q_a8_weight_update",
 ]
+
+#: the driver checks exactly this many entries per round; _PRIORITY must
+#: hold exactly this many names (tests/test_registry_window.py).
+WINDOW_SIZE = 50
 
 
 def query(name: str, oracle: str | None = None, group: str = "B", doc: str = ""):

@@ -26,10 +26,11 @@ def _hash(df) -> str:
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
         if pdf[c].dtype.kind == "f":
-            # x + 0.0 normalizes -0.0 -> 0.0 (else '-0.000000' vs '0.000000'
-            # false-flags sign-of-zero jitter); comparison granularity is 6dp
-            # by construction — sub-1e-6 instability is invisible here.
-            pdf[c] = pdf[c].map(lambda x: f"{x + 0.0:.6f}")
+            # round-then-add-0.0 collapses the whole (-5e-7, 5e-7) band to
+            # '0.000000' on both sides (ADVICE r8: bare `x + 0.0` only fixed
+            # exact -0.0 — a -1e-7 vs +1e-7 jitter pair still straddled the
+            # sign); comparison granularity is 6dp by construction.
+            pdf[c] = pdf[c].map(lambda x: f"{round(x, 6) + 0.0:.6f}")
         else:
             pdf[c] = pdf[c].astype(str)
     return hashlib.md5(
