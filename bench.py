@@ -98,6 +98,8 @@ SHOWCASE = [
     "q_d3_hnsw_multilayer",
     "q_d3_ivf_reassign_churn",
     "q_d2_incremental_lsh",
+    # round-11 flagship: true multi-label training, replay-oracle-checked
+    "q_d7_estimator_multilabel",
 ]
 
 
