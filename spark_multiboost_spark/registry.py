@@ -69,12 +69,13 @@ _QUERY_MODULES = [
 #: EXACTLY 50 names (ADVICE r8: the r8 list had 54 pre-boundary entries, so
 #: its last 4 intended re-checks were silently never driver-checked —
 #: tests/test_registry_window.py now pins the invariant):
-#:   1. the 7 queries whose bodies/oracles CHANGED this round (graph-ANN
+#:   1. the queries whose bodies/oracles CHANGED this round (graph-ANN
 #:      family rebuilt at 8 NN-descent rounds + wider beam, VERDICT r8
-#:      item 1; quantized argmin rank; D7 twins) plus the new multi-label
-#:      D7 — a change regression must surface immediately;
+#:      item 1; quantized argmin rank; D7 twins) plus the round-11
+#:      additions (multi-label D7, beam-width sweep) — a change regression
+#:      must surface immediately;
 #:   2. the 5 re-checks the r8 overflow displaced (VERDICT r8 item 4);
-#:   3. regression re-checks of the STALEST driver evidence: 31 r1-era
+#:   3. regression re-checks of the STALEST driver evidence: 30 r1-era
 #:      B/ext greens (last checked in CORRECTNESS_r01) + 7 r3-era A-group
 #:      greens (the ML family the argmin change is nearest to).
 #: Names not listed keep registration order behind these; unknown names
@@ -88,6 +89,7 @@ _PRIORITY = [
     "q_d3_hnsw_multilayer",
     "q_d7_estimator_scored",
     "q_a6_best_stump",
+    "q_d3_beam_width_sweep",
     # 2 — the five re-checks displaced past the r8 boundary
     "q_c3_session_window",
     "q_d4_token_tf",
@@ -110,7 +112,6 @@ _PRIORITY = [
     "q_b17_lag_lead",
     "q_b19_topk_orders",
     "q_b21_union_all",
-    "q_b21_union_distinct",
     "q_b22_except_all",
     "q_b22_intersect_all",
     "q_b23_regexp",
