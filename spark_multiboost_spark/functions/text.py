@@ -1523,6 +1523,20 @@ _COIN_SQL = (
 )
 
 
+def priority_col():
+    """The deterministic Duffield-Lund-Thorup priority expression shared by
+    the batch query and its streaming twin (q_c19): w·2^24 / (coin + 1)
+    with coin = first 6 hex digits of md5(seed|doc_id) — exact-integer IEEE
+    division, bit-identical across engines and execution modes."""
+    coin = None
+    for i in range(6):
+        digit = F.expr(
+            f"instr('{_HEX}', substring(md5('{PRIORITY_SEED}|' || cast(doc_id as string)), {i + 1}, 1)) - 1"
+        ) * (16 ** (5 - i))
+        coin = digit if coin is None else coin + digit
+    return F.col("n_chars").cast("double") * F.lit(16777216.0) / (coin + 1)
+
+
 @query(
     "q_d5_priority_sample",
     oracle=f"""
@@ -1563,13 +1577,7 @@ def priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps its local top-5 per group before the shuffle), so the full
     corpus never sorts."""
     d = load_tables(spark, sf_dir)["documents"]
-    coin = None
-    for i in range(6):
-        digit = F.expr(
-            f"instr('{_HEX}', substring(md5('{PRIORITY_SEED}|' || cast(doc_id as string)), {i + 1}, 1)) - 1"
-        ) * (16 ** (5 - i))
-        coin = digit if coin is None else coin + digit
-    pri = F.col("n_chars").cast("double") * F.lit(16777216.0) / (coin + 1)
+    pri = priority_col()
     w = Window.partitionBy("source").orderBy(F.col("priority").desc(), "doc_id")
     return (
         d.select("doc_id", "source", pri.alias("priority"))

@@ -10,6 +10,7 @@ equivalents.
 
 from __future__ import annotations
 
+import math
 import os
 import tempfile
 import uuid
@@ -883,3 +884,83 @@ def streaming_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt(~F.col("ok_stops")).alias("n_fail_stops"),
     )
     return _run_to_memory(agg, mode="complete").orderBy("source")
+
+
+@query("q_c19_streaming_priority_sample", oracle=None, group="C")
+def streaming_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19: PRIORITY SAMPLING AT INGEST — the streaming twin of
+    q_d5_priority_sample: each arriving document computes the SAME
+    deterministic Duffield-Lund-Thorup priority (text.priority_col — an
+    exact-integer IEEE division on an md5 coin, execution-mode agnostic)
+    and a per-source applyInPandasWithState keeps the running TOP-5 as
+    BOUNDED state (two 5-element arrays per source) — the streaming-top-k
+    state pattern neither the complete-mode aggs (c14/c17/c18) nor the
+    running-totals state (c6) exercise: state size is O(k), independent of
+    stream length, which is what makes a weighted sample maintainable over
+    an unbounded ingest feed.
+
+    Each micro-batch emits the source's current top-5 plus the monotone
+    n_seen counter, so the FINAL sample per source = rows at max(n_seen);
+    tests/test_streaming.py asserts that final state equals the batch
+    query's output EXACTLY — the sample must not depend on micro-batch
+    boundaries (priority sampling is order-independent by construction:
+    the top-5 of a union is the top-5 of the per-part top-5s).
+
+    Rows-only by contract (true streaming).  At 100 TB: the priority is a
+    map-side scan expression, state is k rows per source, and the shuffle
+    is one hash partition per source key — ingest-parallel everywhere but
+    the per-source reducer, which holds 5 rows."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..functions.text import priority_col
+
+    path = _replay_docs_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(_DOCS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    scored = stream.select(
+        "doc_id", "source", priority_col().alias("priority")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        ids: list[int] = []
+        pris: list[float] = []
+        n_seen = 0
+        if state.exists:
+            ids, pris, n_seen = state.get
+            ids, pris = list(ids), list(pris)
+        for pdf in pdfs:
+            n_seen += len(pdf)
+            ids.extend(int(x) for x in pdf["doc_id"])
+            pris.extend(float(x) for x in pdf["priority"])
+        # keep the top-5 by (priority DESC, doc_id ASC) — the batch
+        # query's exact ordering
+        top = sorted(zip(ids, pris), key=lambda t: (-t[1], t[0]))[:5]
+        ids = [t[0] for t in top]
+        pris = [t[1] for t in top]
+        state.update((ids, pris, n_seen))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]] * len(top),
+                "doc_id": ids,
+                "rk": [i + 1 for i in range(len(top))],
+                "priority": [
+                    math.floor(p * 1e6 + 0.5) / 1e6 for p in pris
+                ],
+                "n_seen": [n_seen] * len(top),
+            }
+        )
+
+    out = scored.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "source STRING, doc_id BIGINT, rk BIGINT, priority DOUBLE, "
+            "n_seen BIGINT"
+        ),
+        stateStructType="ids ARRAY<BIGINT>, pris ARRAY<DOUBLE>, n_seen BIGINT",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, mode="update").orderBy("source", "n_seen", "rk")

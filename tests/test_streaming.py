@@ -354,6 +354,34 @@ def test_c6_rocksdb_state_store_equivalence(spark, sf_dir):
         ]
 
 
+def test_c19_streaming_priority_sample_equals_batch(spark, sf_dir):
+    """The streaming priority sample's FINAL per-source top-5 (rows at the
+    max n_seen per source) must equal the batch q_d5_priority_sample
+    exactly — priority sampling is order-independent, so micro-batch
+    boundaries must not change the sample."""
+    out = (
+        all_queries()["q_c19_streaming_priority_sample"]
+        .fn(spark, sf_dir)
+        .toPandas()
+    )
+    final = out[
+        out["n_seen"] == out.groupby("source")["n_seen"].transform("max")
+    ].sort_values(["source", "rk"]).reset_index(drop=True)
+    batch = (
+        all_queries()["q_d5_priority_sample"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["source", "rk"])
+        .reset_index(drop=True)
+    )
+    assert list(final["source"]) == list(batch["source"])
+    assert list(final["doc_id"]) == list(batch["doc_id"])
+    assert list(final["rk"]) == list(batch["rk"])
+    assert [float(x) for x in final["priority"]] == [
+        float(x) for x in batch["priority"]
+    ]
+
+
 def test_c14_streaming_topk_equals_batch(spark, sf_dir):
     import pyspark.sql.functions as F
 
