@@ -19,6 +19,8 @@ queries x corpus pairs.
 
 from __future__ import annotations
 
+import os
+import tempfile
 from typing import Iterator
 
 import numpy as np
@@ -1865,6 +1867,41 @@ def graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 query("q_d3_graph_ann", oracle=_GANN_ORACLE, group="D")(graph_ann)
+
+
+
+@query("q_d3_graph_index_persist", oracle=_GANN_ORACLE, group="D")
+def graph_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): the ANN INDEX IS A TABLE — A13 (model persistence) for
+    the vector index: build the kNN graph (via the session cache), WRITE it
+    to parquet, read it BACK, and run q_d3_graph_ann's exact search over
+    the RELOADED edge list.  The oracle is graph_ann's own (persist+reload
+    is an identity on the edge table), so a serialization defect — schema
+    drift, row loss, double round-trip corruption — shows up as a hash
+    mismatch against the from-scratch construction.  This is the deploy
+    shape at 100 TB: the index builds once (expensive), lands in the lake
+    as partitioned parquet, and every search fleet reads it cold — the
+    same model-as-table discipline as the boosting stump table
+    (q_d7_estimator_scored), applied to the retrieval index.
+
+    Scale shape: the edge table is n·M rows of (BIGINT, BIGINT) — columnar
+    parquet, splittable, broadcastable per search hop exactly like the
+    in-memory build; nothing in the search path knows the index was
+    reloaded."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    edges = _nnd_graph(spark, sf_dir, v, GANN_M)
+    path = os.path.join(
+        tempfile.gettempdir(), f"smb_gidx_{os.getpid()}", "edges"
+    )
+    edges.write.mode("overwrite").parquet(path)
+    reloaded = spark.read.parquet(path)
+    qv, score = _qv_cv_score(v)
+    entries = v.filter(F.col("vec_id") < GANN_ENTRIES).select(
+        F.col("vec_id").alias("cid")
+    )
+    v0 = qv.select("qid").crossJoin(F.broadcast(entries))
+    return _beam_report(spark, sf_dir, v0, reloaded, score).orderBy("qid")
 
 
 BW_LEVELS = [4, 8, 16]  # beam widths swept (efSearch analogue)
