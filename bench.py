@@ -98,10 +98,11 @@ SHOWCASE = [
     "q_d3_hnsw_multilayer",
     "q_d3_ivf_reassign_churn",
     "q_d2_incremental_lsh",
-    # round-11 flagships: true multi-label training (replay-oracle-checked)
-    # + the graph-ANN beam-width tuning curve
+    # round-11 flagships: true multi-label training (replay-oracle-checked),
+    # the graph-ANN beam-width tuning curve, incremental index maintenance
     "q_d7_estimator_multilabel",
     "q_d3_beam_width_sweep",
+    "q_d3_graph_insert",
 ]
 
 

@@ -1546,7 +1546,11 @@ def _nnd_edges(
 
 
 def _nnd_edges_sql(
-    name: str, m: int, stride: int = 1, rounds: int = NND_ROUNDS
+    name: str,
+    m: int,
+    stride: int = 1,
+    rounds: int = NND_ROUNDS,
+    member: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`_nnd_edges` as a CTE chain defining ``{name}``
     (requires the standard doubles-cast ``e`` CTE upstream): seed ring, then
@@ -1555,11 +1559,12 @@ def _nnd_edges_sql(
     CTEs re-inline per reference in DuckDB; with an unrolled round chain a
     re-inlined round would re-evaluate every prior round exponentially (the
     q_ext_onion_layers lesson)."""
-    member = (
-        f"SELECT vec_id, embedding FROM e WHERE vec_id % {stride} = 0"
-        if stride > 1
-        else "SELECT vec_id, embedding FROM e"
-    )
+    if member is None:
+        member = (
+            f"SELECT vec_id, embedding FROM e WHERE vec_id % {stride} = 0"
+            if stride > 1
+            else "SELECT vec_id, embedding FROM e"
+        )
     parts = [
         f"""
 mem_{name} AS ({member}
@@ -1691,11 +1696,14 @@ def _nnd_graph(
     m: int,
     stride: int = 1,
     rounds: int = NND_ROUNDS,
+    tag: str = "",
 ) -> DataFrame:
     """Cached :func:`_nnd_edges`: return the session's built graph for this
-    (corpus, params) if one exists, else build and remember it."""
+    (corpus, params) if one exists, else build and remember it.  ``tag``
+    distinguishes builds over different corpus SUBSETS of the same sf_dir
+    (e.g. the insert query's base split) — same params, different rows."""
     sc = spark.sparkContext
-    key = (sf_dir, m, stride, rounds)
+    key = (sf_dir, m, stride, rounds, tag)
     hit = _NND_CACHE.get(key)
     if hit is not None and hit[0] is sc:
         return hit[1]
@@ -1902,6 +1910,204 @@ def graph_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v0 = qv.select("qid").crossJoin(F.broadcast(entries))
     return _beam_report(spark, sf_dir, v0, reloaded, score).orderBy("qid")
+
+
+def _graph_insert_oracle() -> str:
+    """Generated oracle for incremental graph insert: base graph over the
+    first-90% split, delta nodes searched against it (unrolled beam hops),
+    connect each delta node to its top-M visited, and let affected base
+    nodes re-rank their adjacency against the reverse edges."""
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+), nc AS (SELECT (COUNT(*) * 9) // 10 AS cut FROM e
+), eb AS (SELECT vec_id, embedding FROM e, nc WHERE vec_id < cut
+), {_nnd_edges_sql("gi_edges", GANN_M, member="SELECT vec_id, embedding FROM eb")}
+, gd AS (SELECT vec_id AS qid FROM e, nc WHERE vec_id >= cut
+), gi_v0 AS (
+  SELECT d.qid, en.vec_id AS cid
+  FROM gd d CROSS JOIN (SELECT vec_id FROM eb WHERE vec_id < {GANN_ENTRIES}) en
+)"""
+    ]
+    for h in range(GANN_HOPS):
+        parts.append(
+            f""", gi_s{h} AS (
+  SELECT v.qid, v.cid, list_cosine_similarity(eq.embedding, ec.embedding) AS cos
+  FROM gi_v{h} v JOIN e eq ON eq.vec_id = v.qid JOIN eb ec ON ec.vec_id = v.cid
+), gi_b{h} AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+    FROM gi_s{h}) WHERE rk <= {GANN_B}
+), gi_v{h + 1} AS (
+  SELECT DISTINCT qid, cid FROM (
+    SELECT qid, cid FROM gi_v{h}
+    UNION ALL
+    SELECT b.qid, ed.dst AS cid FROM gi_b{h} b JOIN gi_edges ed ON ed.src = b.cid)
+)"""
+        )
+    parts.append(
+        f""", gi_fin AS (
+  SELECT v.qid, v.cid, list_cosine_similarity(eq.embedding, ec.embedding) AS cos
+  FROM gi_v{GANN_HOPS} v
+  JOIN e eq ON eq.vec_id = v.qid JOIN eb ec ON ec.vec_id = v.cid
+), newe AS MATERIALIZED (
+  SELECT qid, cid, cos, rk FROM (
+    SELECT qid, cid, cos,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+    FROM gi_fin) WHERE rk <= {GANN_M}
+), rev AS (SELECT cid AS src, qid AS dst, cos FROM newe
+), aff AS (SELECT DISTINCT src FROM rev
+), exsc AS (
+  SELECT ed.src, ed.dst, list_cosine_similarity(a.embedding, b.embedding) AS cos
+  FROM gi_edges ed JOIN aff USING (src)
+  JOIN e a ON a.vec_id = ed.src JOIN e b ON b.vec_id = ed.dst
+), upd AS MATERIALIZED (
+  SELECT src, dst, cos,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+  FROM (SELECT src, dst, cos FROM exsc UNION ALL SELECT src, dst, cos FROM rev)
+), kept AS (SELECT * FROM upd WHERE rk <= {GANN_M}
+), adopters AS (SELECT DISTINCT src FROM kept, nc WHERE dst >= cut)
+SELECT 'ins' AS kind, qid AS src, CAST(rk AS BIGINT) AS rk, cid AS dst,
+       FLOOR(cos * 1e6 + 0.5) / 1e6 AS cos
+FROM newe
+UNION ALL
+SELECT 'upd', k.src, CAST(k.rk AS BIGINT), k.dst, FLOOR(k.cos * 1e6 + 0.5) / 1e6
+FROM kept k JOIN adopters a ON a.src = k.src
+ORDER BY kind, src, rk
+"""
+    )
+    return "".join(parts)
+
+
+@query("q_d3_graph_insert", oracle=_graph_insert_oracle(), group="D")
+def graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): INCREMENTAL GRAPH-INDEX MAINTENANCE — insert an ingest
+    DELTA into a built kNN graph without a full rebuild, the E85/E84
+    pattern (incremental dedup / IVF churn) applied to the graph index:
+    the base graph covers the first-90% split; each delta vector SEARCHES
+    it (the standard {GANN_HOPS}-hop/{GANN_B}-beam machinery) and connects
+    to its top-{GANN_M} visited neighbors; affected base nodes then
+    re-rank their adjacency against the reverse edges and ADOPT a delta
+    neighbor wherever it beats their current top-{GANN_M} (HNSW's
+    bidirectional-link step).  Output: every inserted out-edge ('ins'
+    rows) and the full updated adjacency of every adopting base node
+    ('upd' rows) — the exact writes an index maintainer would ship.
+
+    Scale shape: the delta is the bounded ingest batch (broadcast query
+    side), the base corpus streams through the scoring equi-joins exactly
+    like a search, and the reverse re-rank touches ONLY the ≤ delta·M
+    affected base nodes — per-batch cost is O(delta · B · M · hops), the
+    property that makes nightly index rebuilds unnecessary.  At 100 TB
+    the adjacency updates land as a parquet MERGE on the persisted index
+    table (q_d3_graph_index_persist's deploy shape)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    ncut = F.broadcast(v.agg(F.expr("(count(1) * 9) DIV 10").alias("cut")))
+    vb = v.crossJoin(ncut).filter(F.col("vec_id") < F.col("cut")).drop("cut")
+    vd = v.crossJoin(ncut).filter(F.col("vec_id") >= F.col("cut")).drop("cut")
+    edges = _nnd_graph(spark, sf_dir, vb, GANN_M, tag="base90")
+    qv = vd.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_n"),
+    )
+    cv = vb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_n"),
+    )
+
+    def score(pairs: DataFrame) -> DataFrame:
+        # the delta is the bounded ingest batch -> broadcast; the base
+        # corpus side joins plain (same reasoning as _qv_cv_score)
+        return (
+            pairs.join(F.broadcast(qv), "qid")
+            .join(cv, "cid")
+            .withColumn(
+                "cos",
+                dot(F.col("q_emb"), F.col("c_emb"))
+                / F.nullif(F.col("q_n") * F.col("c_n"), F.lit(0.0)),
+            )
+            .select("qid", "cid", "cos")
+        )
+
+    wb = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    entries = vb.filter(F.col("vec_id") < GANN_ENTRIES).select(
+        F.col("vec_id").alias("cid")
+    )
+    visited = qv.select("qid").crossJoin(F.broadcast(entries))
+    for _ in range(GANN_HOPS):
+        bm = (
+            score(visited)
+            .withColumn("rk", F.row_number().over(wb))
+            .filter(F.col("rk") <= GANN_B)
+            .select("qid", "cid")
+        )
+        ed = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+        grown = bm.join(ed, bm["cid"] == ed["e_src"]).select(
+            "qid", F.col("e_dst").alias("cid")
+        )
+        visited = visited.unionAll(grown).distinct()
+    newe = (
+        score(visited)
+        .withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") <= GANN_M)
+        .localCheckpoint(eager=True)  # reused by 'ins' output + reverse pass
+    )
+    rev = newe.select(
+        F.col("cid").alias("src"), F.col("qid").alias("dst"), "cos"
+    )
+    aff = rev.select("src").distinct()
+    sb = vb.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("s_emb"),
+        F.col("nrm").alias("s_n"),
+    )
+    db = vb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("d_emb"),
+        F.col("nrm").alias("d_n"),
+    )
+    exsc = (
+        edges.join(aff, "src")
+        .join(sb, "src")
+        .join(db, "dst")
+        .withColumn(
+            "cos",
+            dot(F.col("s_emb"), F.col("d_emb"))
+            / F.nullif(F.col("s_n") * F.col("d_n"), F.lit(0.0)),
+        )
+        .select("src", "dst", "cos")
+    )
+    ws = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    kept = (
+        exsc.unionAll(rev)
+        .withColumn("rk", F.row_number().over(ws))
+        .filter(F.col("rk") <= GANN_M)
+    )
+    adopters = (
+        kept.crossJoin(ncut)
+        .filter(F.col("dst") >= F.col("cut"))
+        .select("src")
+        .distinct()
+    )
+    cos6 = F.floor(F.col("cos") * 1e6 + 0.5) / 1e6
+    ins_out = newe.select(
+        F.lit("ins").alias("kind"),
+        F.col("qid").alias("src"),
+        F.col("rk").cast("bigint").alias("rk"),
+        F.col("cid").alias("dst"),
+        cos6.alias("cos"),
+    )
+    upd_out = kept.join(adopters, "src").select(
+        F.lit("upd").alias("kind"),
+        "src",
+        F.col("rk").cast("bigint").alias("rk"),
+        "dst",
+        cos6.alias("cos"),
+    )
+    return ins_out.unionAll(upd_out).orderBy("kind", "src", "rk")
 
 
 BW_LEVELS = [4, 8, 16]  # beam widths swept (efSearch analogue)

@@ -75,7 +75,7 @@ _QUERY_MODULES = [
 #:      additions (multi-label D7, beam-width sweep) — a change regression
 #:      must surface immediately;
 #:   2. the 5 re-checks the r8 overflow displaced (VERDICT r8 item 4);
-#:   3. regression re-checks of the STALEST driver evidence: 28 r1-era
+#:   3. regression re-checks of the STALEST driver evidence: 27 r1-era
 #:      B/ext greens (last checked in CORRECTNESS_r01) + 7 r3-era A-group
 #:      greens (the ML family the argmin change is nearest to).
 #: Names not listed keep registration order behind these; unknown names
@@ -92,6 +92,7 @@ _PRIORITY = [
     "q_d3_beam_width_sweep",
     "q_c19_streaming_priority_sample",
     "q_d3_graph_index_persist",
+    "q_d3_graph_insert",
     # 2 — the five re-checks displaced past the r8 boundary
     "q_c3_session_window",
     "q_d4_token_tf",
@@ -106,7 +107,6 @@ _PRIORITY = [
     "q_b08_semi_join",
     "q_b09_cross_join",
     "q_b12_count_distinct",
-    "q_b14_cube",
     "q_b14_rollup",
     "q_b15_having",
     "q_b17_lag_lead",
