@@ -103,6 +103,7 @@ SHOWCASE = [
     "q_d7_estimator_multilabel",
     "q_d3_beam_width_sweep",
     "q_d3_graph_insert",
+    "q_d3_graph_delete",
 ]
 
 

@@ -2110,6 +2110,115 @@ def graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ins_out.unionAll(upd_out).orderBy("kind", "src", "rk")
 
 
+GDEL_MOD = 13  # tombstone slice: vec_id % GDEL_MOD == 0 is deleted (~7.7%)
+
+_GRAPH_DELETE_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+), {_nnd_edges_sql("gd_edges", GANN_M)}
+, live AS (SELECT src, dst FROM gd_edges WHERE src % {GDEL_MOD} <> 0
+), aff AS (SELECT DISTINCT src FROM live WHERE dst % {GDEL_MOD} = 0
+), direct AS (
+  SELECT l.src, l.dst FROM live l JOIN aff USING (src)
+  WHERE l.dst % {GDEL_MOD} <> 0
+), via AS (
+  SELECT a.src, b.dst
+  FROM live a JOIN aff USING (src)
+  JOIN gd_edges b ON b.src = a.dst
+  WHERE a.dst % {GDEL_MOD} = 0 AND b.dst % {GDEL_MOD} <> 0
+), cand AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM direct UNION ALL SELECT src, dst FROM via
+  ) WHERE src <> dst
+), sc AS MATERIALIZED (
+  SELECT c.src, c.dst, list_cosine_similarity(a.embedding, b.embedding) AS cos
+  FROM cand c JOIN e a ON a.vec_id = c.src JOIN e b ON b.vec_id = c.dst
+)
+SELECT src, CAST(rk AS BIGINT) AS rk, dst,
+       FLOOR(cos * 1e6 + 0.5) / 1e6 AS cos
+FROM (
+  SELECT src, dst, cos,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rk
+  FROM sc) WHERE rk <= {GANN_M}
+ORDER BY src, rk
+"""
+
+
+@query("q_d3_graph_delete", oracle=_GRAPH_DELETE_ORACLE, group="D")
+def graph_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): GRAPH-INDEX DELETE with route-around repair — the other
+    half of index maintenance (q_d3_graph_insert adds; this removes):
+    tombstone every vec_id % {GDEL_MOD} == 0 (~7.7% of the corpus — a GDPR
+    erasure batch or retention sweep), then REPAIR each surviving node that
+    pointed at a tombstone by re-ranking over its surviving neighbors PLUS
+    the surviving adjacency INHERITED from its deleted neighbors (the
+    classic HNSW repair: route around the hole through the deleted node's
+    own links, so graph connectivity survives without touching unaffected
+    nodes).  Output: the full repaired adjacency of every affected node —
+    the exact 'upd' writes the maintainer ships against the persisted
+    index table (q_d3_graph_index_persist's deploy shape).
+
+    Scale shape: repair work is proportional to |affected| · M² candidate
+    rows through equi-joins — nodes with no tombstoned neighbor are never
+    read, the property that makes deletes cheap on a graph index (an IVF
+    index just drops rows; a graph must re-link).  The graph itself comes
+    from the session index cache."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    edges = _nnd_graph(spark, sf_dir, v, GANN_M)
+    live = edges.filter(F.col("src") % GDEL_MOD != 0)
+    aff = (
+        live.filter(F.col("dst") % GDEL_MOD == 0).select("src").distinct()
+    )
+    direct = (
+        live.join(aff, "src")
+        .filter(F.col("dst") % GDEL_MOD != 0)
+        .select("src", "dst")
+    )
+    via = (
+        live.join(aff, "src")
+        .filter(F.col("dst") % GDEL_MOD == 0)
+        .alias("a")
+        .join(edges.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        .filter(F.col("dst") % GDEL_MOD != 0)
+    )
+    cand = (
+        direct.unionAll(via)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    sb = v.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("s_emb"),
+        F.col("nrm").alias("s_n"),
+    )
+    db = v.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("d_emb"),
+        F.col("nrm").alias("d_n"),
+    )
+    ws = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    return (
+        cand.join(sb, "src")
+        .join(db, "dst")
+        .withColumn(
+            "cos",
+            dot(F.col("s_emb"), F.col("d_emb"))
+            / F.nullif(F.col("s_n") * F.col("d_n"), F.lit(0.0)),
+        )
+        .withColumn("rk", F.row_number().over(ws))
+        .filter(F.col("rk") <= GANN_M)
+        .select(
+            "src",
+            F.col("rk").cast("bigint").alias("rk"),
+            "dst",
+            (F.floor(F.col("cos") * 1e6 + 0.5) / 1e6).alias("cos"),
+        )
+        .orderBy("src", "rk")
+    )
+
+
 BW_LEVELS = [4, 8, 16]  # beam widths swept (efSearch analogue)
 
 

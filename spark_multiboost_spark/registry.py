@@ -75,7 +75,7 @@ _QUERY_MODULES = [
 #:      additions (multi-label D7, beam-width sweep) — a change regression
 #:      must surface immediately;
 #:   2. the 5 re-checks the r8 overflow displaced (VERDICT r8 item 4);
-#:   3. regression re-checks of the STALEST driver evidence: 27 r1-era
+#:   3. regression re-checks of the STALEST driver evidence: 26 r1-era
 #:      B/ext greens (last checked in CORRECTNESS_r01) + 7 r3-era A-group
 #:      greens (the ML family the argmin change is nearest to).
 #: Names not listed keep registration order behind these; unknown names
@@ -93,6 +93,7 @@ _PRIORITY = [
     "q_c19_streaming_priority_sample",
     "q_d3_graph_index_persist",
     "q_d3_graph_insert",
+    "q_d3_graph_delete",
     # 2 — the five re-checks displaced past the r8 boundary
     "q_c3_session_window",
     "q_d4_token_tf",
@@ -115,7 +116,6 @@ _PRIORITY = [
     "q_b22_except_all",
     "q_b22_intersect_all",
     "q_b23_regexp",
-    "q_b23_strings",
     "q_b24_datetime",
     "q_b25_math",
     "q_b26_conditional",
