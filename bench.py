@@ -104,6 +104,7 @@ SHOWCASE = [
     "q_d3_beam_width_sweep",
     "q_d3_graph_insert",
     "q_d3_graph_delete",
+    "q_d3_graph_pq_search",
 ]
 
 

@@ -1249,3 +1249,257 @@ def pq_packed_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("code_3") * 4096
     ).cast("bigint")
     return enc.select("vec_id", packed.alias("packed")).orderBy("vec_id")
+
+# ---------------------------------------------------------------------------
+# PQ-guided GRAPH search (round 11): ADC scores steer the beam, exact
+# cosine only re-ranks the final shortlist — the memory-bound deployment
+# where codes live in RAM and full vectors are only fetched for the top-R.
+# ---------------------------------------------------------------------------
+
+GPQ_RERANK = 10  # exact-rerank shortlist per query (2x the output top-k)
+
+
+def _graph_pq_oracle() -> str:
+    from .similarity import (
+        GANN_B,
+        GANN_ENTRIES,
+        GANN_HOPS,
+        GANN_M,
+        K,
+        N_QUERIES,
+        _nnd_edges_sql,
+    )
+
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+), {_nnd_edges_sql("gp_edges", GANN_M)}
+, ms AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(m)
+), cb AS (
+  SELECT ms.m, vec_id AS code,
+         list_slice(embedding, ms.m * {SUB_D} + 1, (ms.m + 1) * {SUB_D}) AS cemb
+  FROM e CROSS JOIN ms WHERE vec_id < {PQ_K}
+), sub AS (
+  SELECT vec_id, ms.m,
+         list_slice(embedding, ms.m * {SUB_D} + 1, (ms.m + 1) * {SUB_D}) AS semb
+  FROM e CROSS JOIN ms
+), assign AS (
+  SELECT vec_id, sub.m, code,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id, sub.m
+           ORDER BY list_distance(semb, cemb), code) AS rk
+  FROM sub JOIN cb ON sub.m = cb.m
+), enc AS MATERIALIZED (
+  SELECT vec_id,
+         MAX(CASE WHEN m = 0 THEN code END) AS code_0,
+         MAX(CASE WHEN m = 1 THEN code END) AS code_1,
+         MAX(CASE WHEN m = 2 THEN code END) AS code_2,
+         MAX(CASE WHEN m = 3 THEN code END) AS code_3
+  FROM assign WHERE rk = 1 GROUP BY vec_id
+), q AS (SELECT vec_id AS qid, embedding FROM e WHERE vec_id < {N_QUERIES}
+), qd AS MATERIALIZED (
+  SELECT qid, cb.m, code,
+         list_distance(
+           list_slice(q.embedding, cb.m * {SUB_D} + 1, (cb.m + 1) * {SUB_D}),
+           cemb) AS d
+  FROM q CROSS JOIN cb
+), gp_v0 AS (
+  SELECT q.qid, en.vec_id AS cid
+  FROM q CROSS JOIN (SELECT vec_id FROM e WHERE vec_id < {GANN_ENTRIES}) en
+)"""
+    ]
+    adc_score = """
+  SELECT v.qid, v.cid, ((d0.d + d1.d) + d2.d) + d3.d AS adc
+  FROM {src} v JOIN enc ON enc.vec_id = v.cid
+  JOIN qd d0 ON d0.qid = v.qid AND d0.m = 0 AND d0.code = enc.code_0
+  JOIN qd d1 ON d1.qid = v.qid AND d1.m = 1 AND d1.code = enc.code_1
+  JOIN qd d2 ON d2.qid = v.qid AND d2.m = 2 AND d2.code = enc.code_2
+  JOIN qd d3 ON d3.qid = v.qid AND d3.m = 3 AND d3.code = enc.code_3"""
+    for h in range(GANN_HOPS):
+        parts.append(
+            f""", gp_s{h} AS ({adc_score.format(src=f"gp_v{h}")}
+), gp_b{h} AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS rk
+    FROM gp_s{h}) WHERE rk <= {GANN_B}
+), gp_v{h + 1} AS (
+  SELECT DISTINCT qid, cid FROM (
+    SELECT qid, cid FROM gp_v{h}
+    UNION ALL
+    SELECT b.qid, ed.dst AS cid FROM gp_b{h} b JOIN gp_edges ed ON ed.src = b.cid)
+)"""
+        )
+    parts.append(
+        f""", gp_fin AS ({adc_score.format(src=f"gp_v{GANN_HOPS}")}
+  WHERE v.qid <> v.cid
+), short AS (
+  SELECT qid, cid, adc FROM (
+    SELECT qid, cid, adc,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cid) AS rk
+    FROM gp_fin) WHERE rk <= {GPQ_RERANK}
+), rer AS (
+  SELECT s.qid, s.cid, s.adc,
+         list_cosine_similarity(eq.embedding, ec.embedding) AS cos
+  FROM short s JOIN e eq ON eq.vec_id = s.qid JOIN e ec ON ec.vec_id = s.cid
+)
+SELECT qid, cid, CAST(rk AS BIGINT) AS rank,
+       FLOOR(cos * 1e6 + 0.5) / 1e6 AS cos,
+       FLOOR(adc * 1e6 + 0.5) / 1e6 AS adc_dist
+FROM (
+  SELECT qid, cid, adc, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+  FROM rer) WHERE rk <= {K}
+ORDER BY qid, rank
+"""
+    )
+    return "".join(parts)
+
+
+@query("q_d3_graph_pq_search", oracle=_graph_pq_oracle(), group="D")
+def graph_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-GUIDED GRAPH SEARCH — the memory-bound ANN deployment shape
+    (HNSW-PQ / DiskANN): the beam traverses the kNN graph scoring
+    candidates by ASYMMETRIC PQ DISTANCE ONLY (each query precomputes its
+    {PQ_M}x{PQ_K} subspace distance table; a candidate costs 4 table
+    lookups against its byte codes — no full vector is read during
+    traversal), then the final top-{GPQ_RERANK} shortlist per query is
+    re-ranked by EXACT cosine for the returned top-5.  At 100 TB this is
+    why graph+PQ wins: the traversal working set is codes (n·{PQ_M} bytes)
+    + the edge list, both orders of magnitude smaller than the vectors,
+    which are touched only {GPQ_RERANK} rows per query at the end.
+
+    Plan shape: the per-query distance table ``qd`` (queries x {PQ_M} x
+    {PQ_K} rows) and the code table join the visited set by pure
+    equi-joins each hop; the graph comes from the session index cache;
+    exact re-rank is a {GPQ_RERANK}-rows-per-query equi-join against the
+    vector table.  Both engines sum subspace distances in the same fixed
+    order, the discipline q_d3_pq_adc_topk established."""
+    from pyspark.sql import Window
+
+    from .similarity import (
+        GANN_B,
+        GANN_ENTRIES,
+        GANN_HOPS,
+        GANN_M,
+        K,
+        N_QUERIES,
+        _nnd_graph,
+    )
+    from .vector import dot, norm
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    v = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    edges = _nnd_graph(spark, sf_dir, v, GANN_M)
+    enc = pq_encode(spark, sf_dir)
+    # per-query subspace distance table: queries x PQ_M x PQ_K rows
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    cbl = (
+        e.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("code"), "emb", ms)
+        .select(
+            "m", "code", F.slice(F.col("emb"), F.col("m") * SUB_D + 1, SUB_D).alias("cemb")
+        )
+    )
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, vv: acc + vv,
+        )
+
+    qe = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("q_emb")
+    )
+    qd = F.broadcast(
+        qe.crossJoin(cbl)
+        .select(
+            "qid",
+            "m",
+            "code",
+            F.sqrt(
+                d2(F.slice(F.col("q_emb"), F.col("m") * SUB_D + 1, SUB_D), F.col("cemb"))
+            ).alias("d"),
+        )
+        .localCheckpoint(eager=True)  # model-sized (q x M x K); reused per hop
+    )
+
+    def adc_score(pairs: DataFrame) -> DataFrame:
+        out = pairs.join(enc, pairs["cid"] == enc["vec_id"]).select(
+            "qid", "cid", "code_0", "code_1", "code_2", "code_3"
+        )
+        for m in range(PQ_M):
+            qm = qd.filter(F.col("m") == m).select(
+                F.col("qid").alias("q_qid"),
+                F.col("code").alias(f"c{m}"),
+                F.col("d").alias(f"d{m}"),
+            )
+            out = out.join(
+                qm,
+                (out["qid"] == qm["q_qid"]) & (out[f"code_{m}"] == qm[f"c{m}"]),
+            ).drop("q_qid", f"c{m}", f"code_{m}")
+        return out.select(
+            "qid",
+            "cid",
+            (
+                ((F.col("d0") + F.col("d1")) + F.col("d2")) + F.col("d3")
+            ).alias("adc"),
+        )
+
+    wa = Window.partitionBy("qid").orderBy(F.col("adc").asc(), "cid")
+    entries = v.filter(F.col("vec_id") < GANN_ENTRIES).select(
+        F.col("vec_id").alias("cid")
+    )
+    visited = qe.select("qid").crossJoin(F.broadcast(entries))
+    for _ in range(GANN_HOPS):
+        bm = (
+            adc_score(visited)
+            .withColumn("rk", F.row_number().over(wa))
+            .filter(F.col("rk") <= GANN_B)
+            .select("qid", "cid")
+        )
+        ed = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+        grown = bm.join(ed, bm["cid"] == ed["e_src"]).select(
+            "qid", F.col("e_dst").alias("cid")
+        )
+        visited = visited.unionAll(grown).distinct()
+    short = (
+        adc_score(visited.filter(F.col("qid") != F.col("cid")))
+        .withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") <= GPQ_RERANK)
+        .select("qid", "cid", "adc")
+    )
+    qv = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("r_emb"),
+        F.col("nrm").alias("r_n"),
+    )
+    cv = v.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_n"),
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    return (
+        short.join(F.broadcast(qv), "qid")
+        .join(cv, "cid")
+        .withColumn(
+            "cos",
+            dot(F.col("r_emb"), F.col("c_emb"))
+            / F.nullif(F.col("r_n") * F.col("c_n"), F.lit(0.0)),
+        )
+        .withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= K)
+        .select(
+            "qid",
+            "cid",
+            "rank",
+            (F.floor(F.col("cos") * 1e6 + 0.5) / 1e6).alias("cos"),
+            (F.floor(F.col("adc") * 1e6 + 0.5) / 1e6).alias("adc_dist"),
+        )
+        .orderBy("qid", "rank")
+    )

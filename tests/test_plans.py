@@ -467,6 +467,7 @@ def test_round7_graph_plans(spark, sf_dir):
         "q_d3_beam_width_sweep",
         "q_d3_graph_insert",
         "q_d3_graph_delete",
+        "q_d3_graph_pq_search",
     ]:
         plan = _plan(spark, name, sf_dir)
         assert "CartesianProduct" not in plan, name
