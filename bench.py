@@ -105,6 +105,7 @@ SHOWCASE = [
     "q_d3_graph_insert",
     "q_d3_graph_delete",
     "q_d3_graph_pq_search",
+    "q_d5_budget_sample",
 ]
 
 

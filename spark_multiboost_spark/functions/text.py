@@ -3584,3 +3584,129 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang")
     )
     return release_with(out, t)
+
+BUDGET_NUM, BUDGET_DEN = 3, 4  # global budget = 3/4 of the corpus
+
+_BUDGET_SAMPLE_ORACLE = f"""
+WITH d AS (SELECT doc_id, lang, n_chars FROM documents
+), cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY lang
+), tot AS (
+  SELECT (SELECT COUNT(*) FROM d) * {BUDGET_NUM} // {BUDGET_DEN} AS budget
+), bp AS (
+  SELECT c1.n AS lev, SUM(LEAST(c2.n, c1.n)) AS t,
+         SUM(CASE WHEN c2.n > c1.n THEN 1 ELSE 0 END) AS n_above
+  FROM (SELECT DISTINCT n FROM cnt) c1 CROSS JOIN cnt c2 GROUP BY c1.n
+  UNION ALL
+  SELECT 0, 0, (SELECT COUNT(*) FROM cnt)
+), base AS (
+  SELECT lev, t, n_above FROM bp, tot WHERE t <= budget
+  ORDER BY lev DESC LIMIT 1
+), lvl AS (
+  SELECT lev + CASE WHEN n_above > 0 THEN (budget - t) // n_above ELSE 0 END
+           AS level
+  FROM base, tot
+), quota AS (
+  SELECT lang, LEAST(n, (SELECT level FROM lvl)) AS q FROM cnt
+), pri AS (
+  SELECT doc_id, lang,
+         CAST(n_chars AS DOUBLE) * 16777216.0 / ({_COIN_SQL} + 1) AS priority
+  FROM d
+), ranked AS (
+  SELECT doc_id, lang, priority,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY priority DESC, doc_id) AS rk
+  FROM pri
+)
+SELECT r.lang, CAST(q.q AS BIGINT) AS quota, CAST(r.rk AS BIGINT) AS rk,
+       r.doc_id, FLOOR(r.priority * 1e6 + 0.5) / 1e6 AS priority
+FROM ranked r JOIN quota q ON q.lang = r.lang
+WHERE r.rk <= q.q
+ORDER BY r.lang, r.rk
+"""
+
+
+@query("q_d5_budget_sample", oracle=_BUDGET_SAMPLE_ORACLE, group="D")
+def budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 (cont.): BUDGET-CONSTRAINED MIXTURE SAMPLING — the composition a
+    data-mix pipeline actually runs: a global document budget
+    ({BUDGET_NUM}/{BUDGET_DEN} of the corpus) is allocated across LANGUAGES
+    by an EXACT integer waterfill (level L = the largest integer with
+    Σ min(n_l, L) ≤ budget — found in closed form from the supply
+    breakpoints, no fixpoint loop, no fixture-calibrated constants), and
+    each language then fills its quota min(n_l, L) with its
+    highest-PRIORITY documents (the deterministic Duffield-Lund-Thorup
+    weighted sample of q_d5_priority_sample, so long documents win
+    proportionally).  Small languages contribute everything; the dominant
+    one is capped at the common level — the fair-share allocation that
+    stops English from monopolizing a multilingual training mix, with a
+    reproducible, seed-keyed document selection inside every quota.  On
+    the fixture both regimes fire at every SF (en capped, the other four
+    saturated — e.g. level 93 vs en's 218 supply at sf0.01), which is what makes
+    the gauge non-vacuous.
+
+    Determinism: the waterfill is pure integer arithmetic on counts (both
+    engines bit-identical); the priority is one IEEE division of exact
+    integers; ranks tiebreak on doc_id.  Scale shape: counts + breakpoints
+    are |languages|-sized (broadcast), the priority is a map-side scan
+    expression, and the per-language quota filter rides the same
+    window-group-limit shape as the top-k queries — one shuffle by lang,
+    nothing global."""
+    d = load_tables(spark, sf_dir)["documents"]
+    cnt = d.groupBy("lang").agg(bcount().alias("n"))
+    budget = d.agg(
+        F.expr(f"(count(1) * {BUDGET_NUM}) DIV {BUDGET_DEN}").alias("budget")
+    )
+    c1 = cnt.select(F.col("n").alias("lev")).distinct()
+    bp = (
+        c1.crossJoin(cnt.select(F.col("n").alias("n2")))
+        .groupBy("lev")
+        .agg(
+            F.sum(F.least(F.col("n2"), F.col("lev"))).alias("t"),
+            F.sum(F.when(F.col("n2") > F.col("lev"), 1).otherwise(0)).alias(
+                "n_above"
+            ),
+        )
+        .unionAll(
+            cnt.agg(
+                F.lit(0).cast("bigint").alias("lev"),
+                F.lit(0).cast("bigint").alias("t"),
+                F.count(F.lit(1)).alias("n_above"),
+            )
+        )
+    )
+    base = (
+        bp.crossJoin(F.broadcast(budget))
+        .filter(F.col("t") <= F.col("budget"))
+        .orderBy(F.col("lev").desc())
+        .limit(1)
+    )
+    lvl = base.select(
+        (
+            F.col("lev")
+            + F.when(
+                F.col("n_above") > 0,
+                F.expr("(budget - t) DIV n_above"),
+            ).otherwise(F.lit(0))
+        ).alias("level")
+    )
+    quota = (
+        cnt.crossJoin(F.broadcast(lvl))
+        .select("lang", F.least(F.col("n"), F.col("level")).alias("quota"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("priority").desc(), "doc_id")
+    ranked = (
+        d.select("doc_id", "lang", priority_col().alias("priority"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+    )
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select(
+            "lang",
+            F.col("quota").cast("bigint").alias("quota"),
+            "rk",
+            "doc_id",
+            (F.floor(F.col("priority") * 1e6 + 0.5) / 1e6).alias("priority"),
+        )
+        .orderBy("lang", "rk")
+    )

@@ -75,7 +75,7 @@ _QUERY_MODULES = [
 #:      additions (multi-label D7, beam-width sweep) — a change regression
 #:      must surface immediately;
 #:   2. the 5 re-checks the r8 overflow displaced (VERDICT r8 item 4);
-#:   3. regression re-checks of the STALEST driver evidence: 25 r1-era
+#:   3. regression re-checks of the STALEST driver evidence: 24 r1-era
 #:      B/ext greens (last checked in CORRECTNESS_r01) + 7 r3-era A-group
 #:      greens (the ML family the argmin change is nearest to).
 #: Names not listed keep registration order behind these; unknown names
@@ -95,6 +95,7 @@ _PRIORITY = [
     "q_d3_graph_insert",
     "q_d3_graph_delete",
     "q_d3_graph_pq_search",
+    "q_d5_budget_sample",
     # 2 — the five re-checks displaced past the r8 boundary
     "q_c3_session_window",
     "q_d4_token_tf",
@@ -125,7 +126,6 @@ _PRIORITY = [
     "q_b30_correlated_scalar",
     "q_b30_in_subquery",
     "q_b32_pivot",
-    "q_b33_unpivot",
     "q_ext_dist_rank",
     # 3b — r3-era A-group greens (nearest neighbors of the argmin change)
     "q_a1_scan_embeddings",

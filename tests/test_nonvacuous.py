@@ -55,3 +55,31 @@ def test_round9_gauges_exercise_both_regimes(spark):
     # refine the layer-2 pick somewhere (else the stack is vacuous)
     assert (ml["entry2_cid"] != 0).any()
     assert (ml["entry_cid"] != ml["entry2_cid"]).any()
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_DRIVER_SF_DIR), reason="driver-scale fixtures absent"
+)
+def test_budget_sample_exercises_both_regimes(spark):
+    """The waterfill is only evidence if the fixture puts its boundary
+    inside the per-lang supply range: at least one language must be CAPPED
+    at the level (quota < supply) and at least one SATURATED (quota ==
+    supply), and the total selected must not exceed the global budget."""
+    pdf = _ALL["q_d5_budget_sample"].fn(spark, _DRIVER_SF_DIR).toPandas()
+    got = pdf.groupby("lang").agg(quota=("quota", "first"), n_sel=("rk", "max"))
+    from spark_multiboost_spark.session import load_tables
+
+    supply = (
+        load_tables(spark, _DRIVER_SF_DIR)["documents"]
+        .groupBy("lang")
+        .count()
+        .toPandas()
+        .set_index("lang")["count"]
+    )
+    capped = [lang for lang in got.index if got.loc[lang, "quota"] < supply[lang]]
+    saturated = [
+        lang for lang in got.index if got.loc[lang, "quota"] == supply[lang]
+    ]
+    assert capped and saturated, (capped, saturated)
+    assert (got["n_sel"] == got["quota"]).all()
+    assert got["quota"].sum() <= supply.sum() * 3 // 4
