@@ -106,6 +106,7 @@ SHOWCASE = [
     "q_d3_graph_delete",
     "q_d3_graph_pq_search",
     "q_d5_budget_sample",
+    "q_d3_pq_refresh_churn",
 ]
 
 

@@ -1503,3 +1503,156 @@ def graph_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid", "rank")
     )
+
+_PQ_REFRESH_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+), ms AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(m)
+), cb AS (
+  SELECT ms.m, vec_id AS code,
+         list_slice(embedding, ms.m * {SUB_D} + 1, (ms.m + 1) * {SUB_D}) AS cemb
+  FROM e CROSS JOIN ms WHERE vec_id < {PQ_K}
+), sub AS (
+  SELECT vec_id, ms.m,
+         list_slice(embedding, ms.m * {SUB_D} + 1, (ms.m + 1) * {SUB_D}) AS semb
+  FROM e CROSS JOIN ms
+), a0 AS MATERIALIZED (
+  SELECT vec_id, m, semb, code AS code0 FROM (
+    SELECT sub.vec_id, sub.m, sub.semb, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY sub.vec_id, sub.m
+             ORDER BY list_distance(semb, cemb), code) AS rk
+    FROM sub JOIN cb ON sub.m = cb.m) WHERE rk = 1
+), dims AS (
+  SELECT m, code0, g.i AS dim, semb[g.i] AS val
+  FROM a0, UNNEST(GENERATE_SERIES(1, {SUB_D})) AS g(i)
+), cm AS (
+  SELECT m, code0, dim, FLOOR(AVG(val) * 1e6 + 0.5) / 1e6 AS cv
+  FROM dims GROUP BY m, code0, dim
+), cb1 AS MATERIALIZED (
+  SELECT m, code0 AS code, LIST(cv ORDER BY dim) AS cemb
+  FROM cm GROUP BY m, code0
+), a1 AS MATERIALIZED (
+  SELECT vec_id, m, code0, code AS code1 FROM (
+    SELECT a.vec_id, a.m, a.code0, c.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id, a.m
+             ORDER BY list_distance(a.semb, c.cemb), c.code) AS rk
+    FROM a0 a JOIN cb1 c ON a.m = c.m) WHERE rk = 1
+), before AS (
+  SELECT m, code0 AS code, CAST(COUNT(*) AS BIGINT) AS n_before,
+         CAST(SUM(CASE WHEN code0 = code1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_stayed
+  FROM a1 GROUP BY m, code0
+), after AS (
+  SELECT m, code1 AS code, CAST(COUNT(*) AS BIGINT) AS n_after
+  FROM a1 GROUP BY m, code1
+)
+SELECT b.m, b.code, b.n_before,
+       CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after, b.n_stayed,
+       FLOOR((1.0 - CAST(b.n_stayed AS DOUBLE) / b.n_before) * 1e6 + 0.5)
+         / 1e6 AS churn_frac
+FROM before b LEFT JOIN after a ON a.m = b.m AND a.code = b.code
+ORDER BY b.m, b.code
+"""
+
+
+@query("q_d3_pq_refresh_churn", oracle=_PQ_REFRESH_ORACLE, group="D")
+def pq_refresh_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ CODEBOOK-REFRESH GAUGE — q_d3_ivf_reassign_churn's maintenance
+    question asked of the PRODUCT QUANTIZER: after one Lloyd step per
+    subspace (each sub-centroid moves to the 6dp-quantized mean of its
+    assigned sub-vectors), how many corpus CODES change per (subspace,
+    code) cell?  A code change means the stored byte codes are stale —
+    high churn after a codebook retrain forces a corpus re-encode (a full
+    write pass over n·M bytes), near-zero churn means the old codes still
+    serve; this is the number that decides whether the retrain ships.
+    Unlike the IVF gauge (one 64-dim codebook of {N_CELLS} cells), the
+    PQ refresh is {PQ_M} independent {SUB_D}-dim problems of {PQ_K} cells
+    — churn is reported per (m, code) so a single drifting subspace is
+    visible on its own.
+
+    Scale shape: both assignment passes are broadcast one-row codebook
+    expressions over the exploded (vec_id, m) sub-slices (corpus-linear,
+    no shuffle for assignment); the Lloyd step is one hash-agg keyed on
+    (m, code, dim) — {PQ_M}·{PQ_K}·{SUB_D} rows of state.  Determinism:
+    assignment ranks on (dist, code) via lexicographic array_min both
+    engines; updated sub-centroids quantized to 6dp before the second
+    assignment (the E84 discipline)."""
+    from .vector import l2_distance
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    sub = e.select("vec_id", "emb", ms).select(
+        "vec_id", "m", F.slice(F.col("emb"), F.col("m") * SUB_D + 1, SUB_D).alias("semb")
+    )
+    cb0 = (
+        e.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("code"), "emb", ms)
+        .select(
+            "m", "code",
+            F.slice(F.col("emb"), F.col("m") * SUB_D + 1, SUB_D).alias("cemb"),
+        )
+    )
+
+    def assign(side: DataFrame, cbs: DataFrame, out: str) -> DataFrame:
+        row = F.broadcast(
+            cbs.groupBy().agg(
+                F.collect_list(F.struct("m", "code", "cemb")).alias("cbs")
+            )
+        )
+        scored = F.transform(
+            F.filter("cbs", lambda c: c["m"] == F.col("m")),
+            lambda c: F.struct(
+                l2_distance(F.col("semb"), c["cemb"]).alias("dist"),
+                c["code"].alias("code"),
+            ),
+        )
+        return (
+            side.crossJoin(row)
+            .withColumn(out, F.array_min(scored)["code"])
+            .drop("cbs")
+        )
+
+    a0 = assign(sub, cb0, "code0").localCheckpoint(eager=True)
+    cm = (
+        a0.select("m", "code0", F.posexplode("semb").alias("dim", "val"))
+        .groupBy("m", "code0", "dim")
+        .agg((F.floor(F.avg("val") * 1e6 + 0.5) / 1e6).alias("cv"))
+    )
+    cb1 = cm.groupBy("m", "code0").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+        ).alias("cemb")
+    ).select("m", F.col("code0").alias("code"), "cemb")
+    a1 = assign(a0, cb1, "code1")
+    before = a1.groupBy("m", F.col("code0").alias("code")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_before"),
+        F.sum(F.when(F.col("code0") == F.col("code1"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_stayed"),
+    )
+    after = a1.groupBy("m", F.col("code1").alias("code")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after")
+    )
+    return (
+        before.join(after, ["m", "code"], "left")
+        .select(
+            "m",
+            "code",
+            "n_before",
+            F.coalesce(F.col("n_after"), F.lit(0)).cast("bigint").alias("n_after"),
+            "n_stayed",
+            (
+                F.floor(
+                    (1.0 - F.col("n_stayed").cast("double") / F.col("n_before"))
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("churn_frac"),
+        )
+        .orderBy("m", "code")
+    )
+

@@ -75,7 +75,7 @@ _QUERY_MODULES = [
 #:      additions (multi-label D7, beam-width sweep) — a change regression
 #:      must surface immediately;
 #:   2. the 5 re-checks the r8 overflow displaced (VERDICT r8 item 4);
-#:   3. regression re-checks of the STALEST driver evidence: 24 r1-era
+#:   3. regression re-checks of the STALEST driver evidence: 23 r1-era
 #:      B/ext greens (last checked in CORRECTNESS_r01) + 7 r3-era A-group
 #:      greens (the ML family the argmin change is nearest to).
 #: Names not listed keep registration order behind these; unknown names
@@ -96,6 +96,7 @@ _PRIORITY = [
     "q_d3_graph_delete",
     "q_d3_graph_pq_search",
     "q_d5_budget_sample",
+    "q_d3_pq_refresh_churn",
     # 2 — the five re-checks displaced past the r8 boundary
     "q_c3_session_window",
     "q_d4_token_tf",
@@ -122,7 +123,6 @@ _PRIORITY = [
     "q_b25_math",
     "q_b26_conditional",
     "q_b27_explode",
-    "q_b29_variant",
     "q_b30_correlated_scalar",
     "q_b30_in_subquery",
     "q_b32_pivot",
