@@ -188,8 +188,19 @@ def main() -> None:
     # ≈0.36 s); out-of-band -> wait and re-probe, up to PROBE_ATTEMPTS.
     # If the host never settles, proceed anyway but stamp the artifact
     # host_degraded so no one compares its ratios across rounds.
-    PROBE_BAND = {"numpy_matmul_1500_sec": 0.0825, "spark_shuffle_5m_sec": 0.54}
-    PROBE_ATTEMPTS = 6
+    # Bands + attempts are env-overridable (ADVICE r9): the defaults are
+    # THIS VM's calibration — on any other host set the envs (or attempts=1
+    # to skip the retry sleeps) instead of inheriting a gate that fails by
+    # construction and burns minutes of retries.
+    PROBE_BAND = {
+        "numpy_matmul_1500_sec": float(
+            os.environ.get("SPARK_GRAFT_PROBE_NUMPY_BAND", "0.0825")
+        ),
+        "spark_shuffle_5m_sec": float(
+            os.environ.get("SPARK_GRAFT_PROBE_SHUFFLE_BAND", "0.54")
+        ),
+    }
+    PROBE_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_PROBE_ATTEMPTS", "6"))
     attempts = []
     for _try in range(PROBE_ATTEMPTS):
         calibration = _calibrate()
@@ -204,7 +215,28 @@ def main() -> None:
         "in_band": all(calibration[k] <= v for k, v in PROBE_BAND.items()),
     }
 
-    def time_set(names: list[str]) -> dict[str, float]:
+    def _pass_probe() -> dict[str, float]:
+        # single-shot probe STAMP (not a gate): one matmul + one fixed
+        # shuffle job, recorded per timed pass so cross-round comparisons
+        # of individual queries are attributable to host weather (VERDICT
+        # r9: extras drifted 15-45% on an "in-band" host because the gate
+        # probes ran before timing, not during).
+        t = time.perf_counter()
+        _a @ _a
+        np_s = time.perf_counter() - t
+        t = time.perf_counter()
+        _rng.groupBy((_rng.id % 1024).alias("k")).count().write.format(
+            "noop"
+        ).mode("overwrite").save()
+        sp_s = time.perf_counter() - t
+        return {
+            "numpy_matmul_1500_sec": round(np_s, 4),
+            "spark_shuffle_5m_sec": round(sp_s, 4),
+        }
+
+    pass_probes: list[dict] = []
+
+    def time_set(names: list[str], label: str) -> dict[str, float]:
         # INTERLEAVED passes (protocol global-v3): one warm-up pass, then 3
         # timed passes over the WHOLE set, median per query ACROSS passes.
         # Back-to-back per-query sampling (v2) put all 3 of a query's
@@ -218,6 +250,8 @@ def main() -> None:
 
         runs: dict[str, list[float]] = {n: [] for n in names}
         for p in range(4):  # pass 0 = warm-up, discarded
+            if p > 0:
+                pass_probes.append({"set": label, "pass": p, **_pass_probe()})
             for name in names:
                 fn = qs[name]
                 t0 = time.perf_counter()
@@ -236,6 +270,22 @@ def main() -> None:
             plans.release_outstanding()
         return {n: round(statistics.median(v), 4) for n, v in runs.items()}
 
+    # Deterministic graph-INDEX prebuild (VERDICT r9 item 2c): the graph
+    # family shares session-cached NN-descent indexes; whichever query ran
+    # first paid the 8-round build, so its recorded time was cache-order-
+    # dependent across rounds.  Build the indexes in a FIXED order before
+    # any warm/timed execution and stamp the cost separately — every timed
+    # graph query then measures warm search, every round.
+    GRAPH_PREBUILD = [
+        "q_d3_hnsw_descent",  # base-layer full-corpus graph (shared)
+        "q_d3_hnsw_multilayer",  # + mod-stride upper layers
+        "q_d3_graph_insert",  # + the base90-split graph
+    ]
+    _t0 = time.perf_counter()
+    for _name in GRAPH_PREBUILD:
+        qs[_name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    graph_prebuild_sec = round(time.perf_counter() - _t0, 4)
+
     # Global warm pass: one untimed execution of every query BEFORE any
     # timing starts.  The per-query warm-up below only warms that query's
     # own plan; JIT compilation of shared codegen/shuffle paths otherwise
@@ -246,9 +296,15 @@ def main() -> None:
     for _name in HEADLINE + SHOWCASE:
         qs[_name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    timings = time_set(HEADLINE)
-    extra = time_set(SHOWCASE)
+    timings = time_set(HEADLINE, "headline")
+    extra = time_set(SHOWCASE, "showcase")
     total = round(sum(timings.values()), 4)
+    # KEY ORDER matters downstream (VERDICT r9 item 2b): the driver's
+    # capture keeps the TAIL of long output lines — BENCH_r09 lost the 17
+    # headline timings to head truncation because "queries" came first.
+    # The headline per-query map therefore goes LAST, after the larger
+    # extras map, so whatever survives truncation includes the numbers the
+    # cross-round comparison actually needs.
     print(
         json.dumps(
             {
@@ -260,11 +316,14 @@ def main() -> None:
                 ),
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "extra_queries": extra,
                 "calibration": calibration,
                 "probe_gate": probe_gate,
                 "host_degraded": not probe_gate["in_band"],
+                # per-timed-pass probe stamps (VERDICT r9 item 2a): host
+                # weather DURING timing, so cross-round drift on individual
+                # queries is attributable without re-running
+                "pass_probes": pass_probes,
+                "graph_prebuild_sec": graph_prebuild_sec,
                 "impl_tags": IMPL_TAGS,
                 # protocol-correct comparison anchor (see RESTATED_* note)
                 "r1_baseline_sec": R1_BASELINE_SEC,
@@ -278,9 +337,15 @@ def main() -> None:
                 # detect protocol changes mechanically: v2 (round 4) added the
                 # global warm pass; v3 (round 7) interleaves the timed passes
                 # across the whole set so per-query medians are robust to the
-                # host's multi-minute slow phases (see SCALING.md 8f)
-                "warm_protocol": "global-v3-interleaved",
+                # host's multi-minute slow phases (see SCALING.md 8f);
+                # v3.1 (round 10) adds the deterministic graph prebuild +
+                # per-pass probe stamps — timing semantics of each query
+                # unchanged except graph-family first-toucher build cost,
+                # which now lands in graph_prebuild_sec by construction
+                "warm_protocol": "global-v3.1-interleaved",
                 "sf": _sf_from_dir(SF_DIR),
+                "extra_queries": extra,
+                "queries": timings,
             }
         )
     )

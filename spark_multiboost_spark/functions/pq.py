@@ -1393,7 +1393,7 @@ def graph_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
     )
-    edges = _nnd_graph(spark, sf_dir, v, GANN_M)
+    edges = _nnd_graph(spark, sf_dir, v, GANN_M, tag="full")
     enc = pq_encode(spark, sf_dir)
     # per-query subspace distance table: queries x PQ_M x PQ_K rows
     ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")

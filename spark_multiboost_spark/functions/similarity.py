@@ -20,7 +20,6 @@ queries x corpus pairs.
 from __future__ import annotations
 
 import os
-import tempfile
 from typing import Iterator
 
 import numpy as np
@@ -33,7 +32,7 @@ from ..functions.vector import cosine, dot, hamming_packed, norm, sign_bits
 from ..functions.parity import bcount
 from ..plans import release_with
 from ..registry import query
-from ..session import load_tables
+from ..session import load_tables, sf_scratch
 
 K = 5
 N_QUERIES = 100  # query set: vec_id < 100
@@ -1696,13 +1695,27 @@ def _nnd_graph(
     m: int,
     stride: int = 1,
     rounds: int = NND_ROUNDS,
-    tag: str = "",
+    *,
+    tag: str,
 ) -> DataFrame:
     """Cached :func:`_nnd_edges`: return the session's built graph for this
-    (corpus, params) if one exists, else build and remember it.  ``tag``
-    distinguishes builds over different corpus SUBSETS of the same sf_dir
-    (e.g. the insert query's base split) — same params, different rows."""
+    (corpus, params) if one exists, else build and remember it.
+
+    ``tag`` names the MEMBER SET of ``v`` and is mandatory (ADVICE r9: a
+    default-'' tag let a subset caller silently reuse the full-corpus
+    graph).  Callers over the whole embeddings table pass ``"full"``; any
+    filtered/sampled corpus must pick a distinct tag that encodes the
+    subset (e.g. ``"base90"`` for the insert query's 90% split).  The cache
+    key cannot fingerprint ``v``'s rows without running a job per lookup —
+    the explicit tag is the contract, now enforced by the signature.
+
+    Entries whose SparkContext has been stopped are evicted on every call
+    (ADVICE r9: they pinned dead contexts and grew the dict unboundedly
+    across session restarts in one process)."""
     sc = spark.sparkContext
+    for k, (old_sc, _) in list(_NND_CACHE.items()):
+        if old_sc is not sc and getattr(old_sc, "_jsc", None) is None:
+            del _NND_CACHE[k]
     key = (sf_dir, m, stride, rounds, tag)
     hit = _NND_CACHE.get(key)
     if hit is not None and hit[0] is sc:
@@ -1865,7 +1878,7 @@ def graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
     # checkpointed inside _nnd_edges and session-cached (_nnd_graph):
     # reused by every hop AND every other search query on this corpus
-    edges = _nnd_graph(spark, sf_dir, v, GANN_M)
+    edges = _nnd_graph(spark, sf_dir, v, GANN_M, tag="full")
     qv, score = _qv_cv_score(v)
     entries = v.filter(F.col("vec_id") < GANN_ENTRIES).select(
         F.col("vec_id").alias("cid")
@@ -1898,9 +1911,14 @@ def graph_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     reloaded."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-    edges = _nnd_graph(spark, sf_dir, v, GANN_M)
+    edges = _nnd_graph(spark, sf_dir, v, GANN_M, tag="full")
+    # sf- and param-keyed scratch (ADVICE r9): a fixed per-pid path was
+    # overwritten by multi-SF loops in one process while an earlier
+    # lazily-evaluated `reloaded` frame still read it, and never cleaned up;
+    # sf_scratch keys by sf_dir and rmtree's at exit — the graph params key
+    # the leaf so a param change can't alias either
     path = os.path.join(
-        tempfile.gettempdir(), f"smb_gidx_{os.getpid()}", "edges"
+        sf_scratch("gidx", sf_dir), f"edges_m{GANN_M}_r{NND_ROUNDS}"
     )
     edges.write.mode("overwrite").parquet(path)
     reloaded = spark.read.parquet(path)
@@ -2165,7 +2183,7 @@ def graph_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the session index cache."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-    edges = _nnd_graph(spark, sf_dir, v, GANN_M)
+    edges = _nnd_graph(spark, sf_dir, v, GANN_M, tag="full")
     live = edges.filter(F.col("src") % GDEL_MOD != 0)
     aff = (
         live.filter(F.col("dst") % GDEL_MOD == 0).select("src").distinct()
@@ -2276,7 +2294,7 @@ def beam_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     {N_QUERIES}-query set."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-    edges = _nnd_graph(spark, sf_dir, v, GANN_M)
+    edges = _nnd_graph(spark, sf_dir, v, GANN_M, tag="full")
     qv, score = _qv_cv_score(v)
     entries = v.filter(F.col("vec_id") < GANN_ENTRIES).select(
         F.col("vec_id").alias("cid")
@@ -2407,10 +2425,10 @@ def hnsw_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     set via :func:`_pairs`."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-    edges0 = _nnd_graph(spark, sf_dir, v, GANN_M)
+    edges0 = _nnd_graph(spark, sf_dir, v, GANN_M, tag="full")
     edges1 = _nnd_graph(
         spark, sf_dir, v.filter(F.col("vec_id") % HNSW_F == 0),
-        HNSW_M1, HNSW_F, NND_UPPER_ROUNDS,
+        HNSW_M1, HNSW_F, NND_UPPER_ROUNDS, tag=f"mod{HNSW_F}",
     )
     qv, score = _qv_cv_score(v)
 
@@ -2561,14 +2579,14 @@ def hnsw_multilayer(spark: SparkSession, sf_dir: str) -> DataFrame:
     {N_QUERIES}-query set."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
-    edges0 = _nnd_graph(spark, sf_dir, v, GANN_M)
+    edges0 = _nnd_graph(spark, sf_dir, v, GANN_M, tag="full")
     edges1 = _nnd_graph(
         spark, sf_dir, v.filter(F.col("vec_id") % HNSW_F == 0),
-        HNSW_M1, HNSW_F, NND_UPPER_ROUNDS,
+        HNSW_M1, HNSW_F, NND_UPPER_ROUNDS, tag=f"mod{HNSW_F}",
     )
     edges2 = _nnd_graph(
         spark, sf_dir, v.filter(F.col("vec_id") % HNSW_F2 == 0),
-        HNSW_M2, HNSW_F2, NND_UPPER_ROUNDS,
+        HNSW_M2, HNSW_F2, NND_UPPER_ROUNDS, tag=f"mod{HNSW_F2}",
     )
     qv, score = _qv_cv_score(v)
 

@@ -284,7 +284,18 @@ def best_stump_row(zs: DataFrame) -> DataFrame:
     summation-order bits.  Sub-1e-9 gaps collapse to the (feature,
     threshold) tiebreak, which compares stored values bit-identically;
     genuine gaps (measured 1e-5 on the single-label fixture) are
-    unaffected.  The REPORTED z stays raw."""
+    unaffected.  The REPORTED z stays raw.
+
+    Caveat (ADVICE r9): quantization is a PROBABILITY REDUCTION, not an
+    elimination — two engines' z values ~1ulp apart can still straddle a
+    1e-9 bucket boundary and flip the argmin.  The window shrinks from
+    "any summation-order difference decides" to "only differences that
+    cross a bucket edge decide" (~1e-16/1e-9 ≈ 1e-7 of key space per tie
+    candidate); the fixtures' observed gap structure (exact ties or
+    ≥1e-5) keeps the residual risk off both measured regimes.  A coarser
+    bucket (1e-6) would provably clear cross-engine drift for the
+    measured gaps but costs genuine sub-1e-6 distinctions on unseen data
+    — 1e-9 is the chosen trade, not a guarantee."""
     zq = F.floor(F.col("z") * 1e9 + 0.5)
     return zs.orderBy(zq, "feature", "threshold").limit(1)
 

@@ -10,13 +10,12 @@ SURVEY §2.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
-from ..session import load_tables
+from ..session import load_tables, sf_scratch
 from . import boosting
 
 K = 10
@@ -611,7 +610,7 @@ def train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13: model persistence — stump table parquet round-trip."""
     sdf = boosting.stumps_to_df(spark, _STUMPS_FIXED)
-    path = os.path.join(tempfile.mkdtemp(prefix="smb_model_"), "stumps")
+    path = os.path.join(sf_scratch("model", sf_dir), "stumps")
     sdf.write.mode("overwrite").parquet(path)
     back = spark.read.parquet(path)
     return back.select(
@@ -642,7 +641,7 @@ def text_parser_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet original (n_mismatch is asserted 0 by the test suite and
     observable in the output)."""
     emb = _emb(spark, sf_dir)
-    path = os.path.join(tempfile.mkdtemp(prefix="smb_mlp_"), "points_txt")
+    path = os.path.join(sf_scratch("mlp", sf_dir), "points_txt")
     (
         emb.select(
             F.concat_ws(
@@ -701,7 +700,7 @@ def sparse_parser_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding", lambda x: F.when(F.abs(x) >= 0.13, x).otherwise(F.lit(0.0))
         ).alias("svec"),
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="smb_sparse_"), "points_txt")
+    path = os.path.join(sf_scratch("sparse", sf_dir), "points_txt")
     entry_strs = F.filter(
         F.transform(
             "svec",
@@ -1625,10 +1624,11 @@ def estimator_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     emb4 = emb.withColumn("embedding", F.slice("embedding", 1, D7_FEATS))
     model = AdaBoostMHClassifier(numRounds=D7_ROUNDS, numClasses=K).fit(emb4)
-    # fixed per-process path + overwrite (ADVICE r8): a fresh mkdtemp per
-    # invocation leaked one temp dir per run across stability loops and
-    # driver rounds
-    path = os.path.join(tempfile.gettempdir(), f"smb_d7_{os.getpid()}", "stumps")
+    # per-(process, sf_dir) scratch + overwrite (ADVICE r8/r9): bounded
+    # growth across stability loops, collision-free under pid reuse,
+    # sf-keyed so multi-SF loops can't clobber a lazily-read model,
+    # rmtree'd at exit (session.sf_scratch)
+    path = os.path.join(sf_scratch("d7", sf_dir), "stumps")
     model.stumps_df.write.mode("overwrite").parquet(path)
     reloaded = spark.read.parquet(path)
     return boosting.score_model(emb4, reloaded).select(
@@ -1700,9 +1700,7 @@ def estimator_multilabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = AdaBoostMHClassifier(
         numRounds=D7_ROUNDS, numClasses=K, labelSetCol="labels"
     ).fit(emb4)
-    path = os.path.join(
-        tempfile.gettempdir(), f"smb_d7ml_{os.getpid()}", "stumps"
-    )
+    path = os.path.join(sf_scratch("d7ml", sf_dir), "stumps")
     model.stumps_df.write.mode("overwrite").parquet(path)
     reloaded = spark.read.parquet(path)
     return boosting.score_model(emb4, reloaded).select(

@@ -12,7 +12,9 @@ Design notes (100 TB posture):
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import zipfile
 
@@ -34,6 +36,44 @@ TABLES = [
 ]
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+#: kind -> this process's scratch dir for that kind (lazily created).
+_PROC_TMPDIRS: dict[str, str] = {}
+
+
+def proc_tmpdir(kind: str) -> str:
+    """One scratch directory per (process, kind), deleted at interpreter exit.
+
+    Replaces the ``smb_<kind>_<pid>`` fixed paths (ADVICE r9): ``mkdtemp``
+    makes the path collision-free under pid reuse / shared hosts, reuse
+    within the process keeps growth bounded across stability loops (the
+    ADVICE-r8 property), and the ``atexit`` rmtree removes the leak the
+    fixed-path scheme never cleaned up.  Callers write with
+    ``mode("overwrite")`` beneath it, so repeated query runs stay bounded.
+    """
+    d = _PROC_TMPDIRS.get(kind)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix=f"smb_{kind}_")
+        _PROC_TMPDIRS[kind] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def sf_scratch(kind: str, sf_dir: str) -> str:
+    """Per-(process, kind, sf_dir) scratch dir for query-internal round-trips.
+
+    Scratch parquet/text a query writes and reads back LAZILY must be keyed
+    by sf_dir (ADVICE r9): multi-SF loops in one process (stability sweeps,
+    3-SF verification) would otherwise overwrite the files an earlier
+    still-unevaluated result DataFrame reads.  Growth stays bounded by the
+    number of distinct SFs a process touches (callers overwrite within)."""
+    import hashlib
+
+    leaf = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    d = os.path.join(proc_tmpdir(kind), leaf)
+    os.makedirs(d, exist_ok=True)
+    return d
 
 
 def get_spark(app_name: str = "spark_multiboost_spark") -> SparkSession:
