@@ -248,7 +248,17 @@ FROM ranked WHERE rank <= {K}
 ORDER BY qid, rank
 """
 
-query("q_d3_topk_cosine", oracle=_TOPK_ORACLE, group="D")(topk_cosine)
+query(
+    "q_d3_topk_cosine",
+    oracle=_TOPK_ORACLE,
+    group="D",
+    doc=(
+        "D3 baseline: exact brute-force cosine top-k — one Arrow "
+        "mapInPandas pass over the corpus with map-side partial top-k "
+        "against the broadcast query set; the recall oracle every "
+        "approximate index (IVF/PQ/graph) is measured against."
+    ),
+)(topk_cosine)
 
 
 def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -507,7 +517,17 @@ def _ivf_ann_headline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_arrow(spark, sf_dir)
 
 
-query("q_d3_ivf_ann", oracle=_IVF_ORACLE, group="D")(_ivf_ann_headline)
+query(
+    "q_d3_ivf_ann",
+    oracle=_IVF_ORACLE,
+    group="D",
+    doc=(
+        "D3: IVF approximate NN, Arrow implementation (headline since r5; "
+        "same oracle as the declarative twin q_d3_ivf_ann_catalyst) — "
+        "assign to Voronoi cells, probe the top cells per query, blocked "
+        "numpy matmul inside mapInPandas."
+    ),
+)(_ivf_ann_headline)
 query("q_d3_ivf_ann_catalyst", oracle=_IVF_ORACLE, group="D")(ivf_ann)
 
 

@@ -3587,6 +3587,56 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BUDGET_NUM, BUDGET_DEN = 3, 4  # global budget = 3/4 of the corpus
 
+
+def budget_quota(d) -> "DataFrame":
+    """The exact integer waterfill shared by q_d5_budget_sample and its
+    streaming twin (q_c20): per-language quota = min(n_lang, L) where L is
+    the largest integer with Σ min(n_l, L) ≤ budget, found in closed form
+    from the |languages|-sized supply breakpoints — pure integer arithmetic
+    on counts, bit-identical across engines and execution modes.  Returns
+    (lang, quota); every frame here is |languages|-sized, so the whole
+    computation broadcasts at any corpus scale."""
+    cnt = d.groupBy("lang").agg(bcount().alias("n"))
+    budget = d.agg(
+        F.expr(f"(count(1) * {BUDGET_NUM}) DIV {BUDGET_DEN}").alias("budget")
+    )
+    c1 = cnt.select(F.col("n").alias("lev")).distinct()
+    bp = (
+        c1.crossJoin(cnt.select(F.col("n").alias("n2")))
+        .groupBy("lev")
+        .agg(
+            F.sum(F.least(F.col("n2"), F.col("lev"))).alias("t"),
+            F.sum(F.when(F.col("n2") > F.col("lev"), 1).otherwise(0)).alias(
+                "n_above"
+            ),
+        )
+        .unionAll(
+            cnt.agg(
+                F.lit(0).cast("bigint").alias("lev"),
+                F.lit(0).cast("bigint").alias("t"),
+                F.count(F.lit(1)).alias("n_above"),
+            )
+        )
+    )
+    base = (
+        bp.crossJoin(F.broadcast(budget))
+        .filter(F.col("t") <= F.col("budget"))
+        .orderBy(F.col("lev").desc())
+        .limit(1)
+    )
+    lvl = base.select(
+        (
+            F.col("lev")
+            + F.when(
+                F.col("n_above") > 0,
+                F.expr("(budget - t) DIV n_above"),
+            ).otherwise(F.lit(0))
+        ).alias("level")
+    )
+    return cnt.crossJoin(F.broadcast(lvl)).select(
+        "lang", F.least(F.col("n"), F.col("level")).alias("quota")
+    )
+
 _BUDGET_SAMPLE_ORACLE = f"""
 WITH d AS (SELECT doc_id, lang, n_chars FROM documents
 ), cnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY lang
@@ -3652,47 +3702,7 @@ def budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-group-limit shape as the top-k queries — one shuffle by lang,
     nothing global."""
     d = load_tables(spark, sf_dir)["documents"]
-    cnt = d.groupBy("lang").agg(bcount().alias("n"))
-    budget = d.agg(
-        F.expr(f"(count(1) * {BUDGET_NUM}) DIV {BUDGET_DEN}").alias("budget")
-    )
-    c1 = cnt.select(F.col("n").alias("lev")).distinct()
-    bp = (
-        c1.crossJoin(cnt.select(F.col("n").alias("n2")))
-        .groupBy("lev")
-        .agg(
-            F.sum(F.least(F.col("n2"), F.col("lev"))).alias("t"),
-            F.sum(F.when(F.col("n2") > F.col("lev"), 1).otherwise(0)).alias(
-                "n_above"
-            ),
-        )
-        .unionAll(
-            cnt.agg(
-                F.lit(0).cast("bigint").alias("lev"),
-                F.lit(0).cast("bigint").alias("t"),
-                F.count(F.lit(1)).alias("n_above"),
-            )
-        )
-    )
-    base = (
-        bp.crossJoin(F.broadcast(budget))
-        .filter(F.col("t") <= F.col("budget"))
-        .orderBy(F.col("lev").desc())
-        .limit(1)
-    )
-    lvl = base.select(
-        (
-            F.col("lev")
-            + F.when(
-                F.col("n_above") > 0,
-                F.expr("(budget - t) DIV n_above"),
-            ).otherwise(F.lit(0))
-        ).alias("level")
-    )
-    quota = (
-        cnt.crossJoin(F.broadcast(lvl))
-        .select("lang", F.least(F.col("n"), F.col("level")).alias("quota"))
-    )
+    quota = budget_quota(d)
     w = Window.partitionBy("lang").orderBy(F.col("priority").desc(), "doc_id")
     ranked = (
         d.select("doc_id", "lang", priority_col().alias("priority"))

@@ -65,76 +65,81 @@ _QUERY_MODULES = [
 
 #: query-level window rotation.  The driver's correctness gate checks the
 #: FIRST 50 registry entries each round (50 in every CORRECTNESS_r0*.json),
-#: so these names are surfaced ahead of everything else.  Round-9 window =
-#: EXACTLY 50 names (ADVICE r8: the r8 list had 54 pre-boundary entries, so
-#: its last 4 intended re-checks were silently never driver-checked —
-#: tests/test_registry_window.py now pins the invariant):
-#:   1. the queries whose bodies/oracles CHANGED this round (graph-ANN
-#:      family rebuilt at 8 NN-descent rounds + wider beam, VERDICT r8
-#:      item 1; quantized argmin rank; D7 twins) plus the round-11
-#:      additions (multi-label D7, beam-width sweep) — a change regression
-#:      must surface immediately;
-#:   2. the 5 re-checks the r8 overflow displaced (VERDICT r8 item 4);
-#:   3. regression re-checks of the STALEST driver evidence: 23 r1-era
-#:      B/ext greens (last checked in CORRECTNESS_r01) + 7 r3-era A-group
-#:      greens (the ML family the argmin change is nearest to).
+#: so these names are surfaced ahead of everything else.  Round-10 window =
+#: EXACTLY 50 names (tests/test_registry_window.py pins the invariant),
+#: rotated per VERDICT r9 item 1 to the STALEST driver evidence:
+#:   1. queries whose bodies CHANGED this round — the new streaming budget
+#:      sampler + its refactored batch twin (budget_quota extraction), the
+#:      sf_scratch path moves (graph persist, D7 model round-trips), and
+#:      the replay-dir reuse (stream_dedup's own dup copy; watermark
+#:      query as the representative plain consumer);
+#:   2. the 10 r1-era greens never driver-rechecked since CORRECTNESS_r01;
+#:   3. q_b28_map_funcs (judge-named r4 straggler);
+#:   4. 32 of the 34 r3-era greens (everything except the two a12
+#:      rows-only sampled-training queries, whose exact seed-42 stump
+#:      determinism is pinned by pytest — the weakest marginal value for a
+#:      rows-only driver slot).  q_a13_model_roundtrip and the two a1
+#:      parser round-trips double as group-1 members (sf_scratch paths).
 #: Names not listed keep registration order behind these; unknown names
 #: are ignored (module bring-up safety).
 _PRIORITY = [
     # 1 — changed/new this round
-    "q_d7_estimator_multilabel",
-    "q_d3_nn_descent",
-    "q_d3_graph_ann",
-    "q_d3_hnsw_descent",
-    "q_d3_hnsw_multilayer",
-    "q_d7_estimator_scored",
-    "q_a6_best_stump",
-    "q_d3_beam_width_sweep",
-    "q_c19_streaming_priority_sample",
-    "q_d3_graph_index_persist",
-    "q_d3_graph_insert",
-    "q_d3_graph_delete",
-    "q_d3_graph_pq_search",
+    "q_c20_streaming_budget_sample",
     "q_d5_budget_sample",
-    "q_d3_pq_refresh_churn",
-    # 2 — the five re-checks displaced past the r8 boundary
-    "q_c3_session_window",
-    "q_d4_token_tf",
-    "q_d5_langid",
-    "q_d6_binary_length",
-    "q_comp_top_customers",
-    # 3a — stalest greens: r1-era B/ext, untouched by any window since
-    "q_b01_scan_projection",
-    "q_b04_filter_predicates",
-    "q_b07_full_outer_nation_supplier",
-    "q_b07_left_join_order_counts",
-    "q_b08_semi_join",
-    "q_b09_cross_join",
-    "q_b12_count_distinct",
-    "q_b14_rollup",
-    "q_b15_having",
-    "q_b17_lag_lead",
-    "q_b19_topk_orders",
-    "q_b21_union_all",
-    "q_b22_except_all",
-    "q_b22_intersect_all",
-    "q_b23_regexp",
-    "q_b24_datetime",
-    "q_b25_math",
-    "q_b26_conditional",
-    "q_b27_explode",
-    "q_b30_correlated_scalar",
-    "q_b30_in_subquery",
-    "q_b32_pivot",
-    "q_ext_dist_rank",
-    # 3b — r3-era A-group greens (nearest neighbors of the argmin change)
-    "q_a1_scan_embeddings",
-    "q_a2_weight_init",
-    "q_a3_stump_candidates",
-    "q_a4_prefix_weights",
-    "q_a4_prefix_weights_salted",
-    "q_a7_stump_predict",
-    "q_a8_weight_update",
+    "q_d3_graph_index_persist",
+    "q_c5_stream_dedup",
+    "q_c4_watermark_tumbling",
+    "q_d7_estimator_scored",
+    "q_d7_estimator_multilabel",
+    # 2 — r1-era greens, last driver-checked in CORRECTNESS_r01
+    "q_b09_theta_join",
+    "q_b12_distinct",
+    "q_b13_approx_count_distinct",
+    "q_b14_cube",
+    "q_b21_union_distinct",
+    "q_b23_strings",
+    "q_b29_variant",
+    "q_b33_unpivot",
+    "q_b34_sample",
+    "q_ext_try_funcs",
+    # 3 — judge-named r4 straggler
+    "q_b28_map_funcs",
+    # 4 — r3-era greens (last driver-checked in CORRECTNESS_r03)
+    "q_a13_model_roundtrip",
+    "q_a1_text_parser",
+    "q_a1_sparse_parser",
+    "q_a10_train_loop",
+    "q_a11_margin_distribution",
+    "q_a11_micro_prf",
+    "q_a5_abstain_stump_z",
+    "q_a5_sparse_stump_z",
+    "q_comp_forecast_revenue",
+    "q_comp_idle_rich_customers",
+    "q_comp_local_supplier_volume",
+    "q_comp_market_share",
+    "q_comp_pretrain_pipeline",
+    "q_comp_returned_items",
+    "q_comp_shipping_priority",
+    "q_comp_volume_shipping",
+    "q_d2_chunk_dedup",
+    "q_d2_dup_clusters",
+    "q_d2_embedding_neardup",
+    "q_d2_mllib_minhash",
+    "q_d2_ngram_jaccard",
+    "q_d2_removal_rate",
+    "q_d2_semantic_dedup",
+    "q_d2_simhash",
+    "q_d3_bucketed_ann",
+    # (q_d3_ivf_ann_arrow's r3 row is a renamed query — its impl is the
+    # current q_d3_ivf_ann, checked r8; the freed slot goes to the
+    # next-stalest r4 green)
+    "q_b08_anti_join",
+    "q_d3_ivf_recall",
+    "q_d3_knn_label_agreement",
+    "q_ext_hypertable_rollup",
+    "q_ext_range_join",
+    "q_ext_salted_agg",
+    "q_ext_stats_agg",
 ]
 
 #: the driver checks exactly this many entries per round; _PRIORITY must

@@ -55,11 +55,12 @@ def test_c6_stateful_final_counts(spark, sf_dir):
     assert got == expected
 
 
-def test_c4_true_late_row_dropped(spark, sf_dir):
+def test_c4_true_late_row_dropped(spark, sf_dir, tmp_path):
     """A row arriving AFTER the watermark passed its window must be dropped
     in append mode — the actual late-data semantics, not just replay
     equivalence."""
     import os
+    import shutil
 
     import pandas as pd
 
@@ -69,9 +70,15 @@ def test_c4_true_late_row_dropped(spark, sf_dir):
         _run_to_memory,
     )
 
-    path = _replay_dir(spark, sf_dir)
-    files = sorted(os.listdir(path))
-    first = pd.read_parquet(os.path.join(path, files[0]))
+    # the replay dir is sf-keyed and REUSED across queries (round 10):
+    # inject the late file into this test's own copy, never in place
+    src = _replay_dir(spark, sf_dir)
+    path = str(tmp_path / "events_late")
+    os.makedirs(path)
+    files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    for f in files:
+        shutil.copy(os.path.join(src, f), os.path.join(path, f))
+    first = pd.read_parquet(os.path.join(src, files[0]))
     # craft a late event: timestamp at the very start of the stream, but
     # arriving in a file AFTER every on-time file (watermark long past it)
     late = first.iloc[[0]].copy()
@@ -380,6 +387,42 @@ def test_c19_streaming_priority_sample_equals_batch(spark, sf_dir):
     assert [float(x) for x in final["priority"]] == [
         float(x) for x in batch["priority"]
     ]
+
+
+def test_c20_streaming_budget_sample_equals_batch(spark, sf_dir):
+    """The streaming budget sampler's FINAL per-language admitted set (rows
+    at the max n_seen per lang) must equal the batch q_d5_budget_sample
+    exactly — the quota table is static and priority admission is
+    order-independent, so micro-batch boundaries must not change the
+    sample.  Also pins the bounded-state contract: every language's final
+    set is exactly its quota (each fixture language saturates or caps)."""
+    out = (
+        all_queries()["q_c20_streaming_budget_sample"]
+        .fn(spark, sf_dir)
+        .toPandas()
+    )
+    final = out[
+        out["n_seen"] == out.groupby("lang")["n_seen"].transform("max")
+    ].sort_values(["lang", "rk"]).reset_index(drop=True)
+    batch = (
+        all_queries()["q_d5_budget_sample"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["lang", "rk"])
+        .reset_index(drop=True)
+    )
+    assert len(final) == len(batch) > 0
+    assert list(final["lang"]) == list(batch["lang"])
+    assert list(final["quota"]) == list(batch["quota"])
+    assert list(final["rk"]) == list(batch["rk"])
+    assert list(final["doc_id"]) == list(batch["doc_id"])
+    assert [float(x) for x in final["priority"]] == [
+        float(x) for x in batch["priority"]
+    ]
+    # bounded state: per-lang admitted rows == quota exactly
+    sizes = final.groupby("lang").size()
+    quotas = final.groupby("lang")["quota"].first()
+    assert (sizes == quotas).all()
 
 
 def test_c14_streaming_topk_equals_batch(spark, sf_dir):
