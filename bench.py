@@ -107,6 +107,10 @@ SHOWCASE = [
     "q_d3_graph_pq_search",
     "q_d5_budget_sample",
     "q_d3_pq_refresh_churn",
+    # round-12 flagship: the adaptive-beam early-termination gauge (the
+    # streaming budget twin q_c20 is deliberately NOT benched — no group-C
+    # query is: availableNow stream startup would dominate its timing)
+    "q_d3_adaptive_beam",
 ]
 
 

@@ -2347,6 +2347,266 @@ def beam_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("beam_width")
 
 
+def _adaptive_beam_oracle() -> str:
+    """Generated oracle for the adaptive-beam gauge: one shared graph,
+    one unrolled beam search that ALSO materializes, per hop, the beam's
+    worst admitted score and the visited-set recall — then derives each
+    query's adaptive stop hop (first hop whose worst admitted score fails
+    to improve) with a LAG window, exactly as the Spark side does."""
+    h_last = GANN_HOPS
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+), {_nnd_edges_sql("edges", GANN_M)}
+, q AS (SELECT vec_id AS qid FROM e WHERE vec_id < {N_QUERIES}
+), ab_v0 AS (
+  SELECT q.qid, en.vec_id AS cid
+  FROM q CROSS JOIN (SELECT vec_id FROM e WHERE vec_id < {GANN_ENTRIES}) en
+), ab_bf AS MATERIALIZED (
+  SELECT qid, cid FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC,
+                      b.vec_id) AS rk
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+    WHERE a.vec_id < {N_QUERIES}
+  ) WHERE rk <= {K}
+)"""
+    ]
+    for h in range(h_last + 1):
+        parts.append(
+            f""", ab_s{h} AS MATERIALIZED (
+  SELECT v.qid, v.cid, list_cosine_similarity(eq.embedding, ec.embedding) AS cos
+  FROM ab_v{h} v JOIN e eq ON eq.vec_id = v.qid JOIN e ec ON ec.vec_id = v.cid
+), ab_w{h} AS (
+  SELECT qid, MIN(cos) AS worst FROM (
+    SELECT qid, cos,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+    FROM ab_s{h}) WHERE rk <= {GANN_B} GROUP BY qid
+), ab_hits{h} AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+    FROM ab_s{h} WHERE qid <> cid) WHERE rk <= {K}
+), ab_row{h} AS (
+  SELECT w.qid, {h} AS hop, w.worst, v.n_visited, ha.n_hits
+  FROM ab_w{h} w
+  JOIN (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_visited
+        FROM ab_s{h} WHERE qid <> cid GROUP BY qid) v ON v.qid = w.qid
+  JOIN (SELECT h.qid,
+               CAST(SUM(CASE WHEN bf.cid IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits
+        FROM ab_hits{h} h
+        LEFT JOIN ab_bf bf ON bf.qid = h.qid AND bf.cid = h.cid
+        GROUP BY h.qid) ha ON ha.qid = w.qid
+)"""
+        )
+        if h < h_last:
+            parts.append(
+                f""", ab_b{h} AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+    FROM ab_s{h}) WHERE rk <= {GANN_B}
+), ab_v{h + 1} AS (
+  SELECT DISTINCT qid, cid FROM (
+    SELECT qid, cid FROM ab_v{h}
+    UNION ALL
+    SELECT b.qid, ed.dst AS cid FROM ab_b{h} b JOIN edges ed ON ed.src = b.cid)
+)"""
+            )
+    rows_union = "\n    UNION ALL ".join(
+        f"SELECT * FROM ab_row{h}" for h in range(h_last + 1)
+    )
+    parts.append(
+        f""", ab_long AS MATERIALIZED (
+    {rows_union}
+), ab_flag AS (
+  SELECT qid, hop, worst, n_visited, n_hits,
+         LAG(worst) OVER (PARTITION BY qid ORDER BY hop) AS prev_worst
+  FROM ab_long
+), ab_stop AS (
+  SELECT qid,
+         COALESCE(MIN(CASE WHEN hop >= 1 AND worst <= prev_worst
+                           THEN hop END), {h_last}) AS stop_hop
+  FROM ab_flag GROUP BY qid
+), ab_pick AS (
+  SELECT s.stop_hop, l.qid, l.n_visited, l.n_hits, f.n_visited AS full_visited
+  FROM ab_stop s
+  JOIN ab_long l ON l.qid = s.qid AND l.hop = s.stop_hop
+  JOIN ab_long f ON f.qid = s.qid AND f.hop = {h_last}
+)
+SELECT CAST(stop_hop AS BIGINT) AS stop_hop,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       FLOOR(CAST(SUM(n_hits) AS DOUBLE) / (COUNT(*) * {K}) * 1e6 + 0.5) / 1e6
+         AS mean_recall,
+       FLOOR(CAST(SUM(n_visited) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+         AS mean_visited_stop,
+       FLOOR(CAST(SUM(full_visited) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) / 1e6
+         AS mean_visited_full
+FROM ab_pick GROUP BY stop_hop
+ORDER BY stop_hop
+"""
+    )
+    return "".join(parts)
+
+
+@query("q_d3_adaptive_beam", oracle=_adaptive_beam_oracle(), group="D")
+def adaptive_beam_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 (cont.): ADAPTIVE-BEAM EARLY-TERMINATION GAUGE (VERDICT r9 item
+    5): instead of a blanket wider beam, measure what a convergence-based
+    stop rule would buy — per query, track the beam's WORST admitted score
+    at each hop and stop at the first hop where it fails to improve (the
+    classic HNSW/best-first termination test, expressed per hop).  Output:
+    per stop hop, how many queries stop there, the recall@{K} they get at
+    that stop, and their visit counts at stop vs running all {GANN_HOPS}
+    hops — i.e. exactly how much visit budget adaptive termination saves
+    and what recall it costs, the number that decides whether to ship the
+    adaptive rule.  Measured at sf0.01: 95/100 queries improve through
+    every hop (recall 0.615 @ 172.8 visits); the 5 that stall at hop 1
+    would save ~130 visits each but read recall 0.04 — on this
+    structure-free fixture recall is visit-budget-bound (NEXT.md r9), so
+    the adaptive rule correctly almost never fires and SHOULD NOT ship;
+    on clustered real embeddings the stall point is where it pays.
+
+    Determinism: worst-admitted is MIN over the top-{GANN_B} raw cosines
+    (both engines compute them bit-identically; no accumulation), the stop
+    rule compares two such doubles, and every mean is one exact-integer
+    SUM divided once and 6dp-quantized.
+
+    Scale shape: the graph comes from the session cache (never rebuilt);
+    the per-hop scoring/rank frames are the SAME ones the plain search
+    computes — the gauge adds only per-hop (qid, worst, n_visited, n_hits)
+    rows, ≤ (hops+1)·|queries| of them; each hop localCheckpoints its
+    scored frame (multi-branch iterative-lineage invariant) so the
+    (hops+1)-branch union's plan stays one hop deep."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = emb.select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+    edges = _nnd_graph(spark, sf_dir, v, GANN_M, tag="full")
+    qv, score = _qv_cv_score(v)
+    entries = v.filter(F.col("vec_id") < GANN_ENTRIES).select(
+        F.col("vec_id").alias("cid")
+    )
+    v0 = qv.select("qid").crossJoin(F.broadcast(entries))
+    bf = (
+        _pairs(spark, sf_dir)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "cid")
+            ),
+        )
+        .filter(F.col("rk") <= K)
+        .select("qid", F.col("cid").alias("bf_cid"))
+        .localCheckpoint(eager=True)
+    )
+    wb = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    ed = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
+
+    visited = v0
+    long_rows = None
+    for h in range(GANN_HOPS + 1):
+        # checkpoint per hop: the long frame keeps one branch per hop, so
+        # un-truncated lineage would stack every prior hop into each branch
+        s_h = score(visited).localCheckpoint(eager=True)
+        ranked = s_h.withColumn("rk", F.row_number().over(wb))
+        worst_h = (
+            ranked.filter(F.col("rk") <= GANN_B)
+            .groupBy("qid")
+            .agg(F.min("cos").alias("worst"))
+        )
+        s_ns = s_h.filter(F.col("qid") != F.col("cid"))
+        vis_h = s_ns.groupBy("qid").agg(bcount().alias("n_visited"))
+        hits_h = (
+            s_ns.withColumn("rk", F.row_number().over(wb))
+            .filter(F.col("rk") <= K)
+            .select("qid", "cid")
+        )
+        hit_h = (
+            hits_h.join(
+                bf,
+                (hits_h["qid"] == bf["qid"]) & (hits_h["cid"] == bf["bf_cid"]),
+                "left",
+            )
+            .select(hits_h["qid"].alias("qid"), "bf_cid")
+            .groupBy("qid")
+            .agg(
+                F.sum(F.when(F.col("bf_cid").isNotNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_hits")
+            )
+        )
+        row_h = (
+            worst_h.join(vis_h, "qid")
+            .join(hit_h, "qid")
+            .select(
+                "qid", F.lit(h).cast("bigint").alias("hop"),
+                "worst", "n_visited", "n_hits",
+            )
+        )
+        long_rows = row_h if long_rows is None else long_rows.unionAll(row_h)
+        if h < GANN_HOPS:
+            bm = ranked.filter(F.col("rk") <= GANN_B).select("qid", "cid")
+            exp = bm.join(ed, bm["cid"] == ed["e_src"]).select(
+                "qid", F.col("e_dst").alias("cid")
+            )
+            visited = visited.unionAll(exp).distinct()
+
+    wh = Window.partitionBy("qid").orderBy("hop")
+    flagged = long_rows.withColumn("prev_worst", F.lag("worst").over(wh))
+    stop = flagged.groupBy("qid").agg(
+        F.coalesce(
+            F.min(
+                F.when(
+                    (F.col("hop") >= 1) & (F.col("worst") <= F.col("prev_worst")),
+                    F.col("hop"),
+                )
+            ),
+            F.lit(GANN_HOPS).cast("bigint"),
+        ).alias("stop_hop")
+    )
+    at_stop = stop.join(
+        long_rows.select("qid", "hop", "n_visited", "n_hits"),
+        (stop["qid"] == long_rows["qid"]) & (stop["stop_hop"] == long_rows["hop"]),
+    ).select(stop["qid"].alias("qid"), "stop_hop", "n_visited", "n_hits")
+    full = long_rows.filter(F.col("hop") == GANN_HOPS).select(
+        F.col("qid").alias("f_qid"), F.col("n_visited").alias("full_visited")
+    )
+    picked = at_stop.join(full, at_stop["qid"] == full["f_qid"])
+    return (
+        picked.groupBy("stop_hop")
+        .agg(
+            bcount().alias("n_queries"),
+            (
+                F.floor(
+                    F.sum("n_hits").cast("double")
+                    / (F.count(F.lit(1)) * K)
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("mean_recall"),
+            (
+                F.floor(
+                    F.sum("n_visited").cast("double") / F.count(F.lit(1)) * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("mean_visited_stop"),
+            (
+                F.floor(
+                    F.sum("full_visited").cast("double") / F.count(F.lit(1)) * 1e6
+                    + 0.5
+                )
+                / 1e6
+            ).alias("mean_visited_full"),
+        )
+        .orderBy("stop_hop")
+    )
+
+
 HNSW_F = 8   # layer sampling: vec_id % F == 0 joins the upper layer
 HNSW_M1 = 4  # upper-layer kNN out-degree
 #: upper-layer build rounds (round 11): the upper layers only ROUTE the

@@ -68,11 +68,12 @@ _QUERY_MODULES = [
 #: so these names are surfaced ahead of everything else.  Round-10 window =
 #: EXACTLY 50 names (tests/test_registry_window.py pins the invariant),
 #: rotated per VERDICT r9 item 1 to the STALEST driver evidence:
-#:   1. queries whose bodies CHANGED this round — the new streaming budget
-#:      sampler + its refactored batch twin (budget_quota extraction), the
-#:      sf_scratch path moves (graph persist, D7 model round-trips), and
-#:      the replay-dir reuse (stream_dedup's own dup copy; watermark
-#:      query as the representative plain consumer);
+#:   1. queries whose bodies CHANGED this round or are NEW — the streaming
+#:      budget sampler + its refactored batch twin (budget_quota
+#:      extraction), the adaptive-beam gauge (E97), the sf_scratch path
+#:      moves (graph persist, D7 model round-trips), and the replay-dir
+#:      reuse (stream_dedup's own dup copy; the plain consumers are
+#:      pytest-covered and c20/c5 exercise both replay tables);
 #:   2. the 10 r1-era greens never driver-rechecked since CORRECTNESS_r01;
 #:   3. q_b28_map_funcs (judge-named r4 straggler);
 #:   4. 32 of the 34 r3-era greens (everything except the two a12
@@ -88,7 +89,7 @@ _PRIORITY = [
     "q_d5_budget_sample",
     "q_d3_graph_index_persist",
     "q_c5_stream_dedup",
-    "q_c4_watermark_tumbling",
+    "q_d3_adaptive_beam",
     "q_d7_estimator_scored",
     "q_d7_estimator_multilabel",
     # 2 — r1-era greens, last driver-checked in CORRECTNESS_r01
