@@ -225,6 +225,11 @@ def main() -> None:
         # of individual queries are attributable to host weather (VERDICT
         # r9: extras drifted 15-45% on an "in-band" host because the gate
         # probes ran before timing, not during).
+        # NOTE: in-run stamps have a WARM-JVM baseline distinct from the
+        # gate's cold probes — the session holds the warm-cache tables, so
+        # the shuffle stamp reads ~0.6 s even on a host whose gate probe
+        # read 0.33 (measured r10).  Compare pass stamps against OTHER
+        # ROUNDS' pass stamps, never against the gate band.
         t = time.perf_counter()
         _a @ _a
         np_s = time.perf_counter() - t
