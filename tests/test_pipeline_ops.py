@@ -435,3 +435,57 @@ def test_ss_heavy_hitters_interval(spark, sf_dir):
     assert checked > 0, "no token survived in all shards — retune SS_K"
     top5 = set(exact.sort_values(ascending=False).head(5).index)
     assert top5 <= set(rep["token"]), f"missing exact top-5: {top5 - set(rep['token'])}"
+
+
+def test_session_scratch_dirs_keyed_and_reused(sf_dir):
+    """proc_tmpdir: one dir per (process, kind), reused across calls;
+    sf_scratch: distinct leaves per sf_dir under it (the ADVICE-r9
+    multi-SF overwrite hazard), stable within a process."""
+    import os
+
+    from spark_multiboost_spark.session import proc_tmpdir, sf_scratch
+
+    a1, a2 = proc_tmpdir("t_unit"), proc_tmpdir("t_unit")
+    assert a1 == a2 and os.path.isdir(a1)
+    assert proc_tmpdir("t_unit2") != a1
+    s1 = sf_scratch("t_unit", "/root/testdata/sf0.001")
+    s2 = sf_scratch("t_unit", "/root/testdata/sf0.01")
+    s1b = sf_scratch("t_unit", "/root/testdata/sf0.001")
+    assert s1 == s1b and s1 != s2
+    assert os.path.dirname(s1) == a1 and os.path.isdir(s1)
+
+
+def test_budget_waterfill_level_is_maximal(spark, sf_dir):
+    """The closed-form waterfill must produce the LARGEST integer level L
+    with sum(min(n_l, L)) <= budget: quotas fit the budget, and raising
+    the level by 1 must overflow it (else the closed form under-allocated).
+    Locks the allocator the batch sampler and the streaming admission twin
+    (q_c20) both ride."""
+    import pyspark.sql.functions as F
+
+    from spark_multiboost_spark.functions.text import (
+        BUDGET_DEN,
+        BUDGET_NUM,
+        budget_quota,
+    )
+    from spark_multiboost_spark.session import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"]
+    cnt = {r["lang"]: r["n"] for r in d.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    budget = (sum(cnt.values()) * BUDGET_NUM) // BUDGET_DEN
+    quota = {r["lang"]: r["quota"] for r in budget_quota(d).collect()}
+    assert set(quota) == set(cnt)
+    assert sum(quota.values()) <= budget
+    # reconstruct L from any capped language (quota < supply) or, if all
+    # saturated, any level >= max supply is trivially maximal
+    capped = [lang for lang in quota if quota[lang] < cnt[lang]]
+    if capped:
+        levels = {quota[lang] for lang in capped}
+        assert len(levels) == 1, f"capped langs disagree on level: {levels}"
+        lvl = levels.pop()
+        assert sum(min(n, lvl) for n in cnt.values()) <= budget
+        assert sum(min(n, lvl + 1) for n in cnt.values()) > budget, (
+            "level not maximal — closed-form waterfill under-allocated"
+        )
+    # per-lang quota never exceeds supply
+    assert all(quota[lang] <= cnt[lang] for lang in cnt)
