@@ -2567,14 +2567,17 @@ def adaptive_beam_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(GANN_HOPS).cast("bigint"),
         ).alias("stop_hop")
     )
-    at_stop = stop.join(
+    # the tail joins are all query-set-sized ((hops+1)·|queries| rows max):
+    # broadcast explicitly — the checkpointed inputs carry no stats, so AQE
+    # would otherwise SMJ-shuffle ~100-row frames
+    at_stop = F.broadcast(stop).join(
         long_rows.select("qid", "hop", "n_visited", "n_hits"),
         (stop["qid"] == long_rows["qid"]) & (stop["stop_hop"] == long_rows["hop"]),
     ).select(stop["qid"].alias("qid"), "stop_hop", "n_visited", "n_hits")
     full = long_rows.filter(F.col("hop") == GANN_HOPS).select(
         F.col("qid").alias("f_qid"), F.col("n_visited").alias("full_visited")
     )
-    picked = at_stop.join(full, at_stop["qid"] == full["f_qid"])
+    picked = at_stop.join(F.broadcast(full), at_stop["qid"] == full["f_qid"])
     return (
         picked.groupBy("stop_hop")
         .agg(

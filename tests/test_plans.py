@@ -565,3 +565,20 @@ def test_round10_additions_plans(spark, sf_dir):
     plan = _plan(spark, "q_d2_incremental_lsh", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_d5_budget_sample_plan(spark, sf_dir):
+    plan = _plan(spark, "q_d5_budget_sample", sf_dir)
+    # the |languages|-sized quota table broadcasts onto the ranked scan
+    assert "BroadcastHashJoin" in plan
+    # waterfill scalars ride broadcast nested loops, never a cartesian
+    assert "CartesianProduct" not in plan
+
+
+def test_d3_adaptive_beam_plan(spark, sf_dir):
+    plan = _plan(spark, "q_d3_adaptive_beam", sf_dir)
+    # per-hop frames are checkpointed, so the visible tail must be the
+    # bounded stop/pick machinery: broadcast joins over query-set-sized
+    # frames, no cartesian anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
