@@ -531,3 +531,51 @@ def test_c18_streaming_contamination_equals_batch(spark, sf_dir):
     )
     assert list(streamed.columns) == list(batch.columns)
     assert streamed.equals(batch)
+
+
+def test_c20_rocksdb_state_store_equivalence(spark, sf_dir):
+    """C20 on the RocksDB state store: the budget-admission operator's
+    bounded per-language state (two quota-length arrays + counters) must
+    survive the scalable JVM-side backend unchanged — final admitted sets
+    on RocksDBStateStoreProvider equal the default provider's AND the
+    batch waterfill sampler exactly (the c6 equivalence discipline applied
+    to the round-12 operator)."""
+
+    def final_set(pdf):
+        return (
+            pdf[pdf["n_seen"] == pdf.groupby("lang")["n_seen"].transform("max")]
+            .sort_values(["lang", "rk"])
+            .reset_index(drop=True)
+        )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = final_set(
+            all_queries()["q_c20_streaming_budget_sample"]
+            .fn(spark, sf_dir)
+            .toPandas()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    batch = (
+        all_queries()["q_d5_budget_sample"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["lang", "rk"])
+        .reset_index(drop=True)
+    )
+    assert len(rocks) == len(batch) > 0
+    for col in ("lang", "quota", "rk", "doc_id"):
+        assert list(rocks[col]) == list(batch[col]), col
+    assert [float(x) for x in rocks["priority"]] == [
+        float(x) for x in batch["priority"]
+    ]
