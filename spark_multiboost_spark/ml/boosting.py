@@ -34,9 +34,10 @@ d-way shuffle documented for salting at extreme scale. Feature indices are
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -390,6 +391,7 @@ def train(
     feature_fraction: float | None = None,
     seed: int = 42,
     label_set_col: str | None = None,
+    sample_pred: Callable[[int], Column] | None = None,
 ) -> list[Stump]:
     """A10 (reference: AdaBoostMHAlgorithm.run [R]): the boosting loop.
 
@@ -400,6 +402,15 @@ def train(
     before each stump search.  ``label_set_col`` names an ARRAY<INT>
     multi-label column (BoosTexter label sets); None = single-label
     ``label``.
+
+    ``sample_pred`` (VERDICT r10 item 2) is the DETERMINISTIC instance
+    sampler: a callable ``t -> boolean Column over 'id'`` applied as a plain
+    filter on the weighted frame before round t's stump search.  Unlike
+    ``sample_fraction`` (seeded RNG, engine-specific), a pure-arithmetic
+    predicate is expressible identically in SQL, making sampled training
+    exactly oracle-checkable — and it is also the better 100-TB shape: a
+    pushed-down filter instead of a sampled-id broadcast join.  Mutually
+    exclusive with ``sample_fraction`` (predicate wins if both are set).
     """
     if label_set_col is not None:
         emb = emb.select(
@@ -424,7 +435,9 @@ def train(
     )
     for t in range(num_rounds):
         search_w, search_f = weighted, feats
-        if sample_fraction is not None:
+        if sample_pred is not None:
+            search_w = weighted.filter(sample_pred(t))
+        elif sample_fraction is not None:
             ids = emb.select("vec_id").sample(sample_fraction, seed + t).select(
                 F.col("vec_id").alias("id")
             )

@@ -1502,19 +1502,25 @@ D7_FEATS = 4    # train on embedding[1..4] so the oracle's candidate grid
                 # (features x values x classes) stays DuckDB-sized at sf0.1
 
 
-def _d7_round_sql(r: int, w_cte: str) -> str:
+def _d7_round_sql(r: int, w_cte: str, search_cond: str = "") -> str:
     """One unrolled boosting round (A4+A5+A6 shapes): class-weight masses
     from ``w_cte``, Z per candidate, argmin stump, confidence-rated votes.
     AS MATERIALIZED throughout — plain CTEs re-inline per reference in
     DuckDB and the unrolled chain re-evaluates exponentially (the
-    q_ext_onion_layers lesson, NEXT.md invariants)."""
+    q_ext_onion_layers lesson, NEXT.md invariants).
+
+    ``search_cond`` (A12 twin): an optional ``WHERE ...`` fragment over
+    ``f`` restricting the round's STUMP SEARCH (instance and/or feature
+    subsample).  It scopes g{{r}} only — the A8 weight update upd{{r}} and
+    the eps/mm scalars stay full-corpus, mirroring stochastic boosting's
+    contract (sample for the search, reweight everyone)."""
     return f"""
 , g{r} AS MATERIALIZED (
   SELECT f.feature, f.value, w.class,
          SUM(CASE WHEN w.y = 1 THEN w.weight ELSE 0 END) AS swp,
          SUM(CASE WHEN w.y = -1 THEN w.weight ELSE 0 END) AS swm
   FROM f4 f JOIN {w_cte} w ON f.id = w.id
-  GROUP BY f.feature, f.value, w.class
+  {search_cond}GROUP BY f.feature, f.value, w.class
 ), cw{r} AS MATERIALIZED (
   SELECT feature, value AS threshold, class,
          t_plus - p_plus + p_minus AS w_plus,
@@ -1542,7 +1548,7 @@ def _d7_round_sql(r: int, w_cte: str) -> str:
 )"""
 
 
-def _d7_oracle(prelude: str = _PRELUDE) -> str:
+def _d7_oracle(prelude: str = _PRELUDE, search_conds: dict[int, str] | None = None) -> str:
     """Unrolled {D7_ROUNDS}-round AdaBoost.MH train + A9 scoring, entirely in
     SQL.  Round 1 runs on the uniform weights ``w`` (exact: equal addends sum
     order-independently); the A8-shape weight update between rounds mirrors
@@ -1557,14 +1563,16 @@ def _d7_oracle(prelude: str = _PRELUDE) -> str:
     magnitude above the ~1e-15 drift (verified MATCH at 3 SFs before
     registration).  ``prelude`` supplies
     the weighted long frame ``w`` — the single-label default or the
-    multi-label variant (the round CTEs are label-form-agnostic)."""
+    multi-label variant (the round CTEs are label-form-agnostic).
+    ``search_conds`` maps round r -> a ``WHERE ...`` fragment restricting
+    that round's stump search (the A12 hash-sampled twin)."""
     parts = [prelude]
     parts.append(
         f", f4 AS MATERIALIZED (SELECT * FROM feats WHERE feature <= {D7_FEATS})"
     )
     w_cte = "w"
     for r in range(1, D7_ROUNDS + 1):
-        parts.append(_d7_round_sql(r, w_cte))
+        parts.append(_d7_round_sql(r, w_cte, (search_conds or {}).get(r, "")))
         if r < D7_ROUNDS:
             parts.append(f"""
 , upd{r} AS MATERIALIZED (
@@ -1704,5 +1712,94 @@ def estimator_multilabel(spark: SparkSession, sf_dir: str) -> DataFrame:
     model.stumps_df.write.mode("overwrite").parquet(path)
     reloaded = spark.read.parquet(path)
     return boosting.score_model(emb4, reloaded).select(
+        "id", "class", F.round("score", 6).alias("score"), "pred"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12 exact-oracle twin (VERDICT r10 item 2): sampled training with a
+# DETERMINISTIC hash-based subsample instead of seeded RNG, so the full
+# sampled training round is SQL-expressible in BOTH engines and hash-checked
+# end-to-end via the D7 replay-CTE pattern.
+# ---------------------------------------------------------------------------
+
+# Multiplicative-congruential instance selector: keep id iff
+#   (id * A12_MULT + t * A12_STEP) % A12_MOD < A12_THRESH     (80% per round)
+# A12_MULT is Knuth's 2654435761 (2^32 * golden ratio); A12_STEP decorrelates
+# rounds by rotating the residue classes.  Pure int64 arithmetic — identical
+# in Spark and DuckDB (NEXT.md invariant: integer id arithmetic, no doubles).
+# Overflow headroom: id * A12_MULT stays in int64 for id < ~3.47e9, far above
+# any per-shard id space this engine would train on (and trivially above the
+# fixture's 0..1999).
+A12_MULT = 2654435761
+A12_STEP = 40503
+A12_MOD = 1000
+A12_THRESH = 800
+A12_FEAT_KEEP = 3  # of D7_FEATS=4: the rotating per-round feature subset
+
+
+def _a12_sample_pred(t: int):
+    """Round-t instance selector as a pushed-down boolean Column over id."""
+    return ((F.col("id") * A12_MULT + t * A12_STEP) % A12_MOD) < A12_THRESH
+
+
+def _a12_search_conds() -> dict[int, str]:
+    """Per-round g{r} restrictions: the hash instance subsample AND the
+    rotating feature subset ((feature + t) % D7_FEATS < keep — the exact
+    condition boosting.train applies for feature_fraction=0.75 on 4 dims)."""
+    return {
+        r: (
+            f"WHERE (f.id * {A12_MULT} + {r - 1} * {A12_STEP}) % {A12_MOD}"
+            f" < {A12_THRESH}\n"
+            f"    AND ((f.feature + {r - 1}) % {D7_FEATS}) < {A12_FEAT_KEEP}\n  "
+        )
+        for r in range(1, D7_ROUNDS + 1)
+    }
+
+
+@query("q_a12_train_hash_sampled", oracle=_d7_oracle(search_conds=_a12_search_conds()), group="A")
+def train_hash_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 exact-oracle twin (VERDICT r10 item 2): stochastic boosting —
+    per-round instance AND feature subsampling (the reference's sampleRate /
+    featureRate pair [R] DecisionStumpAlgorithm, reconstructed, mount empty)
+    — made hash-checkable by replacing the seeded RNG with a deterministic
+    multiplicative-congruential selector both engines compute identically.
+    Train {D7_ROUNDS} rounds on embedding[1..{D7_FEATS}] where each round's
+    stump SEARCH sees only ids with (id*MULT + t*STEP) % MOD < THRESH (80%)
+    and 3 of the 4 features (rotating subset); the A8 weight update still
+    reweights the FULL corpus — stochastic boosting's contract.  Score the
+    corpus with the trained stumps (A9 shape).  The oracle replays the
+    sampled training as unrolled materialized CTEs with the same per-round
+    WHERE restriction on the search frame, then scores — so the sampled
+    model's actual predictions are value-hashed against DuckDB, upgrading
+    A12 from rows-only to an exact oracle (the seed-42 RNG twins stay
+    registered as the engine-specific contract rows).
+
+    Determinism: same quantized argmin key as D7 (floor(z*1e9+0.5), feature,
+    threshold).  Measured top-2 key gaps before registration (the round-11
+    verify lesson): round 1 is a 3-WAY EXACT tie (features 1/2/4, gap
+    ~1e-16 at all 3 SFs) — structural, not numeric: with uniform round-1
+    weights z is a pure function of the per-(class, side) COUNTS, and three
+    features' best cuts induce identical count patterns, so their z bits
+    agree in both engines and the quantized key collapses the tie to the
+    (feature, threshold) tiebreak exactly as designed (best_stump_row);
+    round-2 gaps are generic (3.4e-6 / 1.9e-5 / 1.0e-5 at sf0.1/0.01/0.001,
+    ten orders above cross-engine drift).  Verified MATCH at 3 SFs.
+    Scale shape: the sampler is a pushed-down arithmetic
+    filter (no RNG state, no sampled-id join) — at 100 TB it prunes before
+    the search's grouped agg, and rounds re-select independently with no
+    driver-side id list."""
+    emb = _emb(spark, sf_dir)
+    emb4 = emb.withColumn("embedding", F.slice("embedding", 1, D7_FEATS))
+    stumps = boosting.train(
+        spark,
+        emb4,
+        num_rounds=D7_ROUNDS,
+        num_classes=K,
+        sample_pred=_a12_sample_pred,
+        feature_fraction=A12_FEAT_KEEP / D7_FEATS,
+    )
+    sdf = boosting.stumps_to_df(spark, stumps)
+    return boosting.score_model(emb4, sdf).select(
         "id", "class", F.round("score", 6).alias("score"), "pred"
     )

@@ -136,6 +136,43 @@ def test_a12_sampled_training_deterministic(spark, sf_dir):
         ], f"sampled-training stump drift: {picks[0]}"
 
 
+def test_a12_hash_sample_binds(spark, sf_dir):
+    """A12 exact-oracle twin (VERDICT r10 item 2) non-vacuity: the
+    multiplicative-congruential selector must pick a STRICT subset each
+    round (neither empty nor everything — an all-pass predicate would make
+    the 'sampled' oracle a plain D7 rerun), the two rounds must select
+    DIFFERENT id sets, and the hash-sampled model must differ from the
+    unsampled one somewhere (stump or vote) so the oracle exercises the
+    sampling path."""
+    from spark_multiboost_spark.ml.queries import (
+        D7_FEATS,
+        D7_ROUNDS,
+        K,
+        _a12_sample_pred,
+    )
+    from spark_multiboost_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    ids = emb.select(F.col("vec_id").alias("id"))
+    m = ids.count()
+    picked = [ids.filter(_a12_sample_pred(t)).count() for t in range(D7_ROUNDS)]
+    assert all(0 < p < m for p in picked), f"sampler degenerate: {picked} of {m}"
+    sym_diff = (
+        ids.filter(_a12_sample_pred(0) != _a12_sample_pred(1)).count()
+    )
+    assert sym_diff > 0, "rounds select identical id sets — STEP rotation inert"
+
+    emb4 = emb.withColumn("embedding", F.slice("embedding", 1, D7_FEATS))
+    sampled = boosting.train(
+        spark, emb4, num_rounds=D7_ROUNDS, num_classes=K,
+        sample_pred=_a12_sample_pred, feature_fraction=3 / D7_FEATS,
+    )
+    full = boosting.train(spark, emb4, num_rounds=D7_ROUNDS, num_classes=K)
+    assert [(s.feature, s.threshold, s.votes) for s in sampled] != [
+        (s.feature, s.threshold, s.votes) for s in full
+    ], "hash-sampled training identical to full training — sampling inert"
+
+
 def test_multilabel_training_learns_separable_sets(spark):
     """True multi-label training (VERDICT r8 item 3): rows carry label SETS
     {third, third+3} over K=6; separable at feature 1, so multi-label
