@@ -2471,10 +2471,16 @@ def adaptive_beam_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the adaptive rule correctly almost never fires and SHOULD NOT ship;
     on clustered real embeddings the stall point is where it pays.
 
-    Determinism: worst-admitted is MIN over the top-{GANN_B} raw cosines
-    (both engines compute them bit-identically; no accumulation), the stop
-    rule compares two such doubles, and every mean is one exact-integer
-    SUM divided once and 6dp-quantized.
+    Determinism: worst-admitted is MIN over the top-{GANN_B} raw cosines.
+    A cosine IS a 64-element accumulated dot product, so cross-engine
+    agreement on these values rests on the repo's established Spark/DuckDB
+    dot+norm bit-parity assumption (sequential left-to-right accumulation
+    both sides — see _pairs), not on any absence of accumulation (ADVICE
+    r10).  The stop COMPARISON itself is within-engine (hop h's worst vs
+    hop h-1's worst, both computed by the same engine), so only a sub-ulp
+    worst-score gap straddling the two engines' accumulations could desync
+    the stop hop; every reported mean is one exact-integer SUM divided
+    once and 6dp-quantized.
 
     Scale shape: the graph comes from the session cache (never rebuilt);
     the per-hop scoring/rank frames are the SAME ones the plain search

@@ -65,82 +65,81 @@ _QUERY_MODULES = [
 
 #: query-level window rotation.  The driver's correctness gate checks the
 #: FIRST 50 registry entries each round (50 in every CORRECTNESS_r0*.json),
-#: so these names are surfaced ahead of everything else.  Round-10 window =
+#: so these names are surfaced ahead of everything else.  Round-11 window =
 #: EXACTLY 50 names (tests/test_registry_window.py pins the invariant),
-#: rotated per VERDICT r9 item 1 to the STALEST driver evidence:
-#:   1. queries whose bodies CHANGED this round or are NEW — the streaming
-#:      budget sampler + its refactored batch twin (budget_quota
-#:      extraction), the adaptive-beam gauge (E97), the sf_scratch path
-#:      moves (graph persist, D7 model round-trips), and the replay-dir
-#:      reuse (stream_dedup's own dup copy; the plain consumers are
-#:      pytest-covered and c20/c5 exercise both replay tables);
-#:   2. the 10 r1-era greens never driver-rechecked since CORRECTNESS_r01;
-#:   3. q_b28_map_funcs (judge-named r4 straggler);
-#:   4. 32 of the 34 r3-era greens (everything except the two a12
-#:      rows-only sampled-training queries, whose exact seed-42 stump
-#:      determinism is pinned by pytest — the weakest marginal value for a
-#:      rows-only driver slot).  q_a13_model_roundtrip and the two a1
-#:      parser round-trips double as group-1 members (sf_scratch paths).
+#: rotated per VERDICT r10 item 1 to the STALEST driver evidence:
+#:   1. queries whose bodies CHANGED this round or are NEW — the A12
+#:      hash-sampled exact-oracle twin (VERDICT r10 item 2), plus the two
+#:      streaming queries whose bodies changed (c5's dup-dir sentinel
+#:      guard, c20's empty-yield guard; the shared replay-dir sentinel is
+#:      exercised by every windowed streaming query);
+#:   2. the FULL r4-era block — all 37 queries last driver-checked in
+#:      CORRECTNESS_r04 (B1/B2 source-sink round-trips, B3 writes, the
+#:      early streaming twins c2/c4/c7, B30/B35/B36/B37 UDF surface, and
+#:      the early d4/d5/d6 families);
+#:   3. the two r3-era a12 RNG rows-only queries — the oldest driver
+#:      evidence left (their seed-42 determinism is also pytest-pinned,
+#:      but r10 named A12 the stalest §2 row; with the window at 50 the
+#:      slots exist to refresh them alongside the new exact twin);
+#:   4. 8 of the 45 r5-era greens, chosen for §2-code spread (B23 B30 B31
+#:      B35 C6 D3 D4 ext) — C6 doubles as a replay-dir consumer.
 #: Names not listed keep registration order behind these; unknown names
 #: are ignored (module bring-up safety).
 _PRIORITY = [
     # 1 — changed/new this round
-    "q_c20_streaming_budget_sample",
-    "q_d5_budget_sample",
-    "q_d3_graph_index_persist",
+    "q_a12_train_hash_sampled",
     "q_c5_stream_dedup",
-    "q_d3_adaptive_beam",
-    "q_d7_estimator_scored",
-    "q_d7_estimator_multilabel",
-    # 2 — r1-era greens, last driver-checked in CORRECTNESS_r01
-    "q_b09_theta_join",
-    "q_b12_distinct",
-    "q_b13_approx_count_distinct",
-    "q_b14_cube",
-    "q_b21_union_distinct",
-    "q_b23_strings",
-    "q_b29_variant",
-    "q_b33_unpivot",
-    "q_b34_sample",
-    "q_ext_try_funcs",
-    # 3 — judge-named r4 straggler
-    "q_b28_map_funcs",
-    # 4 — r3-era greens (last driver-checked in CORRECTNESS_r03)
-    "q_a13_model_roundtrip",
-    "q_a1_text_parser",
-    "q_a1_sparse_parser",
-    "q_a10_train_loop",
-    "q_a11_margin_distribution",
-    "q_a11_micro_prf",
-    "q_a5_abstain_stump_z",
-    "q_a5_sparse_stump_z",
-    "q_comp_forecast_revenue",
-    "q_comp_idle_rich_customers",
-    "q_comp_local_supplier_volume",
-    "q_comp_market_share",
-    "q_comp_pretrain_pipeline",
-    "q_comp_returned_items",
-    "q_comp_shipping_priority",
-    "q_comp_volume_shipping",
-    "q_d2_chunk_dedup",
-    "q_d2_dup_clusters",
-    "q_d2_embedding_neardup",
-    "q_d2_mllib_minhash",
-    "q_d2_ngram_jaccard",
-    "q_d2_removal_rate",
-    "q_d2_semantic_dedup",
-    "q_d2_simhash",
-    "q_d3_bucketed_ann",
-    # (q_d3_ivf_ann_arrow's r3 row is a renamed query — its impl is the
-    # current q_d3_ivf_ann, checked r8; the freed slot goes to the
-    # next-stalest r4 green)
-    "q_b08_anti_join",
-    "q_d3_ivf_recall",
-    "q_d3_knn_label_agreement",
-    "q_ext_hypertable_rollup",
-    "q_ext_range_join",
-    "q_ext_salted_agg",
-    "q_ext_stats_agg",
+    "q_c20_streaming_budget_sample",
+    # 2 — the r4-era block (last driver-checked in CORRECTNESS_r04)
+    "q_b01_text_source",
+    "q_b02_csv_roundtrip",
+    "q_b02_json_roundtrip",
+    "q_b02_orc_roundtrip",
+    "q_b03_bucketed_join",
+    "q_b03_partitioned_write",
+    "q_b03_range_sorted_write",
+    "q_b22_except",
+    "q_b30_scalar_subquery",
+    "q_b35_scalar_udf",
+    "q_b36_apply_in_pandas",
+    "q_b36_grouped_agg_udf",
+    "q_b37_udtf_tokens",
+    "q_c2_sliding_window",
+    "q_c4_watermark_tumbling",
+    "q_c7_stream_static_join",
+    "q_comp_docpipe",
+    "q_d4_bigrams",
+    "q_d4_chunk_windows",
+    "q_d4_fingerprint",
+    "q_d4_pack_manifest",
+    "q_d4_regex_tokens",
+    "q_d4_sequence_pack",
+    "q_d4_stopword_stats",
+    "q_d4_tfidf",
+    "q_d4_train_split",
+    "q_d5_contamination",
+    "q_d5_mix_weights",
+    "q_d5_perplexity_proxy",
+    "q_d5_quality_score",
+    "q_d5_repetition_score",
+    "q_d5_source_stats",
+    "q_d5_stratified_sample",
+    "q_d6_binaryfile_source",
+    "q_d6_decode_features",
+    "q_d6_embed_similarity",
+    "q_d6_frame_sample",
+    # 3 — r3-era a12 RNG rows-only queries (oldest evidence left)
+    "q_a12_train_sampled",
+    "q_a12_train_feature_sampled",
+    # 4 — r5-era greens, §2-code spread
+    "q_b23_collation_group",
+    "q_b30_lateral_topk",
+    "q_b31_recursive_cte",
+    "q_b35_pandas_udf_token_count",
+    "q_c6_stateful_sessions",
+    "q_d3_bm25_topk",
+    "q_d4_bpe_train",
+    "q_ext_upsert_scd2",
 ]
 
 #: the driver checks exactly this many entries per round; _PRIORITY must

@@ -34,10 +34,19 @@ def _replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     order = event-time order, so watermarks advance realistically)."""
     # sf-keyed scratch, REUSED across invocations (the content is a pure
     # deterministic function of (sf_dir, n_files)): one mkdtemp per call
-    # leaked a replay copy of the table per streaming query per run
+    # leaked a replay copy of the table per streaming query per run.
+    # Reuse keys on a _COMPLETE sentinel written AFTER the loop (ADVICE
+    # r10): a raw file-count guard never matched when a tiny table yielded
+    # fewer than n_files chunks (silent rebuild every call) and could not
+    # tell a partially written final file from a complete layout.  The
+    # underscore prefix makes Hadoop's hidden-file filter skip it, so the
+    # streaming source never sees the marker.
     path = os.path.join(sf_scratch("stream", sf_dir), f"events_files_{n_files}")
-    if os.path.isdir(path) and len(os.listdir(path)) == n_files:
+    done = os.path.join(path, "_COMPLETE")
+    if os.path.isfile(done):
         return path
+    if os.path.isdir(path):  # sentinel missing => possibly partial; rebuild
+        shutil.rmtree(path)
     t = load_tables(spark, sf_dir)
     events = t["events"].orderBy("ts", "event_id")
     n = events.count()
@@ -52,6 +61,7 @@ def _replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
         if len(chunk):
             # zero-padded name: file listing order == replay order
             chunk.to_parquet(os.path.join(path, f"part-{i:04d}.parquet"))
+    open(done, "w").close()
     return path
 
 
@@ -103,9 +113,17 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _replay_dir(spark, sf_dir)
     # inject the duplicate file into an own COPY of the replay dir: the
     # shared replay dir is reused across queries (sf_scratch), so mutating
-    # it in place would feed every later stream the injected dupes
-    path = os.path.join(sf_scratch("stream", sf_dir), "events_files_dup")
-    if not (os.path.isdir(path) and len(os.listdir(path)) == 5):
+    # it in place would feed every later stream the injected dupes.  The
+    # leaf encodes the source layout (ADVICE r10 — the old hard-coded ==5
+    # guard silently coupled to _replay_dir's default n_files) and reuse
+    # keys on the same _COMPLETE sentinel as the source dirs.
+    path = os.path.join(
+        sf_scratch("stream", sf_dir), os.path.basename(src) + "_dup"
+    )
+    done = os.path.join(path, "_COMPLETE")
+    if not os.path.isfile(done):
+        if os.path.isdir(path):
+            shutil.rmtree(path)
         os.makedirs(path, exist_ok=True)
         files = sorted(
             f for f in os.listdir(src) if f.endswith(".parquet")
@@ -114,6 +132,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.copy(os.path.join(src, f), os.path.join(path, f))
         dup = pd.read_parquet(os.path.join(src, files[0]))
         dup.to_parquet(os.path.join(path, "part-dup.parquet"))
+        open(done, "w").close()
     stream = _read_stream(spark, path)
     deduped = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["event_id"]
@@ -348,10 +367,14 @@ _DOCS_DDL = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIG
 
 def _replay_docs_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     """Write documents as n parquet files for file-source replay."""
-    # sf-keyed + reused, like _replay_dir (content deterministic per args)
+    # sf-keyed + reused, like _replay_dir (content deterministic per args);
+    # same _COMPLETE-sentinel reuse guard (ADVICE r10 — see _replay_dir)
     path = os.path.join(sf_scratch("stream", sf_dir), f"docs_files_{n_files}")
-    if os.path.isdir(path) and len(os.listdir(path)) == n_files:
+    done = os.path.join(path, "_COMPLETE")
+    if os.path.isfile(done):
         return path
+    if os.path.isdir(path):
+        shutil.rmtree(path)
     docs = load_tables(spark, sf_dir)["documents"].orderBy("doc_id")
     pdf = docs.toPandas()
     os.makedirs(path, exist_ok=True)
@@ -360,6 +383,7 @@ def _replay_docs_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
         chunk = pdf.iloc[i * per : (i + 1) * per if i < n_files - 1 else len(pdf)]
         if len(chunk):
             chunk.to_parquet(os.path.join(path, f"part-{i:04d}.parquet"))
+    open(done, "w").close()
     return path
 
 
@@ -1052,18 +1076,24 @@ def streaming_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = [t[0] for t in top]
         pris = [t[1] for t in top]
         state.update((ids, pris, n_seen, q))
-        yield pd.DataFrame(
-            {
-                "lang": [key[0]] * len(top),
-                "quota": [q] * len(top),
-                "rk": [i + 1 for i in range(len(top))],
-                "doc_id": ids,
-                "priority": [
-                    math.floor(p * 1e6 + 0.5) / 1e6 for p in pris
-                ],
-                "n_seen": [n_seen] * len(top),
-            }
-        )
+        # skip the yield when nothing is admitted (ADVICE r10): an
+        # all-empty-list frame has object dtype per column, which the
+        # Arrow conversion can reject against the declared BIGINT/DOUBLE
+        # output schema — unreachable on the 3/4-budget fixtures (every
+        # language's quota is >=1) but latent if the budget ever shrinks
+        if top:
+            yield pd.DataFrame(
+                {
+                    "lang": [key[0]] * len(top),
+                    "quota": [q] * len(top),
+                    "rk": [i + 1 for i in range(len(top))],
+                    "doc_id": ids,
+                    "priority": [
+                        math.floor(p * 1e6 + 0.5) / 1e6 for p in pris
+                    ],
+                    "n_seen": [n_seen] * len(top),
+                }
+            )
 
     out = scored.groupBy("lang").applyInPandasWithState(
         update,
