@@ -4,7 +4,11 @@ $SPARK_GRAFT_SF_DIR (default sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints exactly ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <float>}
+   "queries": {name: sec, ...}, "sf": <float>, ...,
+   "queries_cpu_sec": {name: sec, ...},   # JVM-tree CPU medians (v3.2)
+   "summary": {...}}                       # ALWAYS the last key: survives
+                                           # the driver's head-truncating
+                                           # tail capture (VERDICT r10)
 """
 
 from __future__ import annotations
@@ -245,6 +249,51 @@ def main() -> None:
 
     pass_probes: list[dict] = []
 
+    # Per-query EXECUTOR CPU TIME alongside wall time (VERDICT r10 item 3):
+    # wall clock on this shared VM carries the host's multi-minute slow
+    # phases (the r10 session's elevated-shuffle state was attributable via
+    # pass_probes but not normalizable); CPU time barely moves under
+    # co-tenant contention, so cpu medians make cross-round per-query
+    # comparisons host-independent.  In local mode ALL executor work runs
+    # in the driver JVM, so utime+stime of the gateway JVM's process TREE
+    # (the JVM plus its pyspark.daemon python workers — the Pandas-UDF
+    # path) read from /proc is the full per-query compute.  ~ms overhead
+    # per sample.
+    _CLK = os.sysconf("SC_CLK_TCK")
+
+    def _stat_fields(pid: int) -> list[str]:
+        with open(f"/proc/{pid}/stat") as f:
+            # comm can contain spaces/parens: split after the LAST ')'
+            return f.read().rsplit(")", 1)[1].split()
+
+    def _cpu_tree_sec(root: int) -> float:
+        children: dict[int, list[int]] = {}
+        for p in os.listdir("/proc"):
+            if p.isdigit():
+                try:
+                    f = _stat_fields(int(p))
+                    children.setdefault(int(f[1]), []).append(int(p))
+                except (OSError, IndexError, ValueError):
+                    pass  # process exited mid-scan
+        total, stack = 0.0, [root]
+        while stack:
+            pid = stack.pop()
+            try:
+                f = _stat_fields(pid)
+                total += (int(f[11]) + int(f[12])) / _CLK
+            except (OSError, IndexError, ValueError):
+                continue
+            stack.extend(children.get(pid, []))
+        return total
+
+    try:
+        _jvm_pid: int | None = spark.sparkContext._gateway.proc.pid
+        _cpu_tree_sec(_jvm_pid)  # probe once; disable cleanly if /proc odd
+    except Exception:
+        _jvm_pid = None
+
+    cpu_medians: dict[str, float] = {}
+
     def time_set(names: list[str], label: str) -> dict[str, float]:
         # INTERLEAVED passes (protocol global-v3): one warm-up pass, then 3
         # timed passes over the WHOLE set, median per query ACROSS passes.
@@ -258,11 +307,13 @@ def main() -> None:
         from spark_multiboost_spark import plans
 
         runs: dict[str, list[float]] = {n: [] for n in names}
+        cpu_runs: dict[str, list[float]] = {n: [] for n in names}
         for p in range(4):  # pass 0 = warm-up, discarded
             if p > 0:
                 pass_probes.append({"set": label, "pass": p, **_pass_probe()})
             for name in names:
                 fn = qs[name]
+                c0 = _cpu_tree_sec(_jvm_pid) if _jvm_pid else 0.0
                 t0 = time.perf_counter()
                 df = fn(spark, SF_DIR)
                 # noop sink: full execution incl. every output column
@@ -272,11 +323,17 @@ def main() -> None:
                 dt = time.perf_counter() - t0
                 if p > 0:
                     runs[name].append(dt)
+                    if _jvm_pid:
+                        cpu_runs[name].append(_cpu_tree_sec(_jvm_pid) - c0)
             # belt-and-suspenders cache hygiene between passes: finalizers
             # normally fire when each result df drops, but any retained
             # reference would silently leak persist() blocks into later
             # passes' measurements (ADVICE r5)
             plans.release_outstanding()
+        if _jvm_pid:
+            cpu_medians.update(
+                (n, round(statistics.median(v), 4)) for n, v in cpu_runs.items() if v
+            )
         return {n: round(statistics.median(v), 4) for n, v in runs.items()}
 
     # Deterministic graph-INDEX prebuild (VERDICT r9 item 2c): the graph
@@ -351,10 +408,36 @@ def main() -> None:
                 # per-pass probe stamps — timing semantics of each query
                 # unchanged except graph-family first-toucher build cost,
                 # which now lands in graph_prebuild_sec by construction
-                "warm_protocol": "global-v3.1-interleaved",
+                # v3.2 (round 11) additions: per-query JVM-tree CPU-time
+                # medians (host-contention-robust twin of the wall medians;
+                # same passes, same noop sink) and the truncation-proof
+                # trailing summary
+                "warm_protocol": "global-v3.2-interleaved",
                 "sf": _sf_from_dir(SF_DIR),
+                "queries_cpu_sec": cpu_medians,
                 "extra_queries": extra,
                 "queries": timings,
+                # FINAL key (VERDICT r10 item 3): the driver's tail capture
+                # truncates the FRONT of long lines — BENCH_r10 kept its
+                # ratio only because the key order had been reversed.  A
+                # compact summary as the very last key survives ANY
+                # truncation point that keeps the line's tail.
+                "summary": {
+                    "total_sec": total,
+                    "vs_restated_baseline": (
+                        round(total / RESTATED_BASELINE_V3_SEC, 4)
+                        if RESTATED_BASELINE_V3_SEC
+                        else None
+                    ),
+                    "in_band": probe_gate["in_band"],
+                    "graph_prebuild_sec": graph_prebuild_sec,
+                    "n_headline": len(HEADLINE),
+                    "cpu_total_sec": (
+                        round(sum(cpu_medians.get(n, 0.0) for n in HEADLINE), 4)
+                        if cpu_medians
+                        else None
+                    ),
+                },
             }
         )
     )
