@@ -115,6 +115,9 @@ SHOWCASE = [
     # streaming budget twin q_c20 is deliberately NOT benched — no group-C
     # query is: availableNow stream startup would dominate its timing)
     "q_d3_adaptive_beam",
+    # round-13 flagship: hash-sampled training with an exact replay oracle
+    # (the A12 upgrade — same 2-round/4-feature scope as the D7 twins)
+    "q_a12_train_hash_sampled",
 ]
 
 
