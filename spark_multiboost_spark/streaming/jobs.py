@@ -28,6 +28,10 @@ _EVENTS_DDL = (
     "value DOUBLE, props STRING"
 )
 
+#: path of the most recent q_c11 parquet lake (set per invocation); the
+#: on-disk-layout test reads this instead of globbing a /tmp prefix
+LAST_SINK_LAKE: str | None = None
+
 
 def _replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     """Write events as n time-ordered parquet files (micro-batch replay
@@ -478,6 +482,12 @@ def streaming_curation_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already-processed), nested under the atexit-cleaned scratch root
     out_dir = tempfile.mkdtemp(prefix="sink_", dir=proc_tmpdir("streamwork"))
     lake = os.path.join(out_dir, "lake")
+    # recorded for the layout test: the round-12 scratch refactor moved the
+    # sink off the fixed /tmp/smb_sink_* paths, and a glob against the old
+    # prefix kept passing against STALE dirs from earlier sessions — expose
+    # the live path instead of encoding the scheme in the test
+    global LAST_SINK_LAKE
+    LAST_SINK_LAKE = lake
     q = (
         gated.writeStream.format("parquet")
         .partitionBy("lang")

@@ -3,6 +3,8 @@ late-data handling, dedup, and stateful processing."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from spark_multiboost_spark.registry import all_queries
@@ -226,6 +228,7 @@ def test_streaming_curation_sink_lands_partitioned_lake(spark, sf_dir):
     import glob
 
     from spark_multiboost_spark.registry import all_queries
+    from spark_multiboost_spark.streaming import jobs
 
     sink = (
         all_queries()["q_c11_streaming_curation_sink"]
@@ -244,8 +247,12 @@ def test_streaming_curation_sink_lands_partitioned_lake(spark, sf_dir):
     assert list(sink["lang"]) == list(mem["lang"])
     assert list(sink["n_docs"]) == [int(x) for x in mem["n_docs"]]
     assert list(sink["n_kept"]) == [int(x) for x in mem["n_kept"]]
-    # the lake really is lang-partitioned on disk
-    lakes = sorted(glob.glob("/tmp/smb_sink_*/lake/lang=*"))
+    # the lake really is lang-partitioned on disk — glob the ACTUAL lake
+    # path the query just wrote (the old /tmp/smb_sink_* prefix glob kept
+    # passing against stale dirs from earlier sessions after the round-12
+    # scratch refactor moved the sink, then failed on a clean host)
+    assert jobs.LAST_SINK_LAKE, "q_c11 did not record its lake path"
+    lakes = sorted(glob.glob(os.path.join(jobs.LAST_SINK_LAKE, "lang=*")))
     assert lakes, "no lang=... partition directories found under the sink"
 
 
