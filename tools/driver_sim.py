@@ -28,6 +28,13 @@ os.environ.setdefault("SPARK_DRIVER_MEMORY", "6g")
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    # comma-separated names whose ORACLE compare is skipped (Spark side
+    # still runs, reported as rows_only) — the verify-skill sf0.1 carve-out
+    # for the PQ-family oracles whose stacked CROSS JOIN SQL is DuckDB-slow
+    # at 2000 vectors while the exact compare stays green at sf0.01
+    skip_oracle = set(
+        s for s in os.environ.get("SMB_SKIP_ORACLE", "").split(",") if s
+    )
 
     from spark_multiboost_spark.registry import all_queries
     from spark_multiboost_spark.session import get_spark
@@ -49,7 +56,7 @@ def main() -> None:
                 pass
         t0 = time.time()
         try:
-            if qs[name].oracle is not None:
+            if qs[name].oracle is not None and name not in skip_oracle:
                 compare(spark, name, sf_dir)
                 status = "MATCH"
             else:
