@@ -65,81 +65,77 @@ _QUERY_MODULES = [
 
 #: query-level window rotation.  The driver's correctness gate checks the
 #: FIRST 50 registry entries each round (50 in every CORRECTNESS_r0*.json),
-#: so these names are surfaced ahead of everything else.  Round-11 window =
+#: so these names are surfaced ahead of everything else.  Round-12 window =
 #: EXACTLY 50 names (tests/test_registry_window.py pins the invariant),
-#: rotated per VERDICT r10 item 1 to the STALEST driver evidence:
-#:   1. queries whose bodies CHANGED this round or are NEW — the A12
-#:      hash-sampled exact-oracle twin (VERDICT r10 item 2), plus the two
-#:      streaming queries whose bodies changed (c5's dup-dir sentinel
-#:      guard, c20's empty-yield guard; the shared replay-dir sentinel is
-#:      exercised by every windowed streaming query);
-#:   2. the FULL r4-era block — all 37 queries last driver-checked in
-#:      CORRECTNESS_r04 (B1/B2 source-sink round-trips, B3 writes, the
-#:      early streaming twins c2/c4/c7, B30/B35/B36/B37 UDF surface, and
-#:      the early d4/d5/d6 families);
-#:   3. the two r3-era a12 RNG rows-only queries — the oldest driver
-#:      evidence left (their seed-42 determinism is also pytest-pinned,
-#:      but r10 named A12 the stalest §2 row; with the window at 50 the
-#:      slots exist to refresh them alongside the new exact twin);
-#:   4. 8 of the 45 r5-era greens, chosen for §2-code spread (B23 B30 B31
-#:      B35 C6 D3 D4 ext) — C6 doubles as a replay-dir consumer.
+#: rotated per VERDICT r11 item 1 to the STALEST driver evidence left —
+#: computed from the union of CORRECTNESS_r01–r11 ("latest round that
+#: checked each name"):
+#:   1. the FULL r5-era block — all 37 queries last driver-checked in
+#:      CORRECTNESS_r05: the PQ/SQ/binary-quantization ANN family, the
+#:      BM25-snippets/query-expansion retrieval pair, the
+#:      inverted-index/PMI/BPE-pair-counts text block, the weighted /
+#:      personalized pagerank + BFS + triangle graph family, the TPC-H
+#:      Q3/Q4/Q9/Q15–Q19-shape composites, the lakehouse
+#:      SCD1/IVM/snapshot trio, percentiles/listagg, c16 telemetry, and
+#:      the Misra–Gries heavy hitters;
+#:   2. the OLDEST 13 of the 46 r6-era names, in their CORRECTNESS_r06
+#:      registration order — pq_encode, pagerank, grouping sets, the
+#:      c8–c15 true-streaming block, and the A14/A15 model-analysis pair.
 #: Names not listed keep registration order behind these; unknown names
 #: are ignored (module bring-up safety).
 _PRIORITY = [
-    # 1 — changed/new this round
-    "q_a12_train_hash_sampled",
-    "q_c5_stream_dedup",
-    "q_c20_streaming_budget_sample",
-    # 2 — the r4-era block (last driver-checked in CORRECTNESS_r04)
-    "q_b01_text_source",
-    "q_b02_csv_roundtrip",
-    "q_b02_json_roundtrip",
-    "q_b02_orc_roundtrip",
-    "q_b03_bucketed_join",
-    "q_b03_partitioned_write",
-    "q_b03_range_sorted_write",
-    "q_b22_except",
-    "q_b30_scalar_subquery",
-    "q_b35_scalar_udf",
-    "q_b36_apply_in_pandas",
-    "q_b36_grouped_agg_udf",
-    "q_b37_udtf_tokens",
-    "q_c2_sliding_window",
-    "q_c4_watermark_tumbling",
-    "q_c7_stream_static_join",
-    "q_comp_docpipe",
-    "q_d4_bigrams",
-    "q_d4_chunk_windows",
-    "q_d4_fingerprint",
-    "q_d4_pack_manifest",
-    "q_d4_regex_tokens",
-    "q_d4_sequence_pack",
-    "q_d4_stopword_stats",
-    "q_d4_tfidf",
-    "q_d4_train_split",
-    "q_d5_contamination",
-    "q_d5_mix_weights",
-    "q_d5_perplexity_proxy",
-    "q_d5_quality_score",
-    "q_d5_repetition_score",
-    "q_d5_source_stats",
-    "q_d5_stratified_sample",
-    "q_d6_binaryfile_source",
-    "q_d6_decode_features",
-    "q_d6_embed_similarity",
-    "q_d6_frame_sample",
-    # 3 — r3-era a12 RNG rows-only queries (oldest evidence left)
-    "q_a12_train_sampled",
-    "q_a12_train_feature_sampled",
-    # 4 — r5-era greens, §2-code spread
-    "q_b23_collation_group",
-    "q_b30_lateral_topk",
-    "q_b31_recursive_cte",
-    "q_b35_pandas_udf_token_count",
-    "q_c6_stateful_sessions",
-    "q_d3_bm25_topk",
-    "q_d4_bpe_train",
-    "q_ext_upsert_scd2",
+    # 1 — the r5-era block (last driver-checked in CORRECTNESS_r05)
+    "q_d3_pq_adc_topk",
+    "q_d3_ivfpq_topk",
+    "q_d3_pq_recall",
+    "q_d3_ivfpq_residual_topk",
+    "q_d3_sq8_topk",
+    "q_d3_binary_hamming_topk",
+    "q_d3_bq_rerank_topk",
+    "q_d3_pq_packed_codes",
+    "q_d3_bm25_snippets",
+    "q_d3_query_expansion",
+    "q_d4_inverted_index",
+    "q_d4_pmi_cooccur",
+    "q_d4_bpe_pair_counts",
+    "q_d5_bigram_lm_ppl",
+    "q_ext_pagerank_weighted",
+    "q_ext_pagerank_personalized",
+    "q_ext_bfs_2hop",
+    "q_ext_bfs_2hop_pruned",
+    "q_ext_triangle_count",
+    "q_ext_triangle_degree_oriented",
+    "q_ext_skyline",
+    "q_comp_late_lines_by_flag",
+    "q_comp_dominant_suppliers",
+    "q_comp_waiting_orders",
+    "q_comp_order_priority_check",
+    "q_comp_profit_by_nation",
+    "q_comp_top_supplier",
+    "q_comp_parts_supplier_counts",
+    "q_comp_small_quantity_revenue",
+    "q_comp_disjunctive_revenue",
+    "q_ext_upsert_scd1",
+    "q_ext_ivm_merge",
+    "q_ext_snapshot_asof_read",
+    "q_ext_percentiles",
+    "q_ext_listagg",
+    "q_c16_query_progress",
+    "q_d4_heavy_hitters_mg",
+    # 2 — the oldest 13 of the r6-era names (CORRECTNESS_r06 order)
+    "q_d3_pq_encode",
+    "q_ext_pagerank",
+    "q_b14_grouping_sets",
+    "q_c8_stream_stream_join",
+    "q_c9_streaming_similarity",
+    "q_c10_streaming_curation",
+    "q_c11_streaming_curation_sink",
+    "q_c12_streaming_cdc_merge",
+    "q_c13_stream_stream_left_join",
+    "q_c14_streaming_topk",
+    "q_c15_ingestion_metrics",
+    "q_a14_calibration",
+    "q_a15_feature_importance",
 ]
 
 #: the driver checks exactly this many entries per round; _PRIORITY must

@@ -500,7 +500,7 @@ def streaming_curation_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise RuntimeError("streaming_curation_sink did not finish within 300s")
     landed = spark.read.parquet(lake)
-    return (
+    out = (
         landed.groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -508,6 +508,11 @@ def streaming_curation_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+    # ADVICE r11: the module global is a process-wide mutable — attach the
+    # path to THIS invocation's result too, so concurrent/interleaved calls
+    # in one process can each find their own lake
+    out._smb_sink_lake = lake
+    return out
 
 
 @query("q_c12_streaming_cdc_merge", oracle=None, group="C")

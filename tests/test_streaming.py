@@ -230,13 +230,8 @@ def test_streaming_curation_sink_lands_partitioned_lake(spark, sf_dir):
     from spark_multiboost_spark.registry import all_queries
     from spark_multiboost_spark.streaming import jobs
 
-    sink = (
-        all_queries()["q_c11_streaming_curation_sink"]
-        .fn(spark, sf_dir)
-        .toPandas()
-        .sort_values("lang")
-        .reset_index(drop=True)
-    )
+    sink_df = all_queries()["q_c11_streaming_curation_sink"].fn(spark, sf_dir)
+    sink = sink_df.toPandas().sort_values("lang").reset_index(drop=True)
     mem = (
         all_queries()["q_c10_streaming_curation"]
         .fn(spark, sf_dir)
@@ -251,8 +246,12 @@ def test_streaming_curation_sink_lands_partitioned_lake(spark, sf_dir):
     # path the query just wrote (the old /tmp/smb_sink_* prefix glob kept
     # passing against stale dirs from earlier sessions after the round-12
     # scratch refactor moved the sink, then failed on a clean host)
-    assert jobs.LAST_SINK_LAKE, "q_c11 did not record its lake path"
-    lakes = sorted(glob.glob(os.path.join(jobs.LAST_SINK_LAKE, "lang=*")))
+    # ADVICE r11: prefer the per-invocation attribute over the module
+    # global (the global is a process-wide mutable; interleaved calls could
+    # alias each other's path)
+    lake = getattr(sink_df, "_smb_sink_lake", None) or jobs.LAST_SINK_LAKE
+    assert lake, "q_c11 did not record its lake path"
+    lakes = sorted(glob.glob(os.path.join(lake, "lang=*")))
     assert lakes, "no lang=... partition directories found under the sink"
 
 

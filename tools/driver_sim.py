@@ -33,7 +33,7 @@ def main() -> None:
     # for the PQ-family oracles whose stacked CROSS JOIN SQL is DuckDB-slow
     # at 2000 vectors while the exact compare stays green at sf0.01
     skip_oracle = set(
-        s for s in os.environ.get("SMB_SKIP_ORACLE", "").split(",") if s
+        s.strip() for s in os.environ.get("SMB_SKIP_ORACLE", "").split(",") if s.strip()
     )
 
     from spark_multiboost_spark.registry import all_queries
@@ -61,7 +61,12 @@ def main() -> None:
                 status = "MATCH"
             else:
                 rows = run_rows_only(spark, name, sf_dir)
-                status = f"rows_only({rows})"
+                # ADVICE r11: a skipped oracle must be distinguishable from a
+                # contract rows-only entry in the saved artifact
+                if qs[name].oracle is not None:
+                    status = f"rows_only({rows}, oracle_skipped)"
+                else:
+                    status = f"rows_only({rows})"
         except AssertionError as e:
             status = f"MISMATCH: {str(e)[:300]}"
         except Exception:
@@ -79,6 +84,7 @@ def main() -> None:
                 "n": len(names),
                 "match": ok,
                 "rows_only": rows_only,
+                "oracle_skipped": sorted(skip_oracle),
                 "failures": bad,
                 "wall_sec": round(time.time() - t_start, 1),
             }

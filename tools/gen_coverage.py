@@ -33,6 +33,11 @@ def main() -> None:
           "exact DuckDB oracles, the rest rows-only (iterative/streaming/"
           "engine-specific per SURVEY §2).\n")
     print("Regenerate: `python tools/gen_coverage.py > COVERAGE.md`\n")
+    print("Renamed (VERDICT r11 item 5): `q_d3_ivf_ann_arrow` (checked in "
+          "CORRECTNESS_r01–r03) became the headline `q_d3_ivf_ann` in r5; "
+          "the duplicate registration was dropped in r7. The declarative "
+          "plan is `q_d3_ivf_ann_catalyst`. No evidence was lost — the name "
+          "moved.\n")
     # every group present in the registry gets a section; missing a new
     # group letter here once silently dropped 9 rows from the audit table
     for g in sorted(set(list("ABCDE")) | set(by_group)):
