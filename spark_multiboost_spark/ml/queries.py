@@ -606,9 +606,26 @@ def train_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boosting.stumps_to_df(spark, stumps).select("t", "feature", "threshold")
 
 
-@query("q_a13_model_roundtrip", oracle=None, group="A")
+@query(
+    "q_a13_model_roundtrip",
+    oracle=f"""
+SELECT CAST(t AS INT) AS t,
+       CAST(feature AS INT) AS feature,
+       CAST(threshold AS DOUBLE) AS threshold,
+       CAST(votes[1] AS DOUBLE) AS v0
+FROM {_STUMPS_SQL}
+ORDER BY t
+""",
+    group="A",
+)
 def model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A13: model persistence — stump table parquet round-trip."""
+    """A13: model persistence — stump table parquet round-trip.  Oracle
+    (r14 upgrade, stronger than the contract's rows-only column): the
+    model is the FIXED stump table, so the round-tripped rows must
+    value-hash against the same literal table in DuckDB — a persistence
+    layer that drops a stump or perturbs a vote breaks the match.  The
+    TRAINED-model persistence path stays covered by the D7 replay twins
+    (persist+reload inside both, hash-checked end-to-end)."""
     sdf = boosting.stumps_to_df(spark, _STUMPS_FIXED)
     path = os.path.join(sf_scratch("model", sf_dir), "stumps")
     sdf.write.mode("overwrite").parquet(path)

@@ -3,8 +3,15 @@ operators/relational.q_b01); CSV/JSON readers here round-trip through a temp
 dir with explicit DDL schemas — the pattern a production pipeline uses for
 schema-pinned ingestion (never inferSchema on 100 TB).
 
-Rows-only checks: dialect/quoting differences make byte-level CSV/JSON parity
-with DuckDB not meaningful (SURVEY §2 B2).
+Oracle upgrade (r14, the B28/A12 "stronger than contract" precedent):
+byte-level CSV/JSON parity with DuckDB is still not meaningful (dialects,
+quoting), but CONTENT parity is — Spark writes doubles with the shortest
+round-trippable repr (Java Double.toString / Jackson), so write→parse→agg
+must reproduce the source-table aggregate exactly under the decimal-sum
+discipline.  Each round-trip's oracle is therefore the same aggregate in
+plain SQL over the source table; only the text-source parser (float→string
+→double widening is NOT value-preserving against a float→double cast) and
+the Python datasource's synthetic input stay rows-only/SQL-special.
 """
 
 from __future__ import annotations
@@ -15,7 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.parity import bcount, dsum
+from ..functions.parity import bcount, dsum, dsum_sql
 from ..registry import query
 from ..session import load_tables
 
@@ -29,10 +36,22 @@ _JSON_SCHEMA = (
 )
 
 
-@query("q_b02_csv_roundtrip", oracle=None, group="B")
+@query(
+    "q_b02_csv_roundtrip",
+    oracle=f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('o_totalprice')} AS sum_price
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    group="B",
+)
 def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2: write orders subset as CSV (header), read back with an explicit
-    DDL schema, aggregate. Asserts the parse path, not byte equality."""
+    DDL schema, aggregate. Oracle (r14): content parity with the source —
+    the CSV writer's shortest-repr doubles parse back bit-identical."""
     t = load_tables(spark, sf_dir)
     path = os.path.join(tempfile.mkdtemp(prefix="smb_csv_"), "orders_csv")
     (
@@ -50,10 +69,22 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_b02_json_roundtrip", oracle=None, group="B")
+@query(
+    "q_b02_json_roundtrip",
+    oracle=f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('value')} AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    group="B",
+)
 def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2: write events subset as JSON lines, read back with explicit
-    schema (including a field projected out of the props payload)."""
+    schema (including a field projected out of the props payload).
+    Oracle (r14): content parity with the source events table."""
     t = load_tables(spark, sf_dir)
     path = os.path.join(tempfile.mkdtemp(prefix="smb_json_"), "events_json")
     (
@@ -76,11 +107,24 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_b02_orc_roundtrip", oracle=None, group="B")
+@query(
+    "q_b02_orc_roundtrip",
+    oracle=f"""
+SELECT s_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('s_acctbal')} AS sum_bal
+FROM supplier
+WHERE s_acctbal > 0
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+""",
+    group="B",
+)
 def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2: ORC sink + scan — the other columnar warehouse format Spark
     reads natively (predicate pushdown + column pruning apply the same as
-    parquet). Rows-only: DuckDB-side ORC support is not assumed."""
+    parquet). DuckDB never reads the ORC bytes; the oracle (r14) checks
+    the round-trip CONTENT against the source supplier table."""
     t = load_tables(spark, sf_dir)
     path = os.path.join(tempfile.mkdtemp(prefix="smb_orc_"), "supplier_orc")
     t["supplier"].write.mode("overwrite").orc(path)
@@ -124,7 +168,25 @@ def text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
-@query("q_b02_schema_evolution", oracle=None, group="B")
+@query(
+    "q_b02_schema_evolution",
+    oracle="""
+SELECT * FROM (
+  SELECT 0 AS batch,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(0 AS BIGINT) AS n_scored,
+         CAST(COUNT(*) AS BIGINT) AS n_null_score
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 1 AS batch,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_scored,
+         CAST(0 AS BIGINT) AS n_null_score
+  FROM documents WHERE doc_id % 2 = 1
+) ORDER BY batch
+""",
+    group="B",
+)
 def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2 (cont.): parquet schema EVOLUTION — the lake reality that columns
     arrive over time: an early file batch lacks a column a later batch

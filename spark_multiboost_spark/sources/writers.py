@@ -14,15 +14,37 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.parity import bcount, dsum
+from ..functions.parity import bcount, dsum, dsum_sql
 from ..registry import query
 from ..session import load_tables
 
+# Round-14 oracle upgrades (stronger than SURVEY §2's rows-only contract,
+# the B28/A12 precedent): a lossless sink's read-back aggregate must equal
+# the SAME aggregate computed directly on the source table, so the oracle
+# is plain SQL over the source — a dropped row, a partition lost in the
+# rewrite, or a value mangled by the sink breaks the value hash.  Layout
+# reports (compaction file counts, zone-map stats) stay rows-only: their
+# output is engine-specific by nature.
 
-@query("q_b03_partitioned_write", oracle=None, group="B")
+
+@query(
+    "q_b03_partitioned_write",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+WHERE l_returnflag = 'R'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_linestatus
+""",
+    group="B",
+)
 def partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B3: write lineitem partitioned by l_returnflag, read back with a
-    partition filter, aggregate. Rows-only (sink correctness = read-back)."""
+    partition filter, aggregate.  Oracle (r14 upgrade): the read-back
+    content must equal the source-table aggregate — sink correctness as a
+    value-hash, not just a row count."""
     t = load_tables(spark, sf_dir)
     path = os.path.join(tempfile.mkdtemp(prefix="smb_pq_"), "lineitem_part")
     (
@@ -65,15 +87,27 @@ def bucketed_join_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return li_name, o_name
 
 
-@query("q_b03_bucketed_join", oracle=None, group="B")
+@query(
+    "q_b03_bucketed_join",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    group="B",
+)
 def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B3/B5 scale pattern: co-located join via bucketing. Both sides are
     bucketed 8-ways on the join key, so the sort-merge join reads matching
     buckets directly — NO shuffle exchange on either side (asserted in
     tests/test_plans.py). At 100 TB this is the difference between joining
     in place and moving both tables over the network; the same layout is
-    reusable by every downstream orderkey join. Rows-only: sink + catalog
-    behavior, not ANSI-expressible."""
+    reusable by every downstream orderkey join.  Oracle (r14 upgrade): the
+    bucketed tables' join-agg must equal the plain source join-agg — the
+    bucketing layout is an optimization, never a semantic change."""
     li_name, o_name = bucketed_join_tables(spark, sf_dir)
     li, o = spark.table(li_name), spark.table(o_name)
     return (
@@ -84,13 +118,26 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_b03_range_sorted_write", oracle=None, group="B")
+@query(
+    "q_b03_range_sorted_write",
+    oracle=f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       {dsum_sql('l_quantity')} AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+""",
+    group="B",
+)
 def range_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B3 (cont.): range-partitioned, within-file-sorted layout — each
     output file covers a disjoint l_shipdate range with sorted row groups,
     so a time-range reader prunes whole files on parquet min/max stats
     (the clustering/Z-order-lite every time-series warehouse wants). The
-    read-back filters one narrow month; correctness is the read-back agg."""
+    read-back filters one narrow month; oracle (r14 upgrade): that month's
+    agg straight off the source table.  (The repartitionByRange boundaries
+    are per-run sampled — fine here because the ORACLE checks content, not
+    layout; the layout-feeds-a-check ban from NEXT.md does not apply.)"""
     t = load_tables(spark, sf_dir)
     path = os.path.join(tempfile.mkdtemp(prefix="smb_rng_"), "lineitem_ranged")
     (
@@ -159,7 +206,19 @@ def compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_b03_dynamic_partition_overwrite", oracle=None, group="B")
+@query(
+    "q_b03_dynamic_partition_overwrite",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(CASE WHEN l_returnflag = 'R' THEN 0.0 ELSE l_discount END
+                     AS DECIMAL(18,6))) AS DOUBLE) AS sum_discount
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    group="B",
+)
 def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B3 (cont.): DYNAMIC partition overwrite — the lakehouse backfill
     primitive.  Static overwrite mode would truncate the whole table;
