@@ -286,6 +286,62 @@ def sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# B34 exact-oracle twin (VERDICT r12 item 2 — the explicit demand NEXT.md's
+# item 5 gated on).  Same multiplicative-congruential family as the A12
+# trainer sampler (ml/queries.py): Knuth's 2^32*phi multiplier on the row's
+# integer key, second coefficient decorrelating the composite key's low
+# bits.  Overflow headroom: l_orderkey * B34_MULT stays in int64 for
+# orderkey < ~3.47e9 (sf ~575 in TPC-H keyspace); past that, mod-reduce the
+# key first ((l_orderkey % B34_MOD) * (B34_MULT % B34_MOD) ...) — same
+# residue, bounded intermediates.  DuckDB BIGINT overflow would ERROR (not
+# wrap), so a violation is loud, never silently divergent.
+B34_MULT = 2654435761
+B34_STEP = 40503
+B34_MOD = 1000
+B34_THRESH = 100  # 10% sample
+
+
+@query(
+    "q_b34_hash_sample",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       {dsum_sql('l_extendedprice')} AS sampled_price
+FROM lineitem
+WHERE (l_orderkey * {B34_MULT} + l_linenumber * {B34_STEP})
+      % {B34_MOD} < {B34_THRESH}
+GROUP BY l_returnflag
+""",
+    group="B",
+)
+def hash_sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B34 exact-oracle twin: deterministic ~10% Bernoulli-style sample via
+    a pushed-down multiplicative-congruential selector on the row's natural
+    key — (l_orderkey*MULT + l_linenumber*STEP) % MOD < THRESH — instead of
+    a seeded RNG stream.  Integer arithmetic is bit-identical in Spark and
+    DuckDB, so the sampled aggregate value-hashes exactly (the seed-42
+    `q_b34_sample` stays registered as the engine-specific contract row).
+
+    Scale shape: the selector is a stateless per-row arithmetic filter —
+    evaluated inside the scan stage before any shuffle, no RNG state, no
+    sampled-id list, no driver participation; rows are selected identically
+    on any cluster topology, which is what makes hash-sampling the
+    production shape for reproducible subsampling at 100 TB (rerunning the
+    pipeline, or sampling the same keys in two different jobs, selects the
+    SAME rows — seeded `.sample()` cannot promise that across partitionings
+    because the RNG stream is per-partition)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    keep = (
+        (F.col("l_orderkey") * F.lit(B34_MULT) + F.col("l_linenumber") * F.lit(B34_STEP))
+        % F.lit(B34_MOD)
+    ) < F.lit(B34_THRESH)
+    return (
+        li.filter(keep)
+        .groupBy("l_returnflag")
+        .agg(bcount().alias("n_sampled"), dsum("l_extendedprice").alias("sampled_price"))
+    )
+
+
 @query(
     "q_ext_observe_metrics",
     oracle=f"""

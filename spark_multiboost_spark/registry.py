@@ -65,77 +65,82 @@ _QUERY_MODULES = [
 
 #: query-level window rotation.  The driver's correctness gate checks the
 #: FIRST 50 registry entries each round (50 in every CORRECTNESS_r0*.json),
-#: so these names are surfaced ahead of everything else.  Round-12 window =
+#: so these names are surfaced ahead of everything else.  Round-13 window =
 #: EXACTLY 50 names (tests/test_registry_window.py pins the invariant),
-#: rotated per VERDICT r11 item 1 to the STALEST driver evidence left —
-#: computed from the union of CORRECTNESS_r01–r11 ("latest round that
+#: rotated per VERDICT r12 item 1 to the STALEST driver evidence left —
+#: computed from the union of CORRECTNESS_r01–r12 ("latest round that
 #: checked each name"):
-#:   1. the FULL r5-era block — all 37 queries last driver-checked in
-#:      CORRECTNESS_r05: the PQ/SQ/binary-quantization ANN family, the
-#:      BM25-snippets/query-expansion retrieval pair, the
-#:      inverted-index/PMI/BPE-pair-counts text block, the weighted /
-#:      personalized pagerank + BFS + triangle graph family, the TPC-H
-#:      Q3/Q4/Q9/Q15–Q19-shape composites, the lakehouse
-#:      SCD1/IVM/snapshot trio, percentiles/listagg, c16 telemetry, and
-#:      the Misra–Gries heavy hitters;
-#:   2. the OLDEST 13 of the 46 r6-era names, in their CORRECTNESS_r06
-#:      registration order — pq_encode, pagerank, grouping sets, the
-#:      c8–c15 true-streaming block, and the A14/A15 model-analysis pair.
+#:   1. the FULL r6-era tail — all 33 queries last driver-checked in
+#:      CORRECTNESS_r06: b05 null-safe join, b18 RANGE-interval frame,
+#:      b35 SQL UDF, the b37 SQL-TVF + polymorphic-UDTF pair, b02
+#:      python_datasource, the c5 windowed-dedup twin, a2 multilabel
+#:      init, the d2 containment/segment/repeated-ngram/semantic-arrow
+#:      dedup families, the d3 filtered/mrl/cell-balance/fps/catalyst
+#:      ANN wave, the d4 pack-3level/length-batching/interleave/oov/
+#:      ttr/bpe-encode/count-min text wave, the d5 dsir/kl/quality-gate/
+#:      coverage/priority/term-scrub curation wave, and the d6
+#:      cas/shard-manifest/phash multimodal trio;
+#:   2. the OLDEST 17 of the 48 r7-era names, in their CORRECTNESS_r07
+#:      registration order — lsh-band sweep, a5 multilabel Z, the D7
+#:      estimator end-to-end, ALS, pq_train/ivf_trained_recall, RRF
+#:      fusion, gopher rules, curation funnel, benford, waterfill,
+#:      weighted coverage, centroid outlier, prefix dup, token entropy,
+#:      dup weights, hard negatives.
 #: Names not listed keep registration order behind these; unknown names
 #: are ignored (module bring-up safety).
 _PRIORITY = [
-    # 1 — the r5-era block (last driver-checked in CORRECTNESS_r05)
-    "q_d3_pq_adc_topk",
-    "q_d3_ivfpq_topk",
-    "q_d3_pq_recall",
-    "q_d3_ivfpq_residual_topk",
-    "q_d3_sq8_topk",
-    "q_d3_binary_hamming_topk",
-    "q_d3_bq_rerank_topk",
-    "q_d3_pq_packed_codes",
-    "q_d3_bm25_snippets",
-    "q_d3_query_expansion",
-    "q_d4_inverted_index",
-    "q_d4_pmi_cooccur",
-    "q_d4_bpe_pair_counts",
-    "q_d5_bigram_lm_ppl",
-    "q_ext_pagerank_weighted",
-    "q_ext_pagerank_personalized",
-    "q_ext_bfs_2hop",
-    "q_ext_bfs_2hop_pruned",
-    "q_ext_triangle_count",
-    "q_ext_triangle_degree_oriented",
-    "q_ext_skyline",
-    "q_comp_late_lines_by_flag",
-    "q_comp_dominant_suppliers",
-    "q_comp_waiting_orders",
-    "q_comp_order_priority_check",
-    "q_comp_profit_by_nation",
-    "q_comp_top_supplier",
-    "q_comp_parts_supplier_counts",
-    "q_comp_small_quantity_revenue",
-    "q_comp_disjunctive_revenue",
-    "q_ext_upsert_scd1",
-    "q_ext_ivm_merge",
-    "q_ext_snapshot_asof_read",
-    "q_ext_percentiles",
-    "q_ext_listagg",
-    "q_c16_query_progress",
-    "q_d4_heavy_hitters_mg",
-    # 2 — the oldest 13 of the r6-era names (CORRECTNESS_r06 order)
-    "q_d3_pq_encode",
-    "q_ext_pagerank",
-    "q_b14_grouping_sets",
-    "q_c8_stream_stream_join",
-    "q_c9_streaming_similarity",
-    "q_c10_streaming_curation",
-    "q_c11_streaming_curation_sink",
-    "q_c12_streaming_cdc_merge",
-    "q_c13_stream_stream_left_join",
-    "q_c14_streaming_topk",
-    "q_c15_ingestion_metrics",
-    "q_a14_calibration",
-    "q_a15_feature_importance",
+    # 1 — the full r6-era tail (33 queries last driver-checked in CORRECTNESS_r06)
+    "q_a2_multilabel_weight_init",
+    "q_b05_null_safe_join",
+    "q_b18_range_interval_frame",
+    "q_b35_sql_udf",
+    "q_b37_sql_tvf",
+    "q_b37_udtf_polymorphic",
+    "q_b02_python_datasource",
+    "q_c5_windowed_dedup_twin",
+    "q_d2_containment",
+    "q_d2_segment_dedup",
+    "q_d2_repeated_ngrams",
+    "q_d2_semantic_dedup_arrow",
+    "q_d3_filtered_ann",
+    "q_d3_mrl_prefix_recall",
+    "q_d3_ivf_cell_balance",
+    "q_d3_fps_coreset",
+    "q_d3_ivf_ann_catalyst",
+    "q_d4_sequence_pack_3level",
+    "q_d4_length_batching",
+    "q_d4_interleave",
+    "q_d4_oov_rate",
+    "q_d4_type_token_ratio",
+    "q_d4_bpe_encode",
+    "q_d4_count_min",
+    "q_d5_dsir_resample",
+    "q_d5_source_kl",
+    "q_d5_quality_gate",
+    "q_d5_coverage_select",
+    "q_d5_priority_sample",
+    "q_d5_term_scrub",
+    "q_d6_cas_report",
+    "q_d6_shard_manifest",
+    "q_d6_phash_neardup",
+    # 2 — the oldest 17 of the 48 r7-era names (CORRECTNESS_r07 order)
+    "q_d2_lsh_band_sweep",
+    "q_a5_multilabel_stump_z",
+    "q_d7_estimator_end_to_end",
+    "q_a16_als_recommend",
+    "q_d3_pq_train",
+    "q_d3_ivf_trained_recall",
+    "q_d3_rrf_fusion",
+    "q_d5_gopher_rules",
+    "q_d5_curation_funnel",
+    "q_ext_benford_audit",
+    "q_d5_mix_waterfill",
+    "q_d5_weighted_coverage_select",
+    "q_d5_centroid_outlier",
+    "q_d2_prefix_dup",
+    "q_d4_token_entropy",
+    "q_d5_dup_weights",
+    "q_d3_hard_negatives",
 ]
 
 #: the driver checks exactly this many entries per round; _PRIORITY must

@@ -59,11 +59,38 @@ def partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_linestatus")
 
 
+def _source_token(sf_dir: str) -> str:
+    """Cheap content fingerprint of the join inputs: (name, size, mtime_ns)
+    of every file under the lineitem/orders parquet dirs, hashed.  Keys the
+    bucketed-table names so catalog reuse is provably same-data (ADVICE
+    r12: a long-lived session whose catalog retained li_bkt_/o_bkt_ tables
+    written from DIFFERENT data under the same sf_dir tag would otherwise
+    reuse them, and q_b03's exact oracle over the fresh source would report
+    a MISMATCH that looks like an engine bug — fail-safe but confusing)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for tbl in ("lineitem", "orders"):
+        p = os.path.join(sf_dir, f"{tbl}.parquet")
+        paths = sorted(os.listdir(p)) if os.path.isdir(p) else [p]
+        for name in paths:
+            fp = os.path.join(p, name) if os.path.isdir(p) else p
+            st = os.stat(fp)
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns};".encode())
+    return h.hexdigest()[:12]
+
+
 def bucketed_join_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Write lineitem + orders as bucketed tables sharing the join key layout
     (8 buckets on the orderkey), registering them in the session catalog.
-    Idempotent per (session, sf_dir)."""
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    Idempotent per (session, source-content token): the table names embed a
+    file-listing fingerprint of the source parquet, so a stale catalog entry
+    from different data can never be silently reused (ADVICE r12)."""
+    tag = (
+        os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+        + "_"
+        + _source_token(sf_dir)
+    )
     li_name, o_name = f"li_bkt_{tag}", f"o_bkt_{tag}"
     if not spark.catalog.tableExists(li_name):
         t = load_tables(spark, sf_dir)

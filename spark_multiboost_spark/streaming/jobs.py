@@ -29,8 +29,38 @@ _EVENTS_DDL = (
 )
 
 #: path of the most recent q_c11 parquet lake (set per invocation); the
-#: on-disk-layout test reads this instead of globbing a /tmp prefix
+#: on-disk-layout test reads this instead of globbing a /tmp prefix.
+#: DOCUMENTED FALLBACK only — prefer :func:`sink_lake_for` (ADVICE r12)
 LAST_SINK_LAKE: str | None = None
+
+#: per-invocation registry of q_c11 lake paths, keyed by invocation
+#: sequence (insertion-ordered); :func:`sink_lake_for` resolves a result
+#: DataFrame back to ITS lake by matching the parquet scan in its plan
+SINK_LAKES: dict[int, str] = {}
+
+
+def sink_lake_for(df) -> str | None:
+    """Resolve the parquet-lake path behind a ``q_c11`` result DataFrame.
+
+    ADVICE r12: the old ad-hoc ``_smb_sink_lake`` attribute silently fell
+    off any wrapper that copies/recreates the DataFrame (``cache()``,
+    ``checkpoint()``, a Spark Connect rebuild).  This accessor is
+    plan-derived instead: the q_c11 result aggregates a parquet scan of its
+    lake, so ``df.inputFiles()`` names files under exactly one registered
+    lake — match against the per-invocation registry (newest first, so
+    interleaved calls in one process each resolve their own path).  Falls
+    back to the newest registered lake, then the module global."""
+    try:
+        files = list(df.inputFiles())
+    except Exception:
+        files = []
+    for _, lake in sorted(SINK_LAKES.items(), reverse=True):
+        # inputFiles returns file:///... URIs; the posix path is a substring
+        if any(lake in f for f in files):
+            return lake
+    if SINK_LAKES:
+        return SINK_LAKES[max(SINK_LAKES)]
+    return LAST_SINK_LAKE
 
 
 def _replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
@@ -508,10 +538,11 @@ def streaming_curation_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
-    # ADVICE r11: the module global is a process-wide mutable — attach the
-    # path to THIS invocation's result too, so concurrent/interleaved calls
-    # in one process can each find their own lake
-    out._smb_sink_lake = lake
+    # ADVICE r12: register the path per invocation, keyed by sequence —
+    # sink_lake_for(out) resolves it from the plan's parquet scan, which
+    # survives wrappers that copy/recreate the DataFrame (the old ad-hoc
+    # _smb_sink_lake attribute did not)
+    SINK_LAKES[len(SINK_LAKES) + 1] = lake
     return out
 
 

@@ -246,10 +246,9 @@ def test_streaming_curation_sink_lands_partitioned_lake(spark, sf_dir):
     # path the query just wrote (the old /tmp/smb_sink_* prefix glob kept
     # passing against stale dirs from earlier sessions after the round-12
     # scratch refactor moved the sink, then failed on a clean host)
-    # ADVICE r11: prefer the per-invocation attribute over the module
-    # global (the global is a process-wide mutable; interleaved calls could
-    # alias each other's path)
-    lake = getattr(sink_df, "_smb_sink_lake", None) or jobs.LAST_SINK_LAKE
+    # ADVICE r12: resolve via the plan-derived per-invocation registry —
+    # survives DataFrame copies/wrappers, unlike the old ad-hoc attribute
+    lake = jobs.sink_lake_for(sink_df) or jobs.LAST_SINK_LAKE
     assert lake, "q_c11 did not record its lake path"
     lakes = sorted(glob.glob(os.path.join(lake, "lang=*")))
     assert lakes, "no lang=... partition directories found under the sink"

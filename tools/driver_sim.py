@@ -44,6 +44,10 @@ def main() -> None:
     qs = all_queries()
     names = list(qs)[:n]
     summary: dict[str, str] = {}
+    # ADVICE r12: record only the oracles ACTUALLY downgraded this run (name
+    # in the window AND an oracle existed to skip) — echoing the raw env list
+    # would let a typo or out-of-window name overstate what was skipped
+    actually_skipped: list[str] = []
     t_start = time.time()
     for i, name in enumerate(names):
         if i and i % 25 == 0:
@@ -65,6 +69,7 @@ def main() -> None:
                 # contract rows-only entry in the saved artifact
                 if qs[name].oracle is not None:
                     status = f"rows_only({rows}, oracle_skipped)"
+                    actually_skipped.append(name)
                 else:
                     status = f"rows_only({rows})"
         except AssertionError as e:
@@ -77,6 +82,9 @@ def main() -> None:
     ok = sum(1 for s in summary.values() if s == "MATCH")
     rows_only = sum(1 for s in summary.values() if s.startswith("rows_only"))
     bad = {k: v for k, v in summary.items() if not (v == "MATCH" or v.startswith("rows_only"))}
+    unknown_skips = sorted(skip_oracle - set(actually_skipped))
+    if unknown_skips:
+        print(f"WARNING: SMB_SKIP_ORACLE names not downgraded this run: {unknown_skips}")
     print(
         json.dumps(
             {
@@ -84,7 +92,7 @@ def main() -> None:
                 "n": len(names),
                 "match": ok,
                 "rows_only": rows_only,
-                "oracle_skipped": sorted(skip_oracle),
+                "oracle_skipped": sorted(actually_skipped),
                 "failures": bad,
                 "wall_sec": round(time.time() - t_start, 1),
             }
