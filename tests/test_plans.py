@@ -5,6 +5,8 @@ results stay correct."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from spark_multiboost_spark.registry import all_queries
@@ -582,3 +584,21 @@ def test_d3_adaptive_beam_plan(spark, sf_dir):
     # frames, no cartesian anywhere
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_b34_hash_sample_plan(spark, sf_dir):
+    plan = _plan(spark, "q_b34_hash_sample", sf_dir)
+    # the multiplicative-congruential selector evaluates scan-stage, BELOW
+    # the one groupBy exchange — the zero-state shape that makes hash
+    # sampling reproducible at any scale / partitioning (SCALING §8r)
+    assert plan.count("+- Exchange") == 1  # tree node (details repeat the word)
+    # formatted-plan ids number leaves upward: the Filter executes below it
+    f_id = int(re.search(r"Filter \((\d+)\)", plan).group(1))
+    x_id = int(re.search(r"Exchange \((\d+)\)", plan).group(1))
+    assert f_id < x_id
+    assert "2654435761" in plan  # the selector really is in the Filter node
+    # partial + final agg around the exchange (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+    # column pruning: only the 4 referenced columns reach the scan
+    read = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_shipdate" not in read and "l_partkey" not in read
