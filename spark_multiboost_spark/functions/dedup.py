@@ -454,7 +454,44 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_d2_dup_clusters", oracle=None, group="D")
+@query(
+    "q_d2_dup_clusters",
+    oracle="WITH RECURSIVE _x AS (SELECT 1)"
+    + _SHINGLE_SQL
+    + f"""
+, sig AS MATERIALIZED (
+  SELECT doc_id, shingles, {_SIG_SQL} AS sig FROM sh
+), buckets AS MATERIALIZED (
+  SELECT doc_id, shingles, b.band,
+         MD5(CONCAT(sig[2 * b.band + 1], sig[2 * b.band + 2])) AS band_hash
+  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS b(band)
+), pairs AS MATERIALIZED (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, x.doc_id AS doc_b, a.shingles AS sa, x.shingles AS sb
+    FROM buckets a JOIN buckets x
+      ON a.band = x.band AND a.band_hash = x.band_hash AND a.doc_id < x.doc_id
+  )
+  WHERE CAST(LEN(LIST_INTERSECT(sa, sb)) AS DOUBLE)
+        / (LEN(sa) + LEN(sb) - LEN(LIST_INTERSECT(sa, sb))) >= {_JACCARD_THRESHOLD}
+), edges AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(node, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+), labels AS (
+  SELECT node, MIN(lab) AS label FROM reach GROUP BY node
+)
+SELECT label AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size
+FROM labels
+GROUP BY label
+ORDER BY cluster_id
+""",
+    group="D",
+)
 def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2 (cont.): transitive near-duplicate CLUSTERS — connected components
     over the verified LSH pair graph via min-label propagation (the
@@ -462,8 +499,18 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + one min-agg, localCheckpoint truncates the plan; converges in
     <= graph-diameter rounds, capped). Near-dup groups are transitive in a
     real corpus (A~B~C), so keep-one-per-cluster needs components, not
-    pairs. Rows-only: iterative. Returns one row per cluster with its
-    canonical (minimum) doc_id and size."""
+    pairs. Returns one row per cluster with its canonical (minimum) doc_id
+    and size.
+
+    Exact oracle (upgraded from rows-only in round 15): the pair graph is
+    the SAME SQL that q_d2_minhash_lsh's oracle hash-matches, and a
+    component's min-label is engine-independent, so DuckDB recomputes the
+    clusters via a recursive transitive-closure CTE (reach = every (node,
+    reachable-ancestor) pair; MIN(lab) per node = the component's minimum
+    doc_id). The closure is bounded by per-cluster size x diameter — dup
+    chains in a real corpus are tiny next to the corpus, so the oracle
+    stays cheap even at sf0.1; the ENGINE-side propagation loop stays the
+    scale shape (the closure would not be)."""
     pairs = minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

@@ -391,7 +391,16 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_ext_assign_global_ids", oracle=None)
+@query(
+    "q_ext_assign_global_ids",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_ids,
+       CAST(0 AS BIGINT) AS min_id,
+       CAST(COUNT(*) - 1 AS BIGINT) AS max_id
+FROM lineitem
+""",
+)
 def assign_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ext: DENSE GLOBAL ID ASSIGNMENT without a global sort — the
     DataFrame form of zipWithIndex: count rows per partition, prefix-sum
@@ -399,13 +408,16 @@ def assign_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     row's local index to its partition's offset.  The id-assignment
     primitive behind vocab building, surrogate keys, and row addressing.
 
-    Rows-only by contract (ids depend on physical partition layout — any
-    dense permutation is valid); the VALIDATED properties are what matter
-    and the output proves them: n_rows distinct ids, min 0, max n-1.
-    tests/test_pipeline_ops.py asserts all three.  At 100 TB this is one
-    narrow count pass + a map-side expression — contrast row_number over
-    a global window (single task) or monotonically_increasing_id (sparse,
-    not dense)."""
+    The raw ids depend on physical partition layout (any dense permutation
+    is valid), but the returned summary is IDENTICAL for every valid
+    assignment — n_rows distinct ids, min 0, max n-1 — so it carries an
+    exact content-equality oracle (upgraded from rows-only in round 15,
+    the r14 sink-oracle precedent): COUNT(*) determines all four columns,
+    and any collision, gap, or offset bug diverges from them.
+    tests/test_pipeline_ops.py asserts the same three properties.  At
+    100 TB this is one narrow count pass + a map-side expression —
+    contrast row_number over a global window (single task) or
+    monotonically_increasing_id (sparse, not dense)."""
     from pyspark.sql.functions import spark_partition_id
 
     # pin the partition id as a COLUMN at scan time: spark_partition_id()
