@@ -404,8 +404,10 @@ def bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the bigram-count model (vocab² realized pairs — tiny next
     to the corpus) broadcasts into the scoring join; document bigrams
-    stream map-side through it.  Per-bigram NLLs are quantized to 6dp then
-    decimal-summed, so the per-doc mean is accumulation-order-independent.
+    stream map-side through it.  Per-bigram NLLs are quantized to 6dp and
+    summed per doc as BIGINT 1e-6 units (order-independent integer
+    addition; bit-identical to the oracle's decimal sum — see the inline
+    note), so the per-doc mean is accumulation-order-independent.
     Training (cb/cu/V) and scoring share ONE tokenize of the corpus.
     """
     d = load_tables(spark, sf_dir)["documents"]
@@ -435,14 +437,18 @@ def bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(v))
         .select(
             "doc_id",
-            (
-                F.floor(
-                    -F.log((F.col("cb") + 1).cast("double") / (F.col("cu") + F.col("v")))
-                    * 1e6
-                    + 0.5
-                )
-                / 1e6
-            ).alias("nll"),
+            # 6dp-quantized NLL kept as BIGINT 1e-6 units (floor(double) is
+            # LONG): the per-doc sum is integer — fully order-independent,
+            # and (unit sum)/1e6 is the same correctly-rounded double as
+            # the oracle's CAST(SUM(decimal) AS DOUBLE) while the PER-DOC
+            # unit sum stays below 2^53 (~9e9 summed NLL — no document
+            # approaches it).  See the q_ext_pagerank parity note; corpus-
+            # level sums keep the decimal path for exactly this reason.
+            F.floor(
+                -F.log((F.col("cb") + 1).cast("double") / (F.col("cu") + F.col("v")))
+                * 1e6
+                + 0.5
+            ).alias("nll_u"),
         )
     )
     return release_with(
@@ -451,7 +457,7 @@ def bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             bcount().alias("n_bigrams"),
             (
                 F.floor(
-                    F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+                    (F.sum("nll_u") / F.lit(1e6))
                     / F.count(F.lit(1))
                     * 1e6
                     + 0.5
@@ -704,9 +710,10 @@ def trigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself, the holdout split actually exercises every backoff tier.
 
     Determinism: the bigram-LM discipline — per-trigram NLLs quantize to
-    6dp before the DECIMAL per-doc sum, so the mean is accumulation-order
-    independent; count ratios and the 0.4 multipliers are identical
-    binary64 on both engines.
+    6dp and sum per doc as BIGINT 1e-6 units (order-independent integer
+    addition; bit-identical to the oracle's decimal sum), so the mean is
+    accumulation-order independent; count ratios and the 0.4 multipliers
+    are identical binary64 on both engines.
 
     Scale shape: the three count models are vocabulary-sized hash-aggs
     with map-side partials.  Join strategy is left to AQE (no forced
@@ -787,8 +794,10 @@ def trigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c1c, ["w3"], "left")
         .crossJoin(F.broadcast(nv))
         .select(
+            # BIGINT 1e-6-unit per-doc NLL sum — same exact-parity and
+            # per-doc-bound argument as q_d5_bigram_lm_ppl above
             "doc_id",
-            (F.floor(-F.log(score) * 1e6 + 0.5) / 1e6).alias("nll"),
+            F.floor(-F.log(score) * 1e6 + 0.5).alias("nll_u"),
         )
     )
     return release_with(
@@ -797,7 +806,7 @@ def trigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             bcount().alias("n_trigrams"),
             (
                 F.floor(
-                    F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+                    (F.sum("nll_u") / F.lit(1e6))
                     / F.count(F.lit(1))
                     * 1e6
                     + 0.5

@@ -2591,9 +2591,16 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     text (keyword stuffing, boilerplate loops), the information-theoretic
     sibling of q_d5_repetition_score that curation stacks threshold on.
 
-    Determinism: each per-token term is quantized to 9dp then
-    DECIMAL-summed per doc (accumulation-order independent — the
-    bigram-LM discipline), output rounded to 6dp.
+    Determinism: each per-token term is quantized to 9dp and summed per
+    doc as BIGINT 1e-9 units (integer addition is fully
+    order-independent — strictly stronger than the decimal(18,9) sum it
+    replaced, and skips a per-token-type decimal128 cast+sum; see the
+    q_ext_pagerank parity note: the floor() expression is unchanged, so
+    the units are provably identical and (unit sum)/1e9 is the same
+    correctly-rounded double as the oracle's CAST(SUM(decimal) AS
+    DOUBLE) while the per-doc unit sum stays below 2^53 — entropy tops
+    out at ln(n_tokens), i.e. ~1e10 units for any real document).
+    Output rounded to 6dp.
 
     Scale shape: two hash-aggs with map-side partial combine
     ((doc, token) counts, then per-doc roll-up joined back on doc_id —
@@ -2615,22 +2622,19 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "n_distinct",
-        (
-            F.floor(
-                (F.col("c").cast("double") / F.col("n_tokens"))
-                * F.log(F.col("n_tokens").cast("double") / F.col("c"))
-                * 1e9
-                + 0.5
-            )
-            / 1e9
-        ).alias("term"),
+        F.floor(
+            (F.col("c").cast("double") / F.col("n_tokens"))
+            * F.log(F.col("n_tokens").cast("double") / F.col("c"))
+            * 1e9
+            + 0.5
+        ).alias("term_u"),
     )
     return (
         terms.groupBy("doc_id", "n_tokens", "n_distinct")
         .agg(
             (
                 F.floor(
-                    F.sum(F.col("term").cast("decimal(18,9)")).cast("double") * 1e6
+                    (F.sum("term_u") / F.lit(1e9)).cast("double") * 1e6
                     + 0.5
                 )
                 / 1e6
@@ -3215,23 +3219,24 @@ def ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cu, "w1")
         .crossJoin(F.broadcast(v))
         .select(
+            # BIGINT 1e-6-unit per-doc NLL sum — same exact-parity and
+            # per-doc-bound argument as q_d5_bigram_lm_ppl; the per-tile
+            # rollup below keeps the DECIMAL path (its sum grows with the
+            # corpus and would meet the 2^53 unit-exactness bound)
             "doc_id",
-            (
-                F.floor(
-                    -F.log(
-                        (F.col("cb") + 1).cast("double") / (F.col("cu") + F.col("v"))
-                    )
-                    * 1e6
-                    + 0.5
+            F.floor(
+                -F.log(
+                    (F.col("cb") + 1).cast("double") / (F.col("cu") + F.col("v"))
                 )
-                / 1e6
-            ).alias("nll"),
+                * 1e6
+                + 0.5
+            ).alias("nll_u"),
         )
     )
     xent = nll.groupBy("doc_id").agg(
         (
             F.floor(
-                F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+                (F.sum("nll_u") / F.lit(1e6))
                 / F.count(F.lit(1))
                 * 1e6
                 + 0.5

@@ -2865,10 +2865,20 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks are node-sized (≪ edge-sized) every round.
 
     Determinism across engines AND iterations: per-edge contributions
-    quantize at 9dp then decimal-sum (order-independent), and the damped
-    rank re-quantizes at 9dp before feeding the next round — so both
-    engines iterate on bit-identical doubles and round-off can never
-    compound differently (the parity.py recipe applied to a fixpoint loop).
+    quantize at 9dp and the damped rank re-quantizes at 9dp before feeding
+    the next round — so both engines iterate on bit-identical doubles and
+    round-off can never compound differently (the parity.py recipe applied
+    to a fixpoint loop).  Spark-side the quantized contribution
+    floor(r/d*1e9+0.5) is summed as BIGINT 1e-9 units (integer addition is
+    fully order-independent — strictly stronger than the decimal(18,9) sum
+    it replaced, and ~2.7x cheaper on the CPU axis: interleaved A/B at
+    sf0.1 measured 79 vs 216 CPU-s medians, identical top-20).  Parity
+    with the oracle's decimal sum is exact: SUM(decimal 1e-9 units) cast
+    to DOUBLE and (BIGINT unit sum)/1e9 are the same correctly-rounded
+    double while the unit sum stays below 2^53 — i.e. per-node inbound
+    rank mass below ~9e6, a ceiling even a 100 TB hub graph does not
+    approach (rank mass is conserved at ~|V| and hub in-mass tops out
+    around rank/0.85).
 
     At 100 TB: ranks shuffle on src to meet the edge partitioning each
     round — co-partitioning edges and ranks on src (bucketing) makes every
@@ -2900,11 +2910,15 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     q9 = lambda c: F.floor(c * 1e9 + 0.5) / 1e9  # noqa: E731
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
     for _ in range(3):
+        # floor(double) is LONG in Spark SQL: the 9dp-quantized contribution
+        # IS an exact integer count of 1e-9 units — sum the units as BIGINT
+        # and divide once (bit-identical to the oracle's decimal sum; see
+        # the determinism note in the docstring)
         contrib = edges_deg.join(ranks, edges_deg["src"] == ranks["node"]).select(
-            F.col("dst"), q9(F.col("r") / F.col("d")).cast("decimal(18,9)").alias("c")
+            F.col("dst"), F.floor(F.col("r") / F.col("d") * 1e9 + 0.5).alias("u")
         )
         ranks = contrib.groupBy("dst").agg(
-            q9(F.lit(0.15) + F.lit(0.85) * F.sum("c").cast("double")).alias("r")
+            q9(F.lit(0.15) + F.lit(0.85) * (F.sum("u") / F.lit(1e9))).alias("r")
         ).select(F.col("dst").alias("node"), "r")
     return release_with(
         ranks.select(
@@ -3333,12 +3347,15 @@ def pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     q9 = lambda c: F.floor(c * 1e9 + 0.5) / 1e9  # noqa: E731
     ranks = outw.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
     for _ in range(3):
+        # BIGINT 1e-9-unit sum of the 9dp-quantized contribution — same
+        # exact-parity argument as q_ext_pagerank (the expression inside
+        # floor() is unchanged, so the units are provably identical)
         contrib = edges_w.join(ranks, edges_w["src"] == ranks["node"]).select(
             F.col("dst"),
-            q9(F.col("r") * F.col("w") / F.col("tw")).cast("decimal(18,9)").alias("c"),
+            F.floor(F.col("r") * F.col("w") / F.col("tw") * 1e9 + 0.5).alias("u"),
         )
         ranks = contrib.groupBy("dst").agg(
-            q9(F.lit(0.15) + F.lit(0.85) * F.sum("c").cast("double")).alias("r")
+            q9(F.lit(0.15) + F.lit(0.85) * (F.sum("u") / F.lit(1e9))).alias("r")
         ).select(F.col("dst").alias("node"), "r")
     return release_with(
         ranks.select(
@@ -3461,11 +3478,13 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = (
             edges_w.join(ranks, edges_w["src"] == ranks["node"])
             .select(
+                # BIGINT 1e-9-unit sum — same exact-parity argument as
+                # q_ext_pagerank (floor() expression unchanged)
                 F.col("dst"),
-                q9(F.col("r") * F.col("w") / F.col("tw")).cast("decimal(18,9)").alias("c"),
+                F.floor(F.col("r") * F.col("w") / F.col("tw") * 1e9 + 0.5).alias("u"),
             )
             .groupBy("dst")
-            .agg(F.sum("c").cast("double").alias("m"))
+            .agg((F.sum("u") / F.lit(1e9)).alias("m"))
         )
         ranks = (
             nodes.join(agg, nodes["node"] == agg["dst"], "left")
@@ -3682,12 +3701,14 @@ def ppr_multiseed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = base.select("seed_id", "node", ind.alias("r"))
     for _ in range(3):
         contrib = edges_w.join(ranks, edges_w["src"] == ranks["node"]).select(
+            # BIGINT 1e-9-unit sum — same exact-parity argument as
+            # q_ext_pagerank (floor() expression unchanged)
             F.col("seed_id"),
             F.col("dst"),
-            q9(F.col("r") * F.col("w") / F.col("tw")).cast("decimal(18,9)").alias("c"),
+            F.floor(F.col("r") * F.col("w") / F.col("tw") * 1e9 + 0.5).alias("u"),
         )
         agg = contrib.groupBy("seed_id", "dst").agg(
-            F.sum("c").cast("double").alias("m")
+            (F.sum("u") / F.lit(1e9)).alias("m")
         ).select(F.col("seed_id").alias("a_seed"), F.col("dst").alias("a_node"), "m")
         ranks = (
             base.join(
