@@ -427,6 +427,30 @@ def test_priority_sample_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_quantized_unit_sums_stay_integer(spark, sf_dir):
+    """The round-16 decimal-tax fix, pinned: the hot per-edge/per-doc
+    aggregations in the pagerank family and the per-doc LM scorers sum
+    BIGINT 1e-9/1e-6 units — a regression back to a per-row
+    decimal(18,*) cast + decimal128 sum re-pays the ~2.7x CPU tax the
+    interleaved A/B measured (SCALING §8s).  Corpus-level rollups keep
+    decimal BY DESIGN (2^53 unit-exactness bound), so this checks only
+    the named hot paths: no decimal literal may appear anywhere in their
+    plans (none of these seven plans has a legitimate decimal site left —
+    q_d5_ppl_buckets is deliberately absent, its per-tile rollup is a
+    legitimate decimal)."""
+    for name in [
+        "q_ext_pagerank",
+        "q_ext_pagerank_weighted",
+        "q_ext_pagerank_personalized",
+        "q_ext_ppr_multiseed",
+        "q_d5_bigram_lm_ppl",
+        "q_d5_trigram_backoff_ppl",
+        "q_d4_token_entropy",
+    ]:
+        plan = _plan(spark, name, sf_dir)
+        assert not re.search(r"decimal\(18,\s*[69]\)", plan), name
+
+
 def test_repeated_ngrams_topk_not_full_sort(spark, sf_dir):
     """The top-20 repeated grams must come from TakeOrderedAndProject
     (partial heaps), never a global Sort of the gram table."""
