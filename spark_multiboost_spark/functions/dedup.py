@@ -899,7 +899,7 @@ def semantic_dedup_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     cpd = (
         emb.filter(F.col("vec_id") < SEM_N_CELLS)
         .select("vec_id", "embedding")
-        .toPandas()
+        .toPandas()  # bounded: SEM_N_CELLS centroid seeds (model-sized)
         .sort_values("vec_id")  # ascending cent_id => argmin ties pick lowest
     )
     cent = np.array([np.asarray(e, dtype=np.float64) for e in cpd["embedding"]])

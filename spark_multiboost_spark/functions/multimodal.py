@@ -237,6 +237,8 @@ def binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdf = (
         d.filter(F.col("doc_id") % BINFILE_MOD == 0)
         .select("doc_id", "text")
+        # bounded: fixture scaffolding — a 1/BINFILE_MOD subset materialized
+        # once to create the blob files the binaryFile source then reads
         .toPandas()
     )
     blob_dir = tempfile.mkdtemp(prefix="smb_blobs_")

@@ -173,7 +173,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cpd = (
         emb.filter(F.col("vec_id") < PQ_K)
         .select("vec_id", "embedding")
-        .toPandas()
+        .toPandas()  # bounded: PQ_K codebook seed vectors (model-sized)
         .sort_values("vec_id")  # ascending code => argmin ties pick lowest
     )
     cb_full = np.array([np.asarray(e, dtype=np.float64) for e in cpd["embedding"]])
@@ -182,7 +182,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qpd = (
         emb.filter(F.col("vec_id") < PQ_N_QUERIES)
         .select("vec_id", "embedding")
-        .toPandas()
+        .toPandas()  # bounded: the query SET (PQ_N_QUERIES rows)
         .sort_values("vec_id")
     )
     Q = np.array([np.asarray(e, dtype=np.float64) for e in qpd["embedding"]])
@@ -291,7 +291,7 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cpd = (
         emb.filter(F.col("vec_id") < PQ_K)
         .select("vec_id", "embedding")
-        .toPandas()
+        .toPandas()  # bounded: PQ_K codebook/centroid seeds (model-sized)
         .sort_values("vec_id")
     )
     cb_full = np.array([np.asarray(e, dtype=np.float64) for e in cpd["embedding"]])
@@ -301,7 +301,7 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qpd = (
         emb.filter(F.col("vec_id") < PQ_N_QUERIES)
         .select("vec_id", "embedding")
-        .toPandas()
+        .toPandas()  # bounded: the query SET (PQ_N_QUERIES rows)
         .sort_values("vec_id")
     )
     Q = np.array([np.asarray(e, dtype=np.float64) for e in qpd["embedding"]])
@@ -442,7 +442,7 @@ def _pq_lloyd(
     seed = (
         emb.filter(F.col("vec_id") < PQ_K)
         .select("vec_id", "embedding")
-        .toPandas()
+        .toPandas()  # bounded: PQ_K codebook seed vectors (model-sized)
         .sort_values("vec_id")
     )
     full = [
@@ -490,7 +490,7 @@ def _pq_lloyd(
             inertia = float(
                 assigned.agg(
                     F.sum(total_d2.cast("decimal(30,12)")).alias("x")
-                ).collect()[0]["x"]
+                ).collect()[0]["x"]  # bounded: 1-row inertia sum
             )
             subs = F.explode(
                 F.array(
@@ -513,7 +513,7 @@ def _pq_lloyd(
                     .cast("double")
                     .alias("mean_v")
                 )
-                .collect()
+                .collect()  # bounded: PQ_M x PQ_K x SUB_D codebook-update rows (model-sized)
             )
             acc: dict = {}
             for r in upd:
@@ -559,7 +559,7 @@ def pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qpd = (
         emb.filter(F.col("vec_id") < PQ_N_QUERIES)
         .select("vec_id", "embedding")
-        .toPandas()
+        .toPandas()  # bounded: the query SET (PQ_N_QUERIES rows)
         .sort_values("vec_id")
     )
     Q = np.array([np.asarray(x, dtype=np.float64) for x in qpd["embedding"]])
@@ -730,7 +730,7 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     spd = (
         emb.filter(F.col("vec_id") < 2 * PQ_K)
         .select("vec_id", "embedding")
-        .toPandas()
+        .toPandas()  # bounded: 2*PQ_K seed vectors (model-sized)
         .sort_values("vec_id")
     )
     seed = np.array([np.asarray(x, dtype=np.float64) for x in spd["embedding"]])
@@ -744,7 +744,7 @@ def ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qpd = (
         emb.filter(F.col("vec_id") < PQ_N_QUERIES)
         .select("vec_id", "embedding")
-        .toPandas()
+        .toPandas()  # bounded: the query SET (PQ_N_QUERIES rows)
         .sort_values("vec_id")
     )
     Q = np.array([np.asarray(x, dtype=np.float64) for x in qpd["embedding"]])
@@ -1098,7 +1098,7 @@ def opq_rotated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = e.select(F.posexplode("emb").alias("i", "v"))
     mean = np.zeros(D)
     for r in (
-        pos.groupBy("i").agg(F.sum(F.col("v").cast("decimal(30,15)")).alias("s")).collect()
+        pos.groupBy("i").agg(F.sum(F.col("v").cast("decimal(30,15)")).alias("s")).collect()  # bounded: one row per dimension (D)
     ):
         mean[r["i"]] = float(r["s"]) / n
     pairs = e.select(
@@ -1113,7 +1113,7 @@ def opq_rotated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in (
         pairs.groupBy("i", "j")
         .agg(F.sum(F.col("xy").cast("decimal(30,12)")).alias("s"))
-        .collect()
+        .collect()  # bounded: D x D moment entries (model-sized)
     ):
         M[r["i"], r["j"]] = float(r["s"])
     cov = M / n - np.outer(mean, mean)
@@ -1136,14 +1136,14 @@ def opq_rotated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     R = vecs[:, perm]  # x_rot = x @ R
 
     spd = (
-        emb.filter(F.col("vec_id") < PQ_K).select("vec_id", "embedding").toPandas().sort_values("vec_id")
+        emb.filter(F.col("vec_id") < PQ_K).select("vec_id", "embedding").toPandas().sort_values("vec_id")  # bounded: PQ_K codebook seed vectors (model-sized)
     )
     seed_rot = (
         np.array([np.asarray(x, dtype=np.float64) for x in spd["embedding"]]) @ R
     )
     cbs = [seed_rot[:, m * SUB_D : (m + 1) * SUB_D] for m in range(PQ_M)]
     qpd = (
-        emb.filter(F.col("vec_id") < PQ_N_QUERIES).select("vec_id", "embedding").toPandas().sort_values("vec_id")
+        emb.filter(F.col("vec_id") < PQ_N_QUERIES).select("vec_id", "embedding").toPandas().sort_values("vec_id")  # bounded: the query SET (PQ_N_QUERIES rows)
     )
     Q = np.array([np.asarray(x, dtype=np.float64) for x in qpd["embedding"]]) @ R
     q_ids = qpd["vec_id"].to_numpy(np.int64)

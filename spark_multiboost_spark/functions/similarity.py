@@ -168,7 +168,7 @@ def _topk_candidates(spark: SparkSession, sf_dir: str, k: int = K) -> DataFrame:
     qpd = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "embedding", "label")
-        .toPandas()
+        .toPandas()  # bounded: the query SET (N_QUERIES rows), never the corpus
     )
     Q = np.array([np.asarray(e, dtype=np.float64) for e in qpd["embedding"]])
     q_ids = qpd["vec_id"].to_numpy(np.int64)
@@ -626,7 +626,7 @@ def ivf_ann_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     cpd = (
         emb.filter(F.col("vec_id") < N_CELLS)
         .select("vec_id", "embedding")
-        .toPandas()
+        .toPandas()  # bounded: N_CELLS centroid seeds (model-sized)
         .sort_values("vec_id")  # ascending cent_id => argmin ties pick lowest
     )
     cent = np.array([np.asarray(e, dtype=np.float64) for e in cpd["embedding"]])
@@ -634,7 +634,7 @@ def ivf_ann_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     qpd = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "embedding")
-        .toPandas()
+        .toPandas()  # bounded: the query SET (N_QUERIES rows)
         .sort_values("vec_id")
     )
     Q = np.array([np.asarray(e, dtype=np.float64) for e in qpd["embedding"]])
@@ -726,7 +726,7 @@ def _lloyd(
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in emb.filter(F.col("vec_id") < N_CELLS)
         .select("vec_id", "embedding")
-        .collect()
+        .collect()  # bounded: N_CELLS centroid seed rows (model-sized)
     ]
     dim = len(cent[0][1])
     history = []
@@ -768,7 +768,7 @@ def _lloyd(
                 F.count(F.lit(1)).cast("bigint").alias("n"),
                 F.sum(F.col("d2").cast("decimal(30,12)")).alias("inertia_part"),
             )
-            srows = stats.collect()
+            srows = stats.collect()  # bounded: one row per cell (N_CELLS)
             inertia = float(sum(r["inertia_part"] for r in srows))
             history.append(
                 (
@@ -789,7 +789,7 @@ def _lloyd(
                     .cast("double")
                     .alias("mean_v")
                 )
-                .collect()
+                .collect()  # bounded: N_CELLS x dim centroid-update rows (model-sized)
             )
             new_cent = {cid: list(vec) for cid, vec in cent}  # empty cells keep old
             acc: dict[int, list[float]] = {}
@@ -880,7 +880,7 @@ def filtered_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     qpd = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "embedding", "label")
-        .toPandas()
+        .toPandas()  # bounded: the query SET (N_QUERIES rows)
         .sort_values("vec_id")
     )
     Q = np.array([np.asarray(e, dtype=np.float64) for e in qpd["embedding"]])

@@ -1806,7 +1806,7 @@ def _bpe_merge_rounds(spark: SparkSession, sf_dir: str, apply_last: bool):
             .select(F.col("sym").alias("a"), F.col("nxt").alias("b"), "cnt")
             .orderBy(F.col("cnt").desc(), "a", "b")
             .limit(1)
-            .collect()
+            .collect()  # bounded: 1-row argmax fetch (best merge pair)
         )
         if not got:
             # degenerate corpus (no mergeable adjacent pair left, e.g. all
@@ -2150,7 +2150,7 @@ def coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
             .orderBy(F.col("gain").desc(), "doc_id")
             .limit(1)
-            .collect()
+            .collect()  # bounded: 1-row greedy-argmax fetch
         )
         if not rows:
             # degenerate fixture (every shingle already covered, or corpus
@@ -2280,7 +2280,7 @@ def weighted_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("ratio", F.col("gain") * F.lit(1.0) / F.col("cost"))
             .orderBy(F.col("ratio").desc(), "doc_id")
             .limit(1)
-            .collect()
+            .collect()  # bounded: 1-row greedy-argmax fetch
         )
         if not rows:
             # degenerate round: mirror the oracle's NULL scalar subqueries

@@ -329,7 +329,7 @@ def fit_stump(
                 )
             ).alias("v"),
         )
-        .collect()
+        .collect()  # bounded: K rows — one per class (model-sized)
     )
     votes = [0.0] * num_classes
     for r in rows:
@@ -429,7 +429,7 @@ def train(
     # loop-invariant: feature count never changes between rounds, so the
     # one action that computes it runs once, not once per round
     n_feats = (
-        feats.agg(F.max("feature")).collect()[0][0]
+        feats.agg(F.max("feature")).collect()[0][0]  # bounded: 1-row max agg
         if feature_fraction is not None
         else None
     )

@@ -85,6 +85,9 @@ def _replay_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     events = t["events"].orderBy("ts", "event_id")
     n = events.count()
     per = max(1, n // n_files)
+    # bounded: replay-fixture scaffolding — the sf-fixture events table is
+    # materialized ONCE to cut the micro-batch input files; a production
+    # stream reads files that already exist (no collect on any query path)
     pdf = events.toPandas()
     # keep µs precision: pandas defaults to ns, which round-trips to a
     # TIMESTAMP(NANOS) parquet column Spark's vectorized reader rejects
@@ -341,7 +344,7 @@ def streaming_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     qpd = (
         emb.filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "embedding", "label")
-        .toPandas()
+        .toPandas()  # bounded: the query SET (N_QUERIES rows), never the corpus
     )
     # fresh dir per invocation (replay semantics), nested under the
     # atexit-cleaned scratch root so it stops leaking
@@ -359,7 +362,7 @@ def streaming_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     results: list[pd.DataFrame] = []
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        bq = batch_df.toPandas()  # the SMALL side: this trigger's queries
+        bq = batch_df.toPandas()  # bounded: the SMALL side — this trigger's queries
         if not len(bq):
             return
         Q = np.array([np.asarray(e, dtype=np.float64) for e in bq["embedding"]])
@@ -372,7 +375,7 @@ def streaming_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= K)
             .select("qid", "cid", "rank", F.round("cos_raw", 6).alias("cos_sim"))
         )
-        results.append(top.toPandas())
+        results.append(top.toPandas())  # bounded: <= K rows per query this batch
 
     stream = (
         # the replay files come from the already-double-cast table
@@ -410,6 +413,8 @@ def _replay_docs_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     if os.path.isdir(path):
         shutil.rmtree(path)
     docs = load_tables(spark, sf_dir)["documents"].orderBy("doc_id")
+    # bounded: replay-fixture scaffolding — materialized once to cut the
+    # documents-stream input files (see the events twin above)
     pdf = docs.toPandas()
     os.makedirs(path, exist_ok=True)
     per = max(1, len(pdf) // n_files)
@@ -584,7 +589,7 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cdc_dir = os.path.join(root, "cdc")
     os.makedirs(cdc_dir, exist_ok=True)
-    updf = upd.toPandas()  # fixture replay scaffolding only (CDC is small)
+    updf = upd.toPandas()  # bounded: fixture replay scaffolding only (CDC is small)
     per = max(1, len(updf) // 4)
     for i in range(4):
         chunk = updf.iloc[i * per : (i + 1) * per if i < 3 else len(updf)]
@@ -765,7 +770,7 @@ def ingestion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("min_ts"),
             F.max("ts").alias("max_ts"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
-        ).collect()[0]
+        ).collect()[0]  # bounded: 1-row aggregate per micro-batch
         if r["n_rows"]:
             metrics.append(
                 (
