@@ -1627,14 +1627,25 @@ def pq_refresh_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cemb")
     ).select("m", F.col("code0").alias("code"), "cemb")
     a1 = assign(a0, cb1, "code1")
-    before = a1.groupBy("m", F.col("code0").alias("code")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_before"),
-        F.sum(F.when(F.col("code0") == F.col("code1"), 1).otherwise(0))
+    # r13 optimization (same finding as q_d3_ivf_reassign_churn): aggregate
+    # once to the (m, code0, code1) transition table — PQ_M·PQ_K^2 rows max
+    # — and derive both rollups from it, so the branches share one pairs
+    # subtree (deduplicated by exchange/stage reuse at runtime) and the
+    # rollups read a codes^2-row table instead of two corpus passes.  No
+    # persist: the paired A/B showed a cache here only added build cost.
+    # Exact integer regrouping.
+    pairs = (
+        a1.groupBy("m", "code0", "code1")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    before = pairs.groupBy("m", F.col("code0").alias("code")).agg(
+        F.sum("n").cast("bigint").alias("n_before"),
+        F.sum(F.when(F.col("code0") == F.col("code1"), F.col("n")).otherwise(0))
         .cast("bigint")
         .alias("n_stayed"),
     )
-    after = a1.groupBy("m", F.col("code1").alias("code")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_after")
+    after = pairs.groupBy("m", F.col("code1").alias("code")).agg(
+        F.sum("n").cast("bigint").alias("n_after")
     )
     return (
         before.join(after, ["m", "code"], "left")

@@ -95,18 +95,29 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulation-order-independent (bit-stable across engines and runs).
     """
     d = load_tables(spark, sf_dir)["documents"]
-    doclen = d.select(
-        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl")
-    ).persist()  # narrow (2 ints/doc); read by the avgdl agg AND the
-    # scoring join — without the mark each branch re-tokenizes the corpus
+    terms = F.array(*[F.lit(t) for t in BM25_TERMS])
+    # ONE persisted corpus pass (r13 optimization): the old shape tokenized
+    # the corpus three times per run — doclen's size(split), tf's
+    # explode(split) for the scoring stream, and a full RECOMPUTATION of
+    # the tf subtree to derive df (Catalyst does not share the subtree).
+    # base carries (doc_id, dl, hits) where hits keeps only query-term
+    # tokens — array_filter-then-explode generates exactly the rows the
+    # old explode-then-filter kept, so every downstream count is
+    # identical — and the cache is narrow (2 ints + a ~0-5 element array).
+    base = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("dl"),
+        F.filter(
+            F.split("text", " "), lambda tok: F.array_contains(terms, tok)
+        ).alias("hits"),
+    ).persist()
+    doclen = base.select("doc_id", "dl")
     corpus = doclen.agg(
         bcount().alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    terms = F.array(*[F.lit(t) for t in BM25_TERMS])
     tf = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.array_contains(terms, F.col("token")))
+        base.select("doc_id", F.explode("hits").alias("token"))
         .groupBy("doc_id", "token")
         .agg(bcount().alias("tf"))
     )
@@ -133,7 +144,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("s").alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20),
-        doclen,
+        base,
     )
 
 
@@ -426,7 +437,11 @@ def bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
-    cb = bg.groupBy("w1", "w2").agg(bcount().alias("cb"))
+    # cb persists (r13 optimization): it feeds BOTH the broadcast scoring
+    # join and the cu rollup — without the mark the bigram explode + count
+    # agg over the corpus executed twice per run.  The cache is
+    # realized-bigram-vocabulary-sized (tiny next to the corpus).
+    cb = bg.groupBy("w1", "w2").agg(bcount().alias("cb")).persist()
     cu = cb.groupBy("w1").agg(F.sum("cb").cast("bigint").alias("cu"))
     v = toks.select(F.explode("t").alias("tok")).agg(
         F.countDistinct("tok").cast("bigint").alias("v")
@@ -467,6 +482,7 @@ def bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id"),
         toks,
+        cb,
     )
 
 
@@ -753,11 +769,21 @@ def trigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2", "w3")
         .agg(bcount().alias("c3"))
     )
-    c2 = ngrams(train, 2, ["w1", "w2"]).groupBy("w1", "w2").agg(bcount().alias("c2"))
+    # c2 and c1 persist (r13 optimization): c2 feeds both backoff joins
+    # (c2a, c2b) and c1 feeds c1b, c1c AND nv — without the marks the
+    # bigram explode + agg ran twice and the unigram explode + agg three
+    # times per run.  Both caches are vocabulary-sized.
+    c2 = (
+        ngrams(train, 2, ["w1", "w2"])
+        .groupBy("w1", "w2")
+        .agg(bcount().alias("c2"))
+        .persist()
+    )
     c1 = (
         train.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(bcount().alias("c1"))
+        .persist()
     )
     nv = c1.agg(
         F.sum("c1").cast("bigint").alias("n"), F.count(F.lit(1)).cast("bigint").alias("v")
@@ -816,6 +842,8 @@ def trigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id"),
         toks,
+        c2,
+        c1,
     )
 
 
@@ -959,10 +987,14 @@ def pruned_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(bcount().alias("c2"))
         .persist()
     )
+    # c1 persists (r13 optimization): it feeds c1b, c1c AND nv — without
+    # the mark the unigram explode + agg over the train half ran three
+    # times per run.  Vocabulary-sized cache; c3/c2 were already marked.
     c1 = (
         train.select(F.explode("t").alias("w"))
         .groupBy("w")
         .agg(bcount().alias("c1"))
+        .persist()
     )
     nv = c1.agg(
         F.sum("c1").cast("bigint").alias("n"),
@@ -1052,4 +1084,4 @@ def pruned_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("min_count")
     )
-    return release_with(out, toks, c3, c2)
+    return release_with(out, toks, c3, c2, c1)

@@ -1356,13 +1356,26 @@ def ivf_reassign_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cent_emb")
     ).select(F.col("cell0").alias("cent_id"), "cent_emb")
     a1 = assign(a0, cent1, "cell1")
-    before = a1.groupBy(F.col("cell0").alias("cell")).agg(
-        bcount().alias("n_before"),
-        F.sum(F.when(F.col("cell0") == F.col("cell1"), 1).otherwise(0))
+    # r13 optimization: before/after both consumed a1 directly, so each
+    # rollup branch carried its own corpus-wide assignment subtree.
+    # Aggregate once to the (cell0, cell1) transition table — N_CELLS^2
+    # rows max — and derive both rollups from it: the branches now share
+    # ONE identical pairs subtree (deduplicated by exchange/stage reuse at
+    # runtime), and at scale the rollups read a cells^2-row table instead
+    # of two corpus passes.  No persist: the paired A/B showed a cache
+    # here only added build cost (CPU 1.52x) while this form is
+    # CPU-neutral-to-better (0.84x, overlapping spreads).  The sums are
+    # exact integer regroupings of the old per-row counts.
+    pairs = a1.groupBy("cell0", "cell1").agg(bcount().alias("n"))
+    before = pairs.groupBy(F.col("cell0").alias("cell")).agg(
+        F.sum("n").cast("bigint").alias("n_before"),
+        F.sum(F.when(F.col("cell0") == F.col("cell1"), F.col("n")).otherwise(0))
         .cast("bigint")
         .alias("n_stayed"),
     )
-    after = a1.groupBy(F.col("cell1").alias("cell")).agg(bcount().alias("n_after"))
+    after = pairs.groupBy(F.col("cell1").alias("cell")).agg(
+        F.sum("n").cast("bigint").alias("n_after")
+    )
     return (
         before.join(after, "cell", "left")
         .select(

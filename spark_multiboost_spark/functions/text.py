@@ -2608,6 +2608,11 @@ def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, no broadcast, nothing driver-side; entropy of a 100 TB
     corpus is exactly this plan."""
     d = load_tables(spark, sf_dir)["documents"]
+    # NOTE (r13 optimization pass): a tc.persist() was tried here and
+    # REVERTED — tc feeds both the per-doc rollup and the scoring join,
+    # but ReuseExchange already shares its aggregation exchange between
+    # the two branches, so the cache only added build cost (paired A/B:
+    # CPU 1.28x, wall 1.09x).
     tc = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .filter(F.length("tok") > 0)
@@ -3209,6 +3214,11 @@ def ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
+    # NOTE (r13 optimization pass): a cb.persist() was tried here (the
+    # q_d5_bigram_lm_ppl finding) and REVERTED — with the scoring joins
+    # left to AQE, ReuseExchange already shares cb's aggregation exchange
+    # between the cu rollup and the scoring join, so the cache only added
+    # build cost (paired A/B: CPU 1.12-1.13x, two sittings).
     cb = bg.groupBy("w1", "w2").agg(bcount().alias("cb"))
     cu = cb.groupBy("w1").agg(F.sum("cb").cast("bigint").alias("cu"))
     v = toks.select(F.explode("t").alias("tok")).agg(
@@ -3601,7 +3611,11 @@ def budget_quota(d) -> "DataFrame":
     on counts, bit-identical across engines and execution modes.  Returns
     (lang, quota); every frame here is |languages|-sized, so the whole
     computation broadcasts at any corpus scale."""
-    cnt = d.groupBy("lang").agg(bcount().alias("n"))
+    # cnt persists (r13 optimization): it feeds the breakpoint levels, the
+    # breakpoint cross-join AND the final quota projection — without the
+    # mark the per-language corpus count agg executed three times per call.
+    # |languages|-sized cache, released with the returned quota frame.
+    cnt = d.groupBy("lang").agg(bcount().alias("n")).persist()
     budget = d.agg(
         F.expr(f"(count(1) * {BUDGET_NUM}) DIV {BUDGET_DEN}").alias("budget")
     )
@@ -3638,8 +3652,11 @@ def budget_quota(d) -> "DataFrame":
             ).otherwise(F.lit(0))
         ).alias("level")
     )
-    return cnt.crossJoin(F.broadcast(lvl)).select(
-        "lang", F.least(F.col("n"), F.col("level")).alias("quota")
+    return release_with(
+        cnt.crossJoin(F.broadcast(lvl)).select(
+            "lang", F.least(F.col("n"), F.col("level")).alias("quota")
+        ),
+        cnt,
     )
 
 _BUDGET_SAMPLE_ORACLE = f"""

@@ -2888,6 +2888,11 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/dedup.py:454 shows that pattern); 3 unrolled rounds don't
     need it."""
     t = load_tables(spark, sf_dir)
+    # pairs persists (r13 optimization): edges_deg's materialization reads
+    # pairs FOUR times (both unionAll branches, for the join side AND the
+    # deg side), so without the mark the orders⋈lineitem join + distinct
+    # agg — the most expensive subtree in the plan — executed 4x per run.
+    # The cache is edge-sized (2 int64s/row), the same class as edges_deg.
     pairs = (
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
@@ -2899,6 +2904,7 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("s_node"),
         )
         .distinct()
+        .persist()
     )
     edges = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionAll(
         pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
@@ -2928,6 +2934,7 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_score").desc(), "node")
         .limit(20),
         edges_deg,
+        pairs,
     )
 
 
@@ -3329,6 +3336,10 @@ def pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge table for free); weighted walks are the PPR/TrustRank family
     every recommendation graph runs."""
     t = load_tables(spark, sf_dir)
+    # pw persists (r13 optimization, same finding as q_ext_pagerank): the
+    # weighted-pair agg (orders⋈lineitem + countDistinct) fed SIX
+    # evaluations per run without the mark — 2 unionAll branches x (the
+    # edges_w join side, the outw side, and the ranks init).
     pw = (
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
@@ -3338,6 +3349,7 @@ def pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("s_node"),
         )
         .agg(F.countDistinct("o_orderkey").cast("bigint").alias("w"))
+        .persist()
     )
     edges = pw.select(
         F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w"
@@ -3365,6 +3377,7 @@ def pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_score").desc(), "node")
         .limit(20),
         edges_w,
+        pw,
     )
 
 
@@ -3446,6 +3459,12 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     MANY seed sets batches as a (node, seed_set) matrix — the per-seed
     columns share the one edge scan per iteration."""
     t = load_tables(spark, sf_dir)
+    # pw + nodes persist (r13 optimization, same finding as q_ext_pagerank):
+    # the weighted-pair agg fed the two unionAll branches of edges for BOTH
+    # the edges_w join side and the outw side, and the node table (an outw
+    # derivation) re-enters the lineage of EVERY iteration's rank frame —
+    # without the marks the orders⋈lineitem + countDistinct agg executed
+    # ~10x per run.  Both caches are node/edge-sized.
     pw = (
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
@@ -3455,6 +3474,7 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("s_node"),
         )
         .agg(F.countDistinct("o_orderkey").cast("bigint").alias("w"))
+        .persist()
     )
     edges = pw.select(
         F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w"
@@ -3470,7 +3490,7 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed_flag = seeds.withColumn("is_seed", F.lit(True))
     nodes = outw.select(F.col("src").alias("node")).join(
         F.broadcast(seed_flag), "node", "left"
-    )
+    ).persist()
     restart = F.when(F.col("is_seed"), 1.0 / n_seeds).otherwise(0.0)
     q9 = lambda c: F.floor(c * 1e9 + 0.5) / 1e9  # noqa: E731
     ranks = nodes.select("node", restart.alias("r"))
@@ -3505,6 +3525,8 @@ def pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_score").desc(), "node")
         .limit(20),
         edges_w,
+        pw,
+        nodes,
     )
 
 
@@ -3673,6 +3695,10 @@ def ppr_multiseed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window (count desc tie-broken on the string label, matching the
     oracle's ORDER BY)."""
     t = load_tables(spark, sf_dir)
+    # pw + base persist (r13 optimization, same finding as q_ext_pagerank):
+    # without the marks the weighted-pair agg executed 4x building edges_w
+    # and the (node x seed) base — an outw derivation — re-entered every
+    # iteration's rank lineage.  Both caches are node/edge-sized.
     pw = (
         t["orders"]
         .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
@@ -3681,6 +3707,7 @@ def ppr_multiseed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("s_node"),
         )
         .agg(F.countDistinct("o_orderkey").cast("bigint").alias("w"))
+        .persist()
     )
     edges = pw.select(
         F.col("c_node").alias("src"), F.col("s_node").alias("dst"), "w"
@@ -3695,7 +3722,11 @@ def ppr_multiseed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s_suppkey") * 2 + 1).alias("seed_node"),
         )
     )
-    base = outw.select(F.col("src").alias("node")).crossJoin(F.broadcast(seeds))
+    base = (
+        outw.select(F.col("src").alias("node"))
+        .crossJoin(F.broadcast(seeds))
+        .persist()
+    )
     q9 = lambda c: F.floor(c * 1e9 + 0.5) / 1e9  # noqa: E731
     ind = F.when(F.col("node") == F.col("seed_node"), F.lit(1.0)).otherwise(F.lit(0.0))
     ranks = base.select("seed_id", "node", ind.alias("r"))
@@ -3740,6 +3771,8 @@ def ppr_multiseed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("seed_id", "rk", "node", "rank_score")
         .orderBy("seed_id", "rk"),
         edges_w,
+        pw,
+        base,
     )
 
 
