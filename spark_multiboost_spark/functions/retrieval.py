@@ -437,8 +437,8 @@ def bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
-    # cb persists (r13 optimization): it feeds BOTH the broadcast scoring
-    # join and the cu rollup — without the mark the bigram explode + count
+    # cb persists (r13 optimization): it feeds BOTH the model-build join
+    # and the cu rollup — without the mark the bigram explode + count
     # agg over the corpus executed twice per run.  The cache is
     # realized-bigram-vocabulary-sized (tiny next to the corpus).
     cb = bg.groupBy("w1", "w2").agg(bcount().alias("cb")).persist()
@@ -446,19 +446,28 @@ def bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = toks.select(F.explode("t").alias("tok")).agg(
         F.countDistinct("tok").cast("bigint").alias("v")
     )
-    nll = (
-        bg.join(F.broadcast(cb), ["w1", "w2"])
-        .join(F.broadcast(cu), "w1")
+    # Per-TYPE model precompute (r13 optimization round, 2nd sitting): the
+    # NLL depends only on the bigram type, never the document, so the
+    # log/divide and the cu/v lookups run once per REALIZED BIGRAM on the
+    # vocabulary-sized count table; scoring attaches the precomputed
+    # integer units with a single broadcast probe per occurrence (was: two
+    # probes + log + divide per occurrence).  floor(-log(...)*1e6+0.5) on
+    # identical double inputs is bit-identical wherever it is evaluated,
+    # so results are unchanged (oracle re-proven MATCH at 3 SFs).
+    #
+    # 6dp-quantized NLL kept as BIGINT 1e-6 units (floor(double) is LONG):
+    # the per-doc sum is integer — fully order-independent, and
+    # (unit sum)/1e6 is the same correctly-rounded double as the oracle's
+    # CAST(SUM(decimal) AS DOUBLE) while the PER-DOC unit sum stays below
+    # 2^53 (~9e9 summed NLL — no document approaches it).  See the
+    # q_ext_pagerank parity note; corpus-level sums keep the decimal path
+    # for exactly this reason.
+    model = (
+        cb.join(F.broadcast(cu), "w1")
         .crossJoin(F.broadcast(v))
         .select(
-            "doc_id",
-            # 6dp-quantized NLL kept as BIGINT 1e-6 units (floor(double) is
-            # LONG): the per-doc sum is integer — fully order-independent,
-            # and (unit sum)/1e6 is the same correctly-rounded double as
-            # the oracle's CAST(SUM(decimal) AS DOUBLE) while the PER-DOC
-            # unit sum stays below 2^53 (~9e9 summed NLL — no document
-            # approaches it).  See the q_ext_pagerank parity note; corpus-
-            # level sums keep the decimal path for exactly this reason.
+            "w1",
+            "w2",
             F.floor(
                 -F.log((F.col("cb") + 1).cast("double") / (F.col("cu") + F.col("v")))
                 * 1e6
@@ -466,6 +475,7 @@ def bigram_lm_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll_u"),
         )
     )
+    nll = bg.join(F.broadcast(model), ["w1", "w2"]).select("doc_id", "nll_u")
     return release_with(
         nll.groupBy("doc_id")
         .agg(
@@ -789,6 +799,15 @@ def trigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").cast("bigint").alias("n"), F.count(F.lit(1)).cast("bigint").alias("v")
     )
     g = ngrams(held, 3, ["w1", "w2", "w3"])
+    # NOTE (r13 optimization round, 2nd sitting): a per-TYPE tier-model
+    # precompute (s3 = c3⋈c2, s2 = c2⋈c1, s1 = c1 — the q_d5_bigram_lm_ppl
+    # construction, moving the log per trained n-gram and cutting 5 joins
+    # to 3) was verified result-identical and A/B'd: CPU 1.01×, wall
+    # 1.08× — NEUTRAL, because at fixture scale trigram types ≈ trigram
+    # occurrences (singletons dominate), so the model-build joins cost
+    # what the saved per-occurrence work earned.  Reverted per the
+    # no-win-no-change rule; the sibling bigram query KEEPS the pattern
+    # (its model build rides the already-persisted cb with no new join).
     c2a = c2.select(F.col("w1"), F.col("w2"), F.col("c2").alias("c2a"))
     c2b = c2.select(
         F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c2").alias("c2b")
@@ -1029,6 +1048,14 @@ def pruned_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c1b = c1.select(F.col("w").alias("w2"), F.col("c1").alias("c1b"))
     c1c = c1.select(F.col("w").alias("w3"), F.col("c1").alias("c1c"))
+    # NOTE (r13 optimization round, 2nd sitting): the per-TYPE tier-model
+    # precompute (see q_d5_trigram_backoff_ppl's note) was also tried here
+    # — carrying the retained counts next to the precomputed units so the
+    # cutoff CASE still sees them — verified result-identical, and A/B'd:
+    # CPU 1.19×, wall 1.10×, samples cleanly separated.  At fixture scale
+    # trigram types ≈ occurrences, so the two model-build joins and the
+    # wider s3/s2 broadcast payloads cost MORE than the saved logs.
+    # Reverted per the no-win-no-change rule.
     # one scoring pass joins the FULL tables (AQE picks the strategy);
     # the 4 cutoffs are a broadcast literal evaluated per candidate row
     cand = (

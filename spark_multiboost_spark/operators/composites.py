@@ -2909,10 +2909,18 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("c_node").alias("src"), F.col("s_node").alias("dst")).unionAll(
         pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # cached once for the 3 iteration joins; released with the result DF
-    # (release_with below) — no session-lifetime cache leak
-    edges_deg = edges.join(deg, "src").persist()
+    # cached once for the per-iteration degree joins and the 3 edge scans;
+    # released with the result DF (release_with below) — no
+    # session-lifetime cache leak.  r13 optimization round (2nd sitting):
+    # the cache is (src, dst) ONLY — the old edges_deg cache carried d on
+    # every edge row, but the per-edge contribution floor(r/d*1e9+0.5)
+    # depends on src alone, so d now lives in the node-sized deg table and
+    # the division+floor run once per NODE per iteration (node-sized
+    # ranks⋈deg join, AQE-broadcast into the edge scan) instead of once
+    # per EDGE.  Identical unit values summed per dst → bit-identical
+    # ranks (oracle MATCH re-proven at 3 SFs).
+    edges_c = edges.persist()
+    deg = edges_c.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
     q9 = lambda c: F.floor(c * 1e9 + 0.5) / 1e9  # noqa: E731
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0).alias("r"))
     for _ in range(3):
@@ -2920,9 +2928,10 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # IS an exact integer count of 1e-9 units — sum the units as BIGINT
         # and divide once (bit-identical to the oracle's decimal sum; see
         # the determinism note in the docstring)
-        contrib = edges_deg.join(ranks, edges_deg["src"] == ranks["node"]).select(
-            F.col("dst"), F.floor(F.col("r") / F.col("d") * 1e9 + 0.5).alias("u")
+        nodeu = deg.join(ranks, deg["src"] == ranks["node"]).select(
+            deg["src"], F.floor(F.col("r") / F.col("d") * 1e9 + 0.5).alias("u")
         )
+        contrib = edges_c.join(nodeu, "src").select("dst", "u")
         ranks = contrib.groupBy("dst").agg(
             q9(F.lit(0.15) + F.lit(0.85) * (F.sum("u") / F.lit(1e9))).alias("r")
         ).select(F.col("dst").alias("node"), "r")
@@ -2933,7 +2942,8 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rank_score").desc(), "node")
         .limit(20),
-        edges_deg,
+        edges_c,
+        deg,
         pairs,
     )
 
