@@ -1784,6 +1784,10 @@ def _qv_cv_score(v: DataFrame):
     )
 
     def score(pairs: DataFrame) -> DataFrame:
+        # passthrough of the beam-width tag when present (the fused sweep
+        # tags rows with `bw`; cos depends only on (qid, cid) so the tag
+        # rides along untouched)
+        extra = [c for c in ("bw",) if c in pairs.columns]
         return (
             pairs.join(F.broadcast(qv), "qid")
             .join(cv, "cid")
@@ -1792,7 +1796,7 @@ def _qv_cv_score(v: DataFrame):
                 dot(F.col("q_emb"), F.col("c_emb"))
                 / F.nullif(F.col("q_n") * F.col("c_n"), F.lit(0.0)),
             )
-            .select("qid", "cid", "cos")
+            .select(*extra, "qid", "cid", "cos")
         )
 
     return qv, score
@@ -1805,23 +1809,42 @@ def _beam_report(
     edges: DataFrame,
     score,
     b: int = GANN_B,
+    leveled: bool = False,
 ) -> DataFrame:
     """Shared base-layer beam search (Spark twin of :func:`_beam_search_sql`):
     {GANN_HOPS} expansion hops from the seeded visited set ``v0`` (qid, cid)
     — score visited, keep a ``b``-beam per query (default {GANN_B} — the
-    registered search queries' width; the beam-width sweep passes its own
-    levels), union the beam's graph
+    registered search queries' width), union the beam's graph
     neighbors into visited — then rank ALL visited (self-pairs dropped) for
     the final top-{K} and report per query (qid, n_visited, n_hits, recall)
     against the query-set-bounded brute-force truth.  Per-query work is
-    O(B·M·hops), independent of corpus size."""
-    wb = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
+    O(B·M·hops), independent of corpus size.
+
+    ``leveled=True`` is the FUSED beam-width sweep (r13 optimization round):
+    ``v0`` arrives tagged with an int ``bw`` column, every window/aggregate
+    partitions by (bw, qid) instead of qid, and the beam keeps ``rk <= bw``
+    rows — one lineage computes every level's search exactly as if run
+    separately (rows of different bw never interact), cutting the sweep's
+    plan size, AQE job count, and py4j build time ~3x vs three chained
+    `_beam_report` calls.
+
+    Per-hop dedup stays a plain ``.distinct()`` — a groupBy(keys) +
+    collect_set + explode variant (exchanging on (bw, qid) only, so later
+    windows ride the same partitioning) was A/B'd both fused and unfused in
+    the r13 optimization round: CPU 0.85–0.90x but WALL 1.09–1.19x in every
+    pairing (the ObjectHashAggregate set build + Generate serialize the
+    per-key path), and wall is the bench's gating axis.  Both forms dedup
+    map-side during the partial aggregate, so shuffle bytes match at any
+    scale; rejected."""
+    keys = (["bw"] if leveled else []) + ["qid"]
+    wb = Window.partitionBy(*keys).orderBy(F.col("cos").desc(), "cid")
+    blim = F.col("bw") if leveled else F.lit(b)
 
     def beam(scored: DataFrame) -> DataFrame:
         return (
             scored.withColumn("rk", F.row_number().over(wb))
-            .filter(F.col("rk") <= b)
-            .select("qid", "cid")
+            .filter(F.col("rk") <= blim)
+            .select(*keys, "cid")
         )
 
     def expand(bm: DataFrame) -> DataFrame:
@@ -1829,7 +1852,7 @@ def _beam_report(
         # attribute ids, so the hops' edge references never collide
         ed = edges.select(F.col("src").alias("e_src"), F.col("dst").alias("e_dst"))
         return bm.join(ed, bm["cid"] == ed["e_src"]).select(
-            "qid", F.col("e_dst").alias("cid")
+            *keys, F.col("e_dst").alias("cid")
         )
 
     visited = v0
@@ -1840,7 +1863,7 @@ def _beam_report(
     hits = (
         s_fin.withColumn("rk", F.row_number().over(wb))
         .filter(F.col("rk") <= K)
-        .select("qid", "cid")
+        .select(*keys, "cid")
     )
     bf = (
         _pairs(spark, sf_dir)
@@ -1851,25 +1874,25 @@ def _beam_report(
             ),
         )
         .filter(F.col("rk") <= K)
-        .select("qid", F.col("cid").alias("bf_cid"))
+        .select(F.col("qid").alias("bf_qid"), F.col("cid").alias("bf_cid"))
     )
-    vis = s_fin.groupBy("qid").agg(bcount().alias("n_visited"))
+    vis = s_fin.groupBy(*keys).agg(bcount().alias("n_visited"))
     hit_agg = (
         hits.join(
             bf,
-            (hits["qid"] == bf["qid"]) & (hits["cid"] == bf["bf_cid"]),
+            (hits["qid"] == bf["bf_qid"]) & (hits["cid"] == bf["bf_cid"]),
             "left",
         )
-        .select(hits["qid"].alias("qid"), F.col("bf_cid"))
-        .groupBy("qid")
+        .select(*[hits[k].alias(k) for k in keys], F.col("bf_cid"))
+        .groupBy(*keys)
         .agg(
             F.sum(F.when(F.col("bf_cid").isNotNull(), 1).otherwise(0))
             .cast("bigint")
             .alias("n_hits")
         )
     )
-    return vis.join(hit_agg, "qid").select(
-        "qid",
+    return vis.join(hit_agg, keys).select(
+        *keys,
         "n_visited",
         "n_hits",
         (F.floor(F.col("n_hits") / K * 1e6 + 0.5) / 1e6).alias("recall"),
@@ -2345,10 +2368,19 @@ def beam_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall6 = (F.floor(F.col("n_hits") / K * 1e6 + 0.5) / 1e6).cast(
         "decimal(18,9)"
     )
-    out = None
-    for bw in BW_LEVELS:
-        rep = _beam_report(spark, sf_dir, v0, edges, score, b=bw)
-        agg = rep.agg(
+    # FUSED sweep (r13 optimization round): one `_beam_report(leveled=True)`
+    # lineage carries all three levels tagged by `bw` — rows of different bw
+    # never interact (every window/agg partitions by (bw, qid)), so each
+    # level's search is computed exactly as the three separate calls did,
+    # in one plan a third the size (build time, AQE jobs, codegen all ~3x
+    # down; paired A/B + oracle MATCH x3 SFs in OPTIMIZATION_r13.md).
+    v0_lv = v0.withColumn(
+        "bw", F.explode(F.array(*[F.lit(bw) for bw in BW_LEVELS]))
+    ).select("bw", "qid", "cid")
+    rep = _beam_report(spark, sf_dir, v0_lv, edges, score, leveled=True)
+    return (
+        rep.groupBy("bw")
+        .agg(
             (
                 F.floor(
                     F.sum(recall6).cast("double") / F.count(F.lit(1)) * 1e6 + 0.5
@@ -2362,11 +2394,12 @@ def beam_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / 1e6
             ).alias("mean_visited"),
-        ).select(
-            F.lit(bw).alias("beam_width"), "mean_recall", "mean_visited"
         )
-        out = agg if out is None else out.unionAll(agg)
-    return out.orderBy("beam_width")
+        .select(
+            F.col("bw").alias("beam_width"), "mean_recall", "mean_visited"
+        )
+        .orderBy("beam_width")
+    )
 
 
 def _adaptive_beam_oracle() -> str:
