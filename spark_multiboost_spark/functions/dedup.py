@@ -1092,11 +1092,17 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     P(candidate) = 1-(1-J^w)^b — and this table is how you pick it before
     burning a cluster pass.
 
-    Plan shape: signatures computed ONCE (persisted narrow table); each
-    banding adds only an equi-join on its band hash (never all-pairs);
-    verification joins shingles back for the union of candidates in one
-    pass.  Per-banding work is the same one-shuffle LSH shape as
-    q_d2_minhash_lsh."""
+    Plan shape: signatures computed ONCE (persisted narrow table); the
+    three bandings' buckets come from ONE explode tagged (bands, band, w)
+    — 2+4+8 = 14 rows per doc — and candidates from ONE self-equi-join on
+    (bands, band, band_hash) + one distinct (fused in the r13 optimization
+    round; was three join+distinct branches unioned: same rows shuffled
+    overall, but one exchange/codegen/distinct instead of three — paired
+    A/B wall 0.80x, CPU 0.46x, oracle MATCH x3 SFs).  Levels never
+    interact (bands is a join key), so each banding's candidate set is
+    computed exactly as the separate joins did.  Verification joins
+    shingles back for the union of candidates in one pass.  Per-banding
+    work is the same one-shuffle LSH shape as q_d2_minhash_lsh."""
     d = load_tables(spark, sf_dir)["documents"]
     sh = _shingled(d).persist()
     sig = sh.select(
@@ -1111,34 +1117,47 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("sig"),
     ).persist()
-    cands = None
-    for n_bands, width in BAND_SWEEP:
-        buckets = sig.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
-            "sig",
-        ).select(
-            "doc_id",
-            "band",
-            F.md5(
-                F.concat(
-                    *[
-                        F.element_at("sig", F.col("band") * width + j + 1)
-                        for j in range(width)
-                    ]
-                )
-            ).alias("band_hash"),
-        )
-        a = buckets.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
-        b = buckets.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
-        pairs = (
-            a.join(b, ["band", "band_hash"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-            .withColumn("bands", F.lit(n_bands))
-        )
-        cands = pairs if cands is None else cands.unionByName(pairs)
+    # FUSED bucket generation: one literal (bands, band, w) level array
+    # exploded once; band_hash = md5 of the signature slice for that
+    # level's band.  array_join(slice(...)) concatenates the same non-null
+    # md5-hex elements the per-level concat(element_at...) did, so hashes
+    # are byte-identical.
+    lv = F.array(
+        *[
+            F.struct(
+                F.lit(nb).alias("bands"),
+                F.lit(b).alias("band"),
+                F.lit(w).alias("w"),
+            )
+            for nb, w in BAND_SWEEP
+            for b in range(nb)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(lv).alias("lb"), "sig").select(
+        "doc_id",
+        F.col("lb.bands").alias("bands"),
+        F.col("lb.band").alias("band"),
+        F.md5(
+            F.array_join(
+                F.slice(
+                    "sig",
+                    F.col("lb.band") * F.col("lb.w") + F.lit(1),
+                    F.col("lb.w"),
+                ),
+                "",
+            )
+        ).alias("band_hash"),
+    )
+    a = buckets.select(F.col("doc_id").alias("doc_a"), "bands", "band", "band_hash")
+    b = buckets.select(F.col("doc_id").alias("doc_b"), "bands", "band", "band_hash")
+    # bands in the join key keeps levels disjoint; the single distinct over
+    # (bands, doc_a, doc_b) equals the old per-level distinct + union.
+    cands = (
+        a.join(b, ["bands", "band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("bands", "doc_a", "doc_b")
+        .distinct()
+    )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")

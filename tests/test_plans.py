@@ -504,14 +504,18 @@ def test_round7_graph_plans(spark, sf_dir):
 
 
 def test_mmr_rerank_bounded_plan(spark, sf_dir):
-    """Round-8 addition: the MMR greedy must stay per-qid local — no
-    cartesian/nested-loop blowup (candidate generation is checkpointed out
-    of the returned plan), and every per-round argmax (rk == 1 over a
-    per-qid window) must rewrite to a map-side WindowGroupLimit."""
+    """Round-8 addition, r13-optimization update: the MMR greedy must stay
+    per-qid local — no cartesian/nested-loop blowup (candidate generation
+    is checkpointed out of the returned plan), and the K-round greedy now
+    runs as ONE cogrouped Arrow stage (FlatMapCoGroupsInPandas) instead of
+    K-1 chained window rounds — exactly one Python-boundary node, no
+    pickled-row BatchEvalPython."""
     plan = _plan(spark, "q_d3_mmr_rerank", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "WindowGroupLimit" in plan
+    # formatted explain prints each operator twice (tree + detail section)
+    assert plan.count("FlatMapCoGroupsInPandas") == 2
+    assert "BatchEvalPython" not in plan
 
 
 def test_round8_scan_pass_aggs(spark, sf_dir):
