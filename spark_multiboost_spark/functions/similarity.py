@@ -1767,6 +1767,36 @@ def _nnd_graph(
     return edges
 
 
+def _bf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-{K} truth (qid, cid) for the graph-ANN recall
+    reports, computed through the flagship's Arrow partial-top-k scorer
+    instead of the JVM all-pairs expression path (r13 optimization round,
+    guide §4.2: hand whole batches to vectorized numpy rather than
+    evaluating a 64-element dot per pair in Catalyst).
+
+    Equivalence: :func:`build_scorer`'s per-batch block dot accumulates
+    sequentially (``_seq_dot_block``), producing bit-identical ``cos_raw``
+    to the JVM ``dot``/``norm`` expressions — the parity
+    ``q_d3_topk_cosine``'s oracle hash-MATCH pins at every SF — and the
+    per-batch partial top-k re-admits every row tied with the k-th score
+    before the global window, so the exact top-{K} set under
+    (cos_raw DESC, cid) is unchanged.  The global window then reads
+    #batches x Q x {K} candidate rows instead of corpus x Q pairs.
+    Paired A/B vs the `_pairs` window form + oracle MATCH x3 SFs for all
+    six consuming queries: OPTIMIZATION_r13.md (fifth sitting)."""
+    cand = _topk_candidates(spark, sf_dir, K)
+    return (
+        cand.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "cid")
+            ),
+        )
+        .filter(F.col("rk") <= K)
+        .select("qid", "cid")
+    )
+
+
 def _qv_cv_score(v: DataFrame):
     """Shared query/corpus projections + scorer for the graph-ANN family:
     ``qv`` is the bounded query set (broadcast), ``cv`` the corpus-sized
@@ -1855,21 +1885,24 @@ def _beam_report(
             *keys, F.col("e_dst").alias("cid")
         )
 
+    # Per-hop FULL re-scoring is kept deliberately (r13 optimization round,
+    # fifth sitting): an incremental-scoring variant (score only the
+    # newly-expanded candidates — distinct(expansion) anti-joined against
+    # visited — and carry the scored set forward, maintaining scored ==
+    # score(visited) as a multiset) was verified result-identical and
+    # paired-A/B'd at sf0.1: wall 1.09–1.17x, CPU 1.22–1.65x across
+    # graph_ann / fused sweep / hnsw_multilayer — a clean regression.  At
+    # fixture scale the corpus-side scoring joins are cheap and exchange
+    # reuse already dedups the repeated visited subtrees, so the per-hop
+    # broadcast anti-join + the deeper union lineage cost more than the
+    # saved re-scores.  Rejected under the no-win-no-change rule.
     visited = v0
     for _ in range(GANN_HOPS):
         bm = beam(score(visited))
         visited = visited.unionAll(expand(bm)).distinct()
     s_fin = score(visited).filter(F.col("qid") != F.col("cid"))
-    bf = (
-        _pairs(spark, sf_dir)
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "cid")
-            ),
-        )
-        .filter(F.col("rk") <= K)
-        .select(F.col("qid").alias("bf_qid"), F.col("cid").alias("bf_cid"))
+    bf = _bf_topk(spark, sf_dir).select(
+        F.col("qid").alias("bf_qid"), F.col("cid").alias("bf_cid")
     )
     # FUSED report (r13 optimization round): flag brute-force membership
     # with one broadcast left join (bf is unique per (qid, cid) so at most
@@ -2558,14 +2591,7 @@ def adaptive_beam_gauge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v0 = qv.select("qid").crossJoin(F.broadcast(entries))
     bf = (
-        _pairs(spark, sf_dir)
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "cid")
-            ),
-        )
-        .filter(F.col("rk") <= K)
+        _bf_topk(spark, sf_dir)
         .select("qid", F.col("cid").alias("bf_cid"))
         .localCheckpoint(eager=True)
     )
