@@ -74,6 +74,8 @@ def build_scorer(
     q_ids: np.ndarray,
     q_labels: np.ndarray,
     k: int = K,
+    *,
+    same_label_only: bool = False,
 ):
     """Build the ``mapInPandas`` generator that scores corpus Arrow batches
     against a fixed query matrix and emits per-batch partial top-k
@@ -82,6 +84,12 @@ def build_scorer(
     Shared by the batch flagship (whole query set at once) and the
     streaming retrieval path (one query micro-batch at a time) so both
     produce bit-identical candidates for the same queries.
+
+    ``same_label_only=True`` masks label-mismatched pairs to -inf before
+    the partial top-k (the IVF probe-mask pattern applied to a metadata
+    predicate) — the PRE-filter arm of q_d3_filtered_ann: the top-k is
+    then exact among label-matching candidates, with the same boundary
+    tie-expansion semantics as the unmasked scorer.
     """
     q_norm = np.sqrt(_seq_sq_norm(Q))
 
@@ -98,6 +106,8 @@ def build_scorer(
                 S = _seq_dot_block(C, Q) / denom  # (b x q)
             S[cid[:, None] == q_ids[None, :]] = -np.inf  # exclude self-pairs
             S[denom == 0.0] = -np.inf  # NULL-safe zero vectors (dropped)
+            if same_label_only:
+                S[c_label[:, None] != q_labels[None, :]] = -np.inf
             yield _partial_topk_frame(S, cid, c_label, q_ids, q_labels, k)
 
     return score
@@ -150,7 +160,13 @@ def _partial_topk_frame(
     return pd.concat(out, ignore_index=True)
 
 
-def _topk_candidates(spark: SparkSession, sf_dir: str, k: int = K) -> DataFrame:
+def _topk_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K,
+    *,
+    same_label_only: bool = False,
+) -> DataFrame:
     """Per-batch partial top-k cosine candidates: (qid, cid, cos_raw,
     q_label, c_label).
 
@@ -173,20 +189,30 @@ def _topk_candidates(spark: SparkSession, sf_dir: str, k: int = K) -> DataFrame:
     Q = np.array([np.asarray(e, dtype=np.float64) for e in qpd["embedding"]])
     q_ids = qpd["vec_id"].to_numpy(np.int64)
     q_labels = qpd["label"].to_numpy(np.int64)
-    score = build_scorer(Q, q_ids, q_labels, k)
+    score = build_scorer(Q, q_ids, q_labels, k, same_label_only=same_label_only)
 
     corpus = emb.select("vec_id", "embedding", "label")
     return corpus.mapInPandas(score, CAND_SCHEMA)
 
 
 def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Query x corpus pairs with a precomputed `cos` column.
+    """Query x corpus pairs with a precomputed `cos` column — the JVM
+    expression-path REFERENCE form of the query/corpus cosine scoring.
 
     Perf: norms are computed ONCE per vector on each side before the join
     (not per pair), so the per-pair work is a single 64-element dot product.
     The factored form sqrt(dot(a,a)) * sqrt(dot(b,b)) is arithmetically
     identical to inlining cosine(), keeping DuckDB bit-parity.
-    """
+
+    As of the r13 optimization round no registered query routes through
+    this form any more — every consumer (graph-ANN bf truth, MMR/hard-neg
+    candidates, filtered-ANN arms) generates candidates through
+    :func:`_topk_candidates`'s Arrow partial-top-k scorer, which computes
+    bit-identical ``cos_raw`` (sequential numpy accumulation, see
+    ``_seq_dot_block``) at ~50x less CPU.  Kept as the executable
+    documentation of the dot/norm parity discipline the graph-family
+    docstrings cite, and as the A/B twin the optimization ledger's
+    measurements were made against."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     q = (
         emb.filter(F.col("vec_id") < N_QUERIES)
@@ -1454,7 +1480,16 @@ def filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason real systems filter-then-search rather than search-then-filter
     when selectivity is high; for low-selectivity filters the IVF path
     masks cells instead (see q_d3_ivf_ann_arrow's probe masking)."""
-    pre_pairs = _pairs(spark, sf_dir).filter(F.col("q_label") == F.col("c_label"))
+    # Both arms now generate candidates through the Arrow partial-top-k
+    # scorer (r13 optimization round, fifth sitting — the _bf_topk move,
+    # guide §4.2): the PRE-filter arm masks label-mismatched pairs to -inf
+    # inside the scorer (the IVF probe-mask pattern — candidates are never
+    # scored into the top-k past the mask, exactly as the join-predicate
+    # form never generated them), the POST-filter arm ranks unmasked.
+    # cos_raw is bit-identical (flagship-oracle-pinned numpy parity) and
+    # the per-batch top-k re-admits k-th-boundary ties, so both arms'
+    # top-{K} sets and aggregates are unchanged.
+    pre_pairs = _topk_candidates(spark, sf_dir, K, same_label_only=True)
     w = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), F.col("cid"))
     cos6 = (F.floor(F.col("cos_raw") * 1e6 + 0.5) / 1e6).cast("decimal(18,9)")
     pre_agg = (
@@ -1475,7 +1510,7 @@ def filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     post_agg = (
-        _pairs(spark, sf_dir)
+        _topk_candidates(spark, sf_dir, K)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= K)
         .groupBy("qid")
@@ -3507,12 +3542,28 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (score DESC, cid ASC) tiebreak is reproduced by the sort key
     (-score, cid) — so picks and scores are bit-identical to the window
     implementation (proven by the x3-SF oracle gate)."""
-    pairs = _pairs(spark, sf_dir)
+    # Candidate generation via the Arrow partial-top-k scorer (r13
+    # optimization round, fifth sitting — same move as _bf_topk, guide
+    # §4.2): bit-identical cos_raw (sequential-accumulation numpy block
+    # dot, the flagship-oracle-pinned parity) with exact tie expansion at
+    # the P-th boundary, so the top-{MMR_P} set and rel values are
+    # unchanged; the corpus embeddings attach to the Q*P surviving ids by
+    # one equi-join INSTEAD of riding corpus x Q pair rows through the
+    # global window.
     wq = Window.partitionBy("qid").orderBy(F.col("cos_raw").desc(), "cid")
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cv = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        norm(F.col("embedding")).alias("c_norm"),
+    )
     cand_full = (
-        pairs.withColumn("rk", F.row_number().over(wq))
+        _topk_candidates(spark, sf_dir, MMR_P)
+        .withColumn("rk", F.row_number().over(wq))
         .filter(F.col("rk") <= MMR_P)
-        .select("qid", "cid", F.col("cos_raw").alias("rel"), "c_emb", "c_norm")
+        .select("qid", "cid", F.col("cos_raw").alias("rel"))
+        .join(cv, "cid")
+        .select("qid", "cid", "rel", "c_emb", "c_norm")
         .localCheckpoint(eager=True)  # Q*P rows; reused by sims (x2) + cand
     )
     ca = cand_full.select(
@@ -3831,7 +3882,14 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead); the anchor join is Q rows broadcast against the Q x
     {HN_NEG} negative band.  One corpus pass, no extra shuffle beyond
     the per-qid rank."""
-    pairs = _pairs(spark, sf_dir)
+    # Arrow partial-top-k candidates (r13 optimization round, fifth
+    # sitting — the _bf_topk move, guide §4.2): every row this query keeps
+    # has global rank <= {HN_POS}+{HN_NEG}, and the per-batch partial
+    # top-k with exact tie expansion preserves exactly those rows with
+    # bit-identical cos_raw, so band, anchor and margins are unchanged
+    # while the global window reads #batches x Q x k candidate rows
+    # instead of corpus x Q pairs.
+    pairs = _topk_candidates(spark, sf_dir, HN_POS + HN_NEG)
     wq = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "cid")
     ranked = pairs.select("qid", "cid", F.col("cos_raw").alias("cos")).withColumn(
         "rk", F.row_number().over(wq)
