@@ -1158,16 +1158,28 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("embedding", "q_emb")
     )
     lv = spark.range(1, NPROBE_LEVELS + 1).select(F.col("id").alias("nprobe"))
-    ranked = (
+    # Score BEFORE the sweep-level explosion (r13 optimization round, fifth
+    # sitting): cos depends only on the (qid, cid) pair, so computing it
+    # after the x{NPROBE_LEVELS} level crossJoin evaluated the 64-element
+    # dot up to {NPROBE_LEVELS}x per candidate (once per level where
+    # q_rank <= nprobe) and carried both embedding arrays through the
+    # exploded rows.  Scoring the pair rows first and projecting narrow
+    # sends only (qid, cid, q_rank, cos_raw) into the explosion — the same
+    # rows with the same doubles reach every level's window, just computed
+    # once (paired A/B + oracle MATCH x3 SFs: OPTIMIZATION_r13.md).
+    pairs = (
         c.join(q, "cent_id")
         .filter(F.col("qid") != F.col("cid"))
-        .crossJoin(F.broadcast(lv))
-        .filter(F.col("q_rank") <= F.col("nprobe"))
         .withColumn(
             "cos_raw",
             dot(F.col("q_emb"), F.col("c_emb"))
             / F.nullif(F.col("q_norm") * F.col("c_norm"), F.lit(0.0)),
         )
+        .select("qid", "cid", "q_rank", "cos_raw")
+    )
+    ranked = (
+        pairs.crossJoin(F.broadcast(lv))
+        .filter(F.col("q_rank") <= F.col("nprobe"))
         .withColumn(
             "rank",
             F.row_number().over(
