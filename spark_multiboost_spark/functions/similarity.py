@@ -1543,6 +1543,14 @@ GANN_B = 16       # beam width per hop (round 11: 4 -> 16, VERDICT r8 item 1)
 GANN_HOPS = 3     # base-layer expansion hops (round 11: 2 -> 3)
 GANN_ENTRIES = 4  # fixed entry points: vec_id < 4
 NND_ROUNDS = 8    # NN-descent refinement rounds (round 11: 1 -> 8)
+#: work-per-task sizing for the NND build's candidate-scoring stage: ~1e5
+#: 64-dim HOF dots ≈ 250 ms of useful work per task, amortizing the
+#: measured ~160 ms per-task fixed cost (broadcast-relation copy + task
+#:  setup) that made finer splits CPU-regressive (r14 sweep: par 4/8/16/32
+#: → CPU 11.7/14.9/24.1/49.4 s at sf0.1).  Row-count-derived, so fixture
+#: builds use a handful of tasks and a production corpus saturates the
+#: cluster cap (defaultParallelism).
+NND_SCORE_ROWS_PER_TASK = 100_000
 
 
 def _nnd_edges(
@@ -1573,22 +1581,39 @@ def _nnd_edges(
     one round regardless of ``rounds``.  On a structure-free fixture a
     round buys ~m²/n fresh comparisons per node (the gauge's observed
     doubling); on real clustered embeddings NN-descent converges in far
-    fewer rounds — ``rounds`` is the build's quality/cost dial."""
-    n_row = F.broadcast(v.agg(F.count(F.lit(1)).alias("n")))
+    fewer rounds — ``rounds`` is the build's quality/cost dial.
+
+    Candidate-stream partitioning (r14 optimization round, guide §2): the
+    per-round candidate set is BYTE-tiny (two int64s per row) but
+    CPU-dense (a 64-element HOF dot per row downstream), so AQE's
+    byte-based coalescing collapsed the scoring stage to ONE task at
+    fixture scale (profiled: 0.3–0.95 s single-task stages, the whole
+    40 s graph_prebuild_sec effectively single-threaded).  The explicit
+    hash repartition below pins parallelism derived from the candidate
+    ROW count — ``n·(m+m²) / NND_SCORE_ROWS_PER_TASK`` clamped to the
+    session's cores — the same CPU-superlinear-vs-bytes finding behind
+    warm_cache's documents fan-out.  Partition count never affects the
+    result (hash placement only; every window below partitions by src)."""
+    # one bounded count action per BUILD (builds are session-cached by
+    # _nnd_graph): n sizes both the seed ring modulus and the per-round
+    # scoring parallelism
+    n = v.count()
+    par = max(1, min(
+        v.sparkSession.sparkContext.defaultParallelism,
+        -(-(n * (m + m * m)) // NND_SCORE_ROWS_PER_TASK),
+    ))
     seed = (
         v.select("vec_id")
-        .crossJoin(n_row)
         .select(
             F.col("vec_id").alias("src"),
             F.explode(F.sequence(F.lit(1), F.lit(m))).alias("i"),
-            F.col("n"),
         )
         .select(
             "src",
             # integer DIV, not double /: exact for 64-bit ids (a double
             # round-trip would corrupt ids past 2^53 at real corpus scale)
             (
-                ((F.expr(f"src DIV {stride}") + F.col("i")) % F.col("n"))
+                ((F.expr(f"src DIV {stride}") + F.col("i")) % F.lit(n))
                 * stride
             ).alias("dst"),
         )
@@ -1612,7 +1637,14 @@ def _nnd_edges(
             .select(F.col("s1.src").alias("src"), F.col("s2.dst").alias("dst"))
         )
         cand = (
-            edges.unionAll(nbr2).filter(F.col("src") != F.col("dst")).distinct()
+            edges.unionAll(nbr2)
+            .filter(F.col("src") != F.col("dst"))
+            # pinned row-count-derived parallelism for the CPU-dense
+            # scoring stage (see docstring); the distinct's aggregate
+            # rides this exchange (same (src, dst) clustering), so no
+            # exchange is added — the coalesced-to-1-task one is replaced
+            .repartition(par, "src", "dst")
+            .distinct()
         )
         # plain equi-joins (no forced broadcast — the vector table is
         # corpus-sized; AQE picks broadcast at fixture scale, shuffle at
@@ -3502,14 +3534,22 @@ def _mmr_greedy(key, cdf, sdf):
         best = None
         for c in remaining:
             cs = simmap.get(c, {})
-            # inner-join semantics of the old per-round maxsim join: every
-            # remaining candidate has sims to every selected one (sims is
-            # the full P x P minus the diagonal)
-            ms = max(cs[s] for s in selected if s in cs)
+            # inner-join semantics of the old per-round maxsim join: a
+            # candidate with NO sim row to any selected candidate is
+            # silently skipped this round (ADVICE r13 guard — unreachable
+            # through mmr_rerank, whose sims frame is the full P x P minus
+            # the diagonal, but a sparse-sims caller must not crash on
+            # max() of an empty sequence)
+            sims_to_selected = [cs[s] for s in selected if s in cs]
+            if not sims_to_selected:
+                continue
+            ms = max(sims_to_selected)
             sc_ = MMR_LAM * rels[c] - (1.0 - MMR_LAM) * ms
             k = (-sc_, c)
             if best is None or k < best[0]:
                 best = (k, c, sc_)
+        if best is None:
+            break  # every remaining candidate was sim-less (sparse sims)
         _, c, sc_ = best
         rows.append((qid, r, c, rels[c], sc_))
         selected.append(c)

@@ -3603,18 +3603,22 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 BUDGET_NUM, BUDGET_DEN = 3, 4  # global budget = 3/4 of the corpus
 
 
-def budget_quota(d) -> "DataFrame":
+def budget_quota(d) -> "tuple[DataFrame, DataFrame]":
     """The exact integer waterfill shared by q_d5_budget_sample and its
     streaming twin (q_c20): per-language quota = min(n_lang, L) where L is
     the largest integer with Σ min(n_l, L) ≤ budget, found in closed form
     from the |languages|-sized supply breakpoints — pure integer arithmetic
     on counts, bit-identical across engines and execution modes.  Returns
-    (lang, quota); every frame here is |languages|-sized, so the whole
-    computation broadcasts at any corpus scale."""
+    ``(quota, cnt)`` where quota is (lang, quota) and cnt is the PERSISTED
+    per-language count table: the caller must register cnt's release on its
+    FINAL returned DataFrame (ADVICE r13: registering it on the
+    intermediate quota frame let the weakref finalizer unpersist cnt before
+    any action ran, GC-timing-dependent, silently negating the 3x reuse).
+    Every frame here is |languages|-sized, so the whole computation
+    broadcasts at any corpus scale."""
     # cnt persists (r13 optimization): it feeds the breakpoint levels, the
     # breakpoint cross-join AND the final quota projection — without the
     # mark the per-language corpus count agg executed three times per call.
-    # |languages|-sized cache, released with the returned quota frame.
     cnt = d.groupBy("lang").agg(bcount().alias("n")).persist()
     budget = d.agg(
         F.expr(f"(count(1) * {BUDGET_NUM}) DIV {BUDGET_DEN}").alias("budget")
@@ -3652,12 +3656,10 @@ def budget_quota(d) -> "DataFrame":
             ).otherwise(F.lit(0))
         ).alias("level")
     )
-    return release_with(
-        cnt.crossJoin(F.broadcast(lvl)).select(
-            "lang", F.least(F.col("n"), F.col("level")).alias("quota")
-        ),
-        cnt,
+    quota = cnt.crossJoin(F.broadcast(lvl)).select(
+        "lang", F.least(F.col("n"), F.col("level")).alias("quota")
     )
+    return quota, cnt
 
 _BUDGET_SAMPLE_ORACLE = f"""
 WITH d AS (SELECT doc_id, lang, n_chars FROM documents
@@ -3724,13 +3726,13 @@ def budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-group-limit shape as the top-k queries — one shuffle by lang,
     nothing global."""
     d = load_tables(spark, sf_dir)["documents"]
-    quota = budget_quota(d)
+    quota, cnt = budget_quota(d)
     w = Window.partitionBy("lang").orderBy(F.col("priority").desc(), "doc_id")
     ranked = (
         d.select("doc_id", "lang", priority_col().alias("priority"))
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
     )
-    return (
+    return release_with(
         ranked.join(F.broadcast(quota), "lang")
         .filter(F.col("rk") <= F.col("quota"))
         .select(
@@ -3740,5 +3742,6 @@ def budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             (F.floor(F.col("priority") * 1e6 + 0.5) / 1e6).alias("priority"),
         )
-        .orderBy("lang", "rk")
+        .orderBy("lang", "rk"),
+        cnt,
     )

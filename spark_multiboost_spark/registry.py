@@ -65,82 +65,80 @@ _QUERY_MODULES = [
 
 #: query-level window rotation.  The driver's correctness gate checks the
 #: FIRST 50 registry entries each round (50 in every CORRECTNESS_r0*.json),
-#: so these names are surfaced ahead of everything else.  Round-13 window =
+#: so these names are surfaced ahead of everything else.  Round-14 window =
 #: EXACTLY 50 names (tests/test_registry_window.py pins the invariant),
-#: rotated per VERDICT r12 item 1 to the STALEST driver evidence left —
-#: computed from the union of CORRECTNESS_r01–r12 ("latest round that
-#: checked each name"):
-#:   1. the FULL r6-era tail — all 33 queries last driver-checked in
-#:      CORRECTNESS_r06: b05 null-safe join, b18 RANGE-interval frame,
-#:      b35 SQL UDF, the b37 SQL-TVF + polymorphic-UDTF pair, b02
-#:      python_datasource, the c5 windowed-dedup twin, a2 multilabel
-#:      init, the d2 containment/segment/repeated-ngram/semantic-arrow
-#:      dedup families, the d3 filtered/mrl/cell-balance/fps/catalyst
-#:      ANN wave, the d4 pack-3level/length-batching/interleave/oov/
-#:      ttr/bpe-encode/count-min text wave, the d5 dsir/kl/quality-gate/
-#:      coverage/priority/term-scrub curation wave, and the d6
-#:      cas/shard-manifest/phash multimodal trio;
-#:   2. the OLDEST 17 of the 48 r7-era names, in their CORRECTNESS_r07
-#:      registration order — lsh-band sweep, a5 multilabel Z, the D7
-#:      estimator end-to-end, ALS, pq_train/ivf_trained_recall, RRF
-#:      fusion, gopher rules, curation funnel, benford, waterfill,
-#:      weighted coverage, centroid outlier, prefix dup, token entropy,
-#:      dup weights, hard negatives.
+#: rotated per VERDICT r13 item 1 onto the round-13-OPTIMIZED queries so
+#: the driver itself confirms every landed equivalence proof:
+#:   1. the 23 names VERDICT r13 lists verbatim — the pagerank family
+#:      (base/weighted/personalized/multiseed), the LM family
+#:      (bigram/trigram-backoff/pruned-trigram/budget-sample), the BM25 +
+#:      retrieval tail (topk/snippets/query-expansion), the graph-ANN wave
+#:      (beam-width-sweep/graph-ann/index-persist/hnsw-descent/
+#:      hnsw-multilayer/adaptive-beam/mmr-rerank/graph-pq-search), the IVF
+#:      sweep + churn gauges, and the q_d2_lsh_band_sweep re-check.  All
+#:      of these also ride the round-14 NND-prebuild repartition change,
+#:      where graph-reachable;
+#:   2. q_b34_hash_sample — registered round 13 (the VERDICT r12 exact-
+#:      oracle twin), the only name NEVER driver-checked;
+#:   3. topped up to 50 with the stalest remainder (union of
+#:      CORRECTNESS_r01–r13 "latest round that checked each name"): the
+#:      26 oldest r7-era names not already above, in registration order.
 #: Names not listed keep registration order behind these; unknown names
 #: are ignored (module bring-up safety).
 _PRIORITY = [
-    # 1 — the full r6-era tail (33 queries last driver-checked in CORRECTNESS_r06)
-    "q_a2_multilabel_weight_init",
-    "q_b05_null_safe_join",
-    "q_b18_range_interval_frame",
-    "q_b35_sql_udf",
-    "q_b37_sql_tvf",
-    "q_b37_udtf_polymorphic",
-    "q_b02_python_datasource",
-    "q_c5_windowed_dedup_twin",
-    "q_d2_containment",
-    "q_d2_segment_dedup",
-    "q_d2_repeated_ngrams",
-    "q_d2_semantic_dedup_arrow",
-    "q_d3_filtered_ann",
-    "q_d3_mrl_prefix_recall",
-    "q_d3_ivf_cell_balance",
-    "q_d3_fps_coreset",
-    "q_d3_ivf_ann_catalyst",
-    "q_d4_sequence_pack_3level",
-    "q_d4_length_batching",
-    "q_d4_interleave",
-    "q_d4_oov_rate",
-    "q_d4_type_token_ratio",
-    "q_d4_bpe_encode",
-    "q_d4_count_min",
-    "q_d5_dsir_resample",
-    "q_d5_source_kl",
-    "q_d5_quality_gate",
-    "q_d5_coverage_select",
-    "q_d5_priority_sample",
-    "q_d5_term_scrub",
-    "q_d6_cas_report",
-    "q_d6_shard_manifest",
-    "q_d6_phash_neardup",
-    # 2 — the oldest 17 of the 48 r7-era names (CORRECTNESS_r07 order)
+    # 1 — VERDICT r13 item 1's verbatim list (round-13-changed queries)
+    "q_ext_pagerank",
+    "q_ext_pagerank_weighted",
+    "q_ext_pagerank_personalized",
+    "q_ext_ppr_multiseed",
+    "q_d5_bigram_lm_ppl",
+    "q_d5_trigram_backoff_ppl",
+    "q_d5_pruned_trigram_lm",
+    "q_d5_budget_sample",
+    "q_d3_bm25_topk",
+    "q_d3_bm25_snippets",
+    "q_d3_query_expansion",
+    "q_d3_beam_width_sweep",
+    "q_d3_graph_ann",
+    "q_d3_graph_index_persist",
+    "q_d3_hnsw_descent",
+    "q_d3_hnsw_multilayer",
+    "q_d3_adaptive_beam",
+    "q_d3_mmr_rerank",
+    "q_d3_graph_pq_search",
+    "q_d3_ivf_nprobe_sweep",
+    "q_d3_ivf_reassign_churn",
+    "q_d3_pq_refresh_churn",
     "q_d2_lsh_band_sweep",
-    "q_a5_multilabel_stump_z",
-    "q_d7_estimator_end_to_end",
-    "q_a16_als_recommend",
-    "q_d3_pq_train",
-    "q_d3_ivf_trained_recall",
-    "q_d3_rrf_fusion",
-    "q_d5_gopher_rules",
-    "q_d5_curation_funnel",
-    "q_ext_benford_audit",
-    "q_d5_mix_waterfill",
-    "q_d5_weighted_coverage_select",
-    "q_d5_centroid_outlier",
-    "q_d2_prefix_dup",
-    "q_d4_token_entropy",
-    "q_d5_dup_weights",
-    "q_d3_hard_negatives",
+    # 2 — the one name never driver-checked (registered r13)
+    "q_b34_hash_sample",
+    # 3 — stalest remainder: 26 oldest r7-era names, registration order
+    "q_a17_freq_itemsets",
+    "q_d3_filtered_topk_cosine",
+    "q_ext_dates",
+    "q_ext_funnel",
+    "q_ext_cohort_retention",
+    "q_ext_histogram",
+    "q_ext_salted_join",
+    "q_ext_gapfill_locf",
+    "q_ext_zorder_layout",
+    "q_comp_dataset_card",
+    "q_comp_order_count_distribution",
+    "q_comp_promo_revenue",
+    "q_comp_min_cost_supplier",
+    "q_comp_important_brands",
+    "q_comp_dq_report",
+    "q_ext_decayed_engagement",
+    "q_ext_equidepth_hist",
+    "q_ext_rolling_zscore",
+    "q_ext_fuzzy_join",
+    "q_ext_k_anonymity",
+    "q_ext_analyze_stats",
+    "q_ext_hilbert_layout",
+    "q_ext_cusum_changepoint",
+    "q_ext_onion_layers",
+    "q_ext_simrank1",
+    "q_ext_kcore_bucketed",
 ]
 
 #: the driver checks exactly this many entries per round; _PRIORITY must

@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans import release_with
 from ..registry import query
 from ..session import load_tables, proc_tmpdir, sf_scratch
 
@@ -1097,7 +1098,7 @@ def streaming_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import budget_quota, priority_col
 
     path = _replay_docs_dir(spark, sf_dir)
-    quota = budget_quota(load_tables(spark, sf_dir)["documents"])
+    quota, qcnt = budget_quota(load_tables(spark, sf_dir)["documents"])
     stream = (
         spark.readStream.schema(_DOCS_DDL)
         .option("maxFilesPerTrigger", 1)
@@ -1158,4 +1159,7 @@ def streaming_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_memory(out, mode="update").orderBy("lang", "n_seen", "rk")
+    return release_with(
+        _run_to_memory(out, mode="update").orderBy("lang", "n_seen", "rk"),
+        qcnt,
+    )

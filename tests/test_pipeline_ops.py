@@ -473,7 +473,9 @@ def test_budget_waterfill_level_is_maximal(spark, sf_dir):
     d = load_tables(spark, sf_dir)["documents"]
     cnt = {r["lang"]: r["n"] for r in d.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
     budget = (sum(cnt.values()) * BUDGET_NUM) // BUDGET_DEN
-    quota = {r["lang"]: r["quota"] for r in budget_quota(d).collect()}
+    quota_df, qcnt = budget_quota(d)
+    quota = {r["lang"]: r["quota"] for r in quota_df.collect()}
+    qcnt.unpersist()
     assert set(quota) == set(cnt)
     assert sum(quota.values()) <= budget
     # reconstruct L from any capped language (quota < supply) or, if all

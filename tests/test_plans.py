@@ -513,8 +513,10 @@ def test_mmr_rerank_bounded_plan(spark, sf_dir):
     plan = _plan(spark, "q_d3_mmr_rerank", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # formatted explain prints each operator twice (tree + detail section)
-    assert plan.count("FlatMapCoGroupsInPandas") == 2
+    # present at least once; not pinned to the formatted-explain layout's
+    # print count (ADVICE r13: tree + detail section each print the node
+    # today, but that is an explain-formatting incidental, not a plan fact)
+    assert "FlatMapCoGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
 
 
