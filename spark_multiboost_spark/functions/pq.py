@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import hamming_packed, sign_bits
 from ..registry import query
-from ..session import load_tables
+from ..session import load_tables, local_df
 
 PQ_M = 4  # subspaces
 SUB_D = 16  # dims per subspace (fixture embeddings are 64-dim)
@@ -457,7 +457,8 @@ def _pq_lloyd(
     try:
         for it in range(iters):
             cbrow = F.broadcast(
-                spark.createDataFrame(
+                local_df(
+                    spark,
                     [(m, k, v) for (m, k), v in sorted(cb.items())],
                     "m int, code int, cemb array<double>",
                 )
@@ -535,8 +536,8 @@ def pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     inertia curve never rises and that trained codebooks beat the seed
     codebooks on recall)."""
     history, _ = _pq_lloyd(spark, sf_dir)
-    return spark.createDataFrame(
-        history, "iter int, inertia double, n_active_codes bigint"
+    return local_df(
+        spark, history, "iter int, inertia double, n_active_codes bigint"
     )
 
 

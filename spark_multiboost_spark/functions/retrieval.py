@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from ..functions.parity import bcount, dsum, dsum_sql
 from ..plans import release_with
 from ..registry import query
-from ..session import load_tables
+from ..session import load_tables, local_df
 
 # fixed query-term list for the BM25 demo (all present in the fixture vocab)
 BM25_TERMS = ["spark", "window", "merge", "vector", "stream"]
@@ -1019,9 +1019,7 @@ def pruned_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("v"),
     )
-    th = spark.createDataFrame(
-        [(t,) for t in PRUNE_MINCOUNTS], "min_count int"
-    )
+    th = local_df(spark, [(t,) for t in PRUNE_MINCOUNTS], "min_count int")
     sizes = (
         c3.crossJoin(F.broadcast(th))
         .groupBy("min_count")

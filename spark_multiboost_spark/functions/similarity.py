@@ -32,7 +32,7 @@ from ..functions.vector import cosine, dot, hamming_packed, norm, sign_bits
 from ..functions.parity import bcount
 from ..plans import release_with
 from ..registry import query
-from ..session import load_tables, sf_scratch
+from ..session import load_tables, local_df, sf_scratch
 
 K = 5
 N_QUERIES = 100  # query set: vec_id < 100
@@ -736,8 +736,10 @@ def kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
       discipline) so results are partition-order independent run to run.
     """
     history, _ = _lloyd(spark, sf_dir)
-    return spark.createDataFrame(
-        history, "iter int, inertia double, n_active_cells bigint, largest_cell bigint"
+    return local_df(
+        spark,
+        history,
+        "iter int, inertia double, n_active_cells bigint, largest_cell bigint",
     )
 
 
@@ -763,7 +765,7 @@ def _lloyd(
             # SortAggregate fallback — min(struct) aggregates aren't
             # hash-mutable).  Same lexicographic (d2, cent_id) tie rule.
             cbrow = F.broadcast(
-                spark.createDataFrame(cent, "cent_id int, cent_emb array<double>")
+                local_df(spark, cent, "cent_id int, cent_emb array<double>")
                 .groupBy()
                 .agg(F.collect_list(F.struct("cent_id", "cent_emb")).alias("cents"))
             )
@@ -847,7 +849,7 @@ def ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained quantizer balances cells, which is the point of training)."""
     _, cent = _lloyd(spark, sf_dir)
     emb = load_tables(spark, sf_dir)["embeddings"]
-    cent_df = spark.createDataFrame(cent, "cent_id int, cent_emb array<double>")
+    cent_df = local_df(spark, cent, "cent_id int, cent_emb array<double>")
     iv = _ivf_search(emb, cent_df).select("qid", F.col("cid").alias("iv_cid"))
     bf = topk_cosine(spark, sf_dir).select("qid", "cid")
     return (
@@ -2905,7 +2907,7 @@ def hnsw_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     n0 = (
         edges1.filter(F.col("src") == 0)
         .select(F.col("dst").alias("cid"))
-        .unionAll(spark.createDataFrame([(0,)], "cid bigint"))
+        .unionAll(local_df(spark, [(0,)], "cid bigint"))
     )
     cand1 = qv.select("qid").crossJoin(F.broadcast(n0))
     cur1 = argmax1(score(cand1))
@@ -3070,7 +3072,7 @@ def hnsw_multilayer(spark: SparkSession, sf_dir: str) -> DataFrame:
     n0 = (
         edges2.filter(F.col("src") == 0)
         .select(F.col("dst").alias("cid"))
-        .unionAll(spark.createDataFrame([(0,)], "cid bigint"))
+        .unionAll(local_df(spark, [(0,)], "cid bigint"))
     )
     cur_b = descend(qv.select("qid").crossJoin(F.broadcast(n0)), edges2)
     # layer-1 descent seeded by the layer-2 pick
@@ -3429,8 +3431,8 @@ def fps_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).persist()
             caches.append(nxt)
             cur = nxt
-    out = spark.createDataFrame(
-        rows, "pick_round int, vec_id bigint, min_dist double"
+    out = local_df(
+        spark, rows, "pick_round int, vec_id bigint, min_dist double"
     ).orderBy("pick_round")
     return release_with(out, *caches)
 

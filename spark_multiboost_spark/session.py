@@ -76,6 +76,53 @@ def sf_scratch(kind: str, sf_dir: str) -> str:
     return d
 
 
+def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Model-sized local rows as a LITERAL-EXPRESSION plan instead of
+    ``createDataFrame`` (r14 optimization round, guide §4.1/§6.3).
+
+    ``createDataFrame`` parallelizes local data into defaultParallelism RDD
+    slices, and every materialization of the frame — each broadcast build,
+    parquet write, unionAll scan — pays a pickle + Python-worker roundtrip
+    PER SLICE (32 on this host); worse, the slices re-run on every action
+    because an RDD-backed local relation is never folded.  Measured on a
+    2-row model table: 5 noop/broadcast-join/parquet-roundtrip cycles cost
+    2.4/3.8/5.3 s as createDataFrame vs 0.7/1.1/2.3 s as literals, and
+    ``coalesce(1)`` on the RDD form is WORSE (26–32 s: one task pays all
+    slices' worker roundtrips serially).  Embedding the rows as a literal
+    struct array over ``range(1)`` keeps every materialization a 1-task
+    JVM-only job — the correct shape for any model-sized or
+    driver-computed-result table at ANY corpus scale (the table size is
+    bounded by the model/round count, not the data).
+
+    Bit-exact: ``F.lit`` preserves Python float bits; every field is cast
+    to the declared type exactly as createDataFrame's schema did.  Falls
+    back to createDataFrame for EMPTY input (no literals to type) and is
+    only for BOUNDED row lists (the plan embeds every value).
+    """
+    from pyspark.sql.types import StructType
+
+    if not rows:
+        return spark.createDataFrame([], schema)
+    st = StructType.fromDDL(schema)
+    structs = []
+    for row in rows:
+        fields = []
+        for i, f in enumerate(st.fields):
+            v = row[i]
+            col = (
+                F.array()  # F.lit cannot type an empty list; cast does
+                if isinstance(v, (list, tuple)) and len(v) == 0
+                else F.lit(list(v) if isinstance(v, tuple) else v)
+            )
+            fields.append(col.cast(f.dataType).alias(f.name))
+        structs.append(F.struct(*fields))
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("_s"))
+        .select("_s.*")
+    )
+
+
 def get_spark(app_name: str = "spark_multiboost_spark") -> SparkSession:
     """Build (or reuse) the local SparkSession with scale-sane defaults."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..plans import release_with
 from ..registry import query
-from ..session import load_tables, proc_tmpdir, sf_scratch
+from ..session import load_tables, local_df, proc_tmpdir, sf_scratch
 
 _EVENTS_DDL = (
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
@@ -737,8 +737,8 @@ def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     top = sorted(state.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
-    return spark.createDataFrame(
-        [(u, v) for u, v in top], "user_id bigint, max_value double"
+    return local_df(
+        spark, [(u, v) for u, v in top], "user_id bigint, max_value double"
     )
 
 
@@ -882,7 +882,8 @@ def query_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.streams.removeListener(listener)
     mine = sorted(r[1:] for r in rows if r[0] == qid)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         mine,
         "batch_id bigint, num_input_rows bigint, trigger_ms double, state_rows bigint",
     )
