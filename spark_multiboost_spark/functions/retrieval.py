@@ -808,6 +808,14 @@ def trigram_backoff_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # what the saved per-occurrence work earned.  Reverted per the
     # no-win-no-change rule; the sibling bigram query KEEPS the pattern
     # (its model build rides the already-persisted cb with no new join).
+    # RE-TESTED r14 at the data-bound sf1.0 point (VERDICT r13 item 5:
+    # occurrences x10, types flat — the regime the precompute targets):
+    # STILL a regression — wall 1.42x, CPU 1.27x (pruned sibling 1.59x /
+    # 1.04x).  The per-occurrence -log() is not the cost; the held stream
+    # is one pipelined pass over broadcast-hash probes, and the two
+    # model-build joins + wider broadcast payloads lose at every scale
+    # that fits a broadcast.  Family closed: per-type pays only when it
+    # adds NO new join (the bigram case).
     c2a = c2.select(F.col("w1"), F.col("w2"), F.col("c2").alias("c2a"))
     c2b = c2.select(
         F.col("w1").alias("w2"), F.col("w2").alias("w3"), F.col("c2").alias("c2b")
@@ -1053,7 +1061,9 @@ def pruned_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CPU 1.19×, wall 1.10×, samples cleanly separated.  At fixture scale
     # trigram types ≈ occurrences, so the two model-build joins and the
     # wider s3/s2 broadcast payloads cost MORE than the saved logs.
-    # Reverted per the no-win-no-change rule.
+    # Reverted per the no-win-no-change rule.  RE-TESTED r14 at sf1.0
+    # (occurrences x10, types flat): wall 1.59x, CPU 1.04x — closed; see
+    # the parent query's note for the mechanism.
     # one scoring pass joins the FULL tables (AQE picks the strategy);
     # the 4 cutoffs are a broadcast literal evaluated per candidate row
     cand = (

@@ -1946,7 +1946,13 @@ def _beam_report(
     pairing (the ObjectHashAggregate set build + Generate serialize the
     per-key path), and wall is the bench's gating axis.  Both forms dedup
     map-side during the partial aggregate, so shuffle bytes match at any
-    scale; rejected."""
+    scale; rejected.  Re-tested r14 on both data-bound axes (VERDICT r13
+    item 5): at sf1.0 (corpus x10, query set fixed) the variants are
+    indistinguishable (CPU 0.97x both, wall signs contradict across
+    queries) because the visited stream is N_QUERIES-bound, invariant to
+    corpus scale; at 10x N_QUERIES — the ONLY axis the dedup volume grows
+    with — collect_set is wall 1.59–1.75x (the per-key set build
+    serializes as sets grow).  Closed for good."""
     keys = (["bw"] if leveled else []) + ["qid"]
     wb = Window.partitionBy(*keys).orderBy(F.col("cos").desc(), "cid")
     blim = F.col("bw") if leveled else F.lit(b)

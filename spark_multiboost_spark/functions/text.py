@@ -3222,6 +3222,14 @@ def ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # left to AQE, ReuseExchange already shares cb's aggregation exchange
     # between the cu rollup and the scoring join, so the cache only added
     # build cost (paired A/B: CPU 1.12-1.13x, two sittings).
+    # NOTE (r14): the per-TYPE NLL precompute (nll_u per trained bigram
+    # type on cb⋈cu, one scoring join instead of two) was verified
+    # result-identical and A/B'd at the data-bound sf1.0 point: wall
+    # 1.65x, CPU 1.17x — REJECTED.  Same mechanism as the trigram family
+    # (retrieval.py): the occurrence stream is one pipelined pass over
+    # broadcast probes, and the added cb⋈cu model join costs more than
+    # the per-occurrence logs it removes.  q_d5_bigram_lm_ppl keeps the
+    # pattern only because its model build adds no join.
     cb = bg.groupBy("w1", "w2").agg(bcount().alias("cb"))
     cu = cb.groupBy("w1").agg(F.sum("cb").cast("bigint").alias("cu"))
     v = toks.select(F.explode("t").alias("tok")).agg(
