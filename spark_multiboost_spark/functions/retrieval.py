@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from ..functions.parity import bcount, dsum, dsum_sql
 from ..plans import release_with
 from ..registry import query
-from ..session import load_tables, local_df
+from ..session import load_tables
 
 # fixed query-term list for the BM25 demo (all present in the fixture vocab)
 BM25_TERMS = ["spark", "window", "merge", "vector", "stream"]
@@ -966,16 +966,18 @@ def pruned_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     stops fitting in a broadcast (the exact mitigation
     q_d5_trigram_backoff_ppl's scale note calls for).
 
-    One-pass sweep (the nprobe-sweep pattern): the holdout corpus joins
-    the FULL count tables ONCE; every cutoff is then a CASE over the
-    retained count columns against a 4-row thresholds literal — evaluating
-    k cutoffs costs one scoring pass + a k-way conditional agg, not k
-    re-scorings.  Determinism: per-trigram NLLs quantize to 6dp, DECIMAL
-    sums, identical binary64 score arithmetic both engines.
+    One-pass sweep (the nprobe-sweep pattern, completed r14): the holdout
+    corpus joins the FULL count tables ONCE; every cutoff is a
+    conditional-sum COLUMN over that single stream (the three backoff-tier
+    NLLs are computed once per occurrence, each cutoff CASE-selects among
+    them) — evaluating k cutoffs costs one scoring pass + a k-way
+    conditional agg, with no row replication at all.  Determinism:
+    per-trigram NLLs quantize to 6dp, DECIMAL sums, identical binary64
+    score arithmetic both engines.
 
     Scale shape: same as the parent LM — vocabulary-sized hash-aggs,
-    AQE-chosen joins, single holdout scan; the thresholds table is a
-    4-row literal cross-join (free)."""
+    AQE-chosen joins, single holdout scan; the cutoffs are compile-time
+    literals (free)."""
     d = load_tables(spark, sf_dir)["documents"]
     toks = d.select("doc_id", F.split("text", " ").alias("t")).persist()
     train = toks.filter(F.col("doc_id") % 2 == 0)
@@ -1027,25 +1029,27 @@ def pruned_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("v"),
     )
-    th = local_df(spark, [(t,) for t in PRUNE_MINCOUNTS], "min_count int")
-    sizes = (
-        c3.crossJoin(F.broadcast(th))
-        .groupBy("min_count")
-        .agg(
-            F.sum(F.when(F.col("c3") >= F.col("min_count"), 1).otherwise(0))
+    # k-way conditional-sum COLUMNS over ONE pass of each count table
+    # (r14 optimization round, guide §2.4): the old form replicated every
+    # row x{len(PRUNE_MINCOUNTS)} through crossJoin(broadcast(th)) before
+    # aggregating; the cutoffs are compile-time literals, so each sweep
+    # level is just a conditional sum column and the replication buys
+    # nothing.  Same values, same exact integer/decimal sums.
+    agg3 = c3.agg(
+        *[
+            F.sum(F.when(F.col("c3") >= F.lit(t), 1).otherwise(0))
             .cast("bigint")
-            .alias("n3_kept")
-        )
-        .join(
-            c2.crossJoin(F.broadcast(th))
-            .groupBy("min_count")
-            .agg(
-                F.sum(F.when(F.col("c2") >= F.col("min_count"), 1).otherwise(0))
-                .cast("bigint")
-                .alias("n2_kept")
-            ),
-            "min_count",
-        )
+            .alias(f"n3_{t}")
+            for t in PRUNE_MINCOUNTS
+        ]
+    )
+    agg2 = c2.agg(
+        *[
+            F.sum(F.when(F.col("c2") >= F.lit(t), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n2_{t}")
+            for t in PRUNE_MINCOUNTS
+        ]
     )
     g = ngrams(held, 3, ["w1", "w2", "w3"])
     c2a = c2.select(F.col("w1"), F.col("w2"), F.col("c2").alias("c2a"))
@@ -1064,8 +1068,15 @@ def pruned_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Reverted per the no-win-no-change rule.  RE-TESTED r14 at sf1.0
     # (occurrences x10, types flat): wall 1.59x, CPU 1.04x — closed; see
     # the parent query's note for the mechanism.
-    # one scoring pass joins the FULL tables (AQE picks the strategy);
-    # the 4 cutoffs are a broadcast literal evaluated per candidate row
+    # ONE scoring pass joins the FULL tables (AQE picks the strategy); the
+    # cutoff sweep is k conditional-sum columns over that single stream
+    # (r14: the x4 crossJoin(broadcast(th)) row replication removed — the
+    # three tier NLLs are computed once per occurrence, each cutoff
+    # CASE-selects among them, and every cutoff's decimal sum and count
+    # ride one global aggregate; floor/log inputs, decimal(18,6) adds and
+    # N are value-identical to the replicated form, so xent is
+    # bit-identical.  Paired A/B: CPU 0.63x at sf0.1, wall 0.83x / CPU
+    # 0.65x at sf1.0; identity + schema exact, oracle MATCH x3 SFs.)
     cand = (
         g.join(c3, ["w1", "w2", "w3"], "left")
         .join(c2a, ["w1", "w2"], "left")
@@ -1073,50 +1084,56 @@ def pruned_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c1b, ["w2"], "left")
         .join(c1c, ["w3"], "left")
         .crossJoin(F.broadcast(nv))
-        .crossJoin(F.broadcast(th))
     )
-    score = (
-        F.when(
-            F.col("c3").isNotNull() & (F.col("c3") >= F.col("min_count")),
-            F.col("c3").cast("double") / F.col("c2a"),
-        )
-        .when(
-            F.col("c2b").isNotNull() & (F.col("c2b") >= F.col("min_count")),
-            F.lit(0.4) * F.col("c2b") / F.col("c1b"),
-        )
-        .otherwise(
+    n1 = F.floor(
+        -F.log(F.col("c3").cast("double") / F.col("c2a")) * 1e6 + 0.5
+    ) / 1e6
+    n2 = F.floor(
+        -F.log(F.lit(0.4) * F.col("c2b") / F.col("c1b")) * 1e6 + 0.5
+    ) / 1e6
+    n3 = F.floor(
+        -F.log(
             F.lit(0.16)
             * (F.coalesce(F.col("c1c"), F.lit(0)) + 1)
             / (F.col("n") + F.col("v"))
         )
+        * 1e6
+        + 0.5
+    ) / 1e6
+
+    def nll_at(t: int):
+        return (
+            F.when(F.col("c3").isNotNull() & (F.col("c3") >= F.lit(t)), n1)
+            .when(F.col("c2b").isNotNull() & (F.col("c2b") >= F.lit(t)), n2)
+            .otherwise(n3)
+        )
+
+    aggq = cand.agg(
+        *[
+            F.sum(nll_at(t).cast("decimal(18,6)")).alias(f"s_{t}")
+            for t in PRUNE_MINCOUNTS
+        ],
+        F.count(F.lit(1)).alias("cnt"),
     )
-    quality = (
-        cand.select(
-            "min_count",
-            (F.floor(-F.log(score) * 1e6 + 0.5) / 1e6).alias("nll"),
-        )
-        .groupBy("min_count")
-        .agg(
-            (
-                F.floor(
-                    F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
-                    / F.count(F.lit(1))
-                    * 1e6
-                    + 0.5
-                )
-                / 1e6
-            ).alias("xent")
-        )
+    one = agg3.crossJoin(agg2).crossJoin(F.broadcast(aggq))
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("min_count"),
+                F.col(f"n3_{t}").alias("n3_kept"),
+                F.col(f"n2_{t}").alias("n2_kept"),
+                (F.col(f"n3_{t}") + F.col(f"n2_{t}")).alias("model_rows"),
+                (
+                    F.floor(
+                        F.col(f"s_{t}").cast("double") / F.col("cnt") * 1e6 + 0.5
+                    )
+                    / 1e6
+                ).alias("xent"),
+            )
+            for t in PRUNE_MINCOUNTS
+        ]
     )
     out = (
-        sizes.join(quality, "min_count")
-        .select(
-            "min_count",
-            "n3_kept",
-            "n2_kept",
-            (F.col("n3_kept") + F.col("n2_kept")).alias("model_rows"),
-            "xent",
-        )
-        .orderBy("min_count")
+        one.select(F.explode(rows).alias("r")).select("r.*").orderBy("min_count")
     )
     return release_with(out, toks, c3, c2, c1)

@@ -567,12 +567,15 @@ def test_zipf_window_group_limit(spark, sf_dir):
 
 
 def test_pruned_lm_single_holdout_pass(spark, sf_dir):
-    """The pruning sweep must score every cutoff from ONE holdout pass:
-    the thresholds table appears as a broadcast cross-join (4-row
-    literal), never as a re-scored corpus per cutoff — the holdout
-    documents scan must appear exactly once in the plan."""
+    """The pruning sweep must score every cutoff from ONE holdout pass,
+    with the cutoffs as conditional-sum COLUMNS over that single stream
+    (r14: no x|cutoffs| row replication through a thresholds cross-join),
+    and the holdout documents scan must appear at most once."""
     plan = _plan(spark, "q_d5_pruned_trigram_lm", sf_dir)
     assert "CartesianProduct" not in plan
+    # one per-cutoff decimal sum column per threshold, all in ONE aggregate
+    for t in (1, 2, 3, 5):
+        assert f"s_{t}#" in plan, f"missing conditional-sum column s_{t}"
     scans = [
         ln
         for ln in plan.splitlines()
